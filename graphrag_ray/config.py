@@ -1,0 +1,70 @@
+"""Pipeline configuration.
+
+The reference drives operator selection through a large TOML/JSON5 ``Config``
+struct (reference: graphrag-core/src/config/mod.rs:55-77); we use one frozen
+dataclass with the same defaults where semantics overlap
+(config/mod.rs:1307-1349: chunk 1000/200, min_confidence 0.7,
+relationship_confidence 0.5, embedding dim 384, max_connections 10).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- chunking (reference: text/mod.rs:141-187, config/mod.rs:1307-1313)
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+
+    # --- extraction (reference: entity/mod.rs:114-173, config/mod.rs:1317)
+    min_confidence: float = 0.7
+    entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
+    extract_relationships: bool = True
+    relationship_confidence: float = 0.5  # config/mod.rs:1344
+
+    # --- canonicalization (reference: corpus/entity_linker.rs:379-429,
+    #     entity/string_similarity_linker.rs:68-165)
+    fuzzy_threshold: float = 0.85
+    max_edit_distance: int = 2
+    use_phonetic: bool = False
+    # hot-key skew: number of salt partitions for the two-phase
+    # canonicalization aggregate (0/1 disables the salted intermediate)
+    salt_partitions: int = 8
+
+    # --- edges
+    max_contexts_per_edge: int = 64  # provenance cap so hot edges stay bounded
+
+    # --- embeddings (reference: vector/mod.rs:573-660, config/mod.rs:1295)
+    embedding_dim: int = 384
+
+    # --- communities (reference: graph/leiden.rs:429-520)
+    leiden_resolution: float = 1.0
+    leiden_seed: int = 42
+    leiden_max_iterations: int = 100
+    community_summary_max_length: int = 2000
+
+    # --- execution tuning
+    chunk_batch_size: int = 64  # documents per chunker batch
+    extract_batch_size: int = 256  # chunks per extraction batch
+    extract_concurrency: int | None = None  # None → let Ray elastically size
+
+    # --- checkpointing
+    out_dir: str = "/tmp/graphrag_ray_out"
+    run_id: str = "run0"
+    checkpoint: bool = False  # write per-stage parquet + manifest, resume on rerun
+
+    def config_hash(self) -> str:
+        """Stable hash over semantic fields; used to validate checkpoint reuse."""
+        d = asdict(self)
+        # execution-only knobs don't invalidate checkpoints
+        for k in ("chunk_batch_size", "extract_batch_size", "extract_concurrency",
+                  "out_dir", "run_id", "checkpoint"):
+            d.pop(k)
+        return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

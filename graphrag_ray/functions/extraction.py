@@ -1,0 +1,404 @@
+"""Deterministic pattern-based entity + relationship extraction (per chunk).
+
+Behavioral transcription of the reference's ``EntityExtractor``
+(graphrag-core/src/entity/mod.rs:114-1108): four-phase PERSON heuristics,
+ORG suffix/prefix scans, known-LOCATION list, the confidence formula
+(:721-759), per-chunk (name,type) dedup with mention merge (:788-809), and
+co-occurrence relationship typing (:812-879).
+
+This is a pure function of chunk text → ideal for parity testing: the same
+function drives both the distributed pipeline (inside ``map_batches``) and
+the single-process oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .textfns import clean_word, is_capitalized, normalize_name
+
+# word lists — entity/mod.rs:182-296
+PERSON_TITLES = frozenset(
+    "mr mrs ms dr prof professor sir lady lord captain major colonel general "
+    "admiral judge father mother brother sister aunt uncle grandfather grandmother".split()
+)
+
+NON_PERSON_WORDS = frozenset(
+    """chapter the and but or in on at to for with by from about into through
+    during before after above below up down out off over under again further
+    then once here there when where why how all any both each few more most
+    other some such only own same so than too very can will just should now
+    temptations strategic movements decides upon whitewashing saturday monday
+    tuesday wednesday thursday friday sunday january february march april may
+    june july august september october november december adventures complete""".split()
+)
+
+# entity/mod.rs:358-371 (test-fixture names kept for behavioral parity)
+KNOWN_PERSON_NAMES = (
+    "Entity Name", "Second Entity", "Guardian Entity", "Friend Entity",
+    "Companion Entity", "Third Entity", "Fourth Entity", "Fifth Entity",
+    "Sixth Entity", "Seventh Entity", "Eighth Entity", "Ninth Entity",
+)
+
+NAME_ENDINGS = ("son", "sen", "ton", "ham", "ford", "ley", "ment", "ard", "ert")
+NAME_PREFIXES = ("mc", "mac", "o'", "de", "van", "von", "la", "le")
+SHORT_NON_NAMES = frozenset(
+    "it is as at be by do go he if in me my no of on or so to up us we".split()
+)
+
+ORG_SUFFIXES = (
+    "Inc", "Corp", "LLC", "Ltd", "Company", "Corporation", "Group",
+    "Solutions", "Technologies",
+)
+ORG_PREFIXES = ("University of", "Institute of", "Department of")
+ORG_INDICATORS = (
+    "Inc", "Corp", "LLC", "Ltd", "Company", "Corporation", "University", "Institute",
+)
+
+KNOWN_LOCATIONS = (
+    "United States", "New York", "California", "London", "Paris", "Tokyo",
+    "Berlin", "Washington", "Boston", "Chicago",
+)
+
+EVENT_WORDS = (
+    "meeting", "conference", "ceremony", "celebration", "festival",
+    "competition", "war", "battle", "expedition", "journey", "trial",
+)
+OBJECT_WORDS = (
+    "sword", "shield", "book", "manuscript", "scroll", "tablet", "ring",
+    "crown", "treasure", "coin", "tool", "weapon",
+)
+CONCEPT_INDICATORS = (
+    "Theory", "Concept", "Principle", "Philosophy", "Doctrine", "Idea",
+    "Method", "Approach", "Framework", "Model", "Paradigm", "Thesis",
+)
+COMMON_WORDS = frozenset(
+    w.lower()
+    for w in """the and but or in on at to for with by from about into through
+    during before after above below up down out off over under again further
+    then once here there when where why how all any both each few more most
+    other some such only own same so than too very can will just should now
+    could would said says told asked went came come going chapter page
+    section part book volume""".split()
+)
+
+
+@dataclass
+class ExtractedEntity:
+    """One entity occurrence set within a chunk."""
+
+    entity_id: str
+    name: str
+    entity_type: str
+    confidence: float
+    mentions: list[tuple[int, int]] = field(default_factory=list)  # (start, end)
+
+
+def _is_likely_person_word(word: str) -> bool:
+    """entity/mod.rs:648-689."""
+    if len(word) < 2:
+        return False
+    lower = word.lower()
+    has_ending = lower.endswith(NAME_ENDINGS)
+    has_prefix = lower.startswith(NAME_PREFIXES)
+    proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
+    if len(word) <= 2 and lower in SHORT_NON_NAMES:
+        return False
+    return proper and (len(word) >= 3 or has_ending or has_prefix)
+
+
+def _is_likely_person_name(name: str) -> bool:
+    """entity/mod.rs:698-701: exactly two capitalized parts."""
+    parts = name.split()
+    return len(parts) == 2 and all(is_capitalized(p) for p in parts)
+
+
+def _is_likely_organization(name: str) -> bool:
+    """entity/mod.rs:704-718."""
+    return any(ind in name for ind in ORG_INDICATORS)
+
+
+def calculate_confidence(name: str, entity_type: str) -> float:
+    """entity/mod.rs:721-759."""
+    confidence = 0.5
+    if entity_type == "PERSON":
+        if "Dr." in name or "Prof." in name:
+            confidence += 0.3
+        if len(name.split()) == 2:
+            confidence += 0.2
+    elif entity_type == "ORGANIZATION":
+        if "Inc" in name or "Corp" in name or "LLC" in name:
+            confidence += 0.3
+        if "University" in name or "Institute" in name:
+            confidence += 0.2
+    elif entity_type == "LOCATION":
+        if "," in name:
+            confidence += 0.2
+        if any(loc in name for loc in KNOWN_LOCATIONS):
+            confidence += 0.3
+    if name and name[0].isupper():
+        confidence += 0.1
+    return min(confidence, 1.0)
+
+
+def _find_mentions(text: str, name: str) -> list[tuple[int, int]]:
+    """Successive non-overlapping occurrences (entity/mod.rs:613-625)."""
+    mentions = []
+    start = 0
+    while True:
+        pos = text.find(name, start)
+        if pos == -1:
+            break
+        mentions.append((pos, pos + len(name)))
+        start = pos + len(name)
+    return mentions
+
+
+def _make_entity(name: str, entity_type: str, confidence: float, text: str) -> ExtractedEntity:
+    """entity/mod.rs:602-631."""
+    return ExtractedEntity(
+        entity_id=f"{entity_type}_{normalize_name(name)}",
+        name=name,
+        entity_type=entity_type,
+        confidence=confidence,
+        mentions=_find_mentions(text, name),
+    )
+
+
+def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
+    """Four-phase PERSON extraction (entity/mod.rs:176-499)."""
+    out: list[ExtractedEntity] = []
+    words = text.split()
+    processed: set[int] = set()
+
+    # PHASE 1 — known fixture names (entity/mod.rs:349-407)
+    for i in range(len(words)):
+        if i in processed:
+            continue
+        for name in KNOWN_PERSON_NAMES:
+            name_words = name.split()
+            if i + len(name_words) <= len(words) and all(
+                clean_word(words[i + j]).lower() == expected.lower()
+                for j, expected in enumerate(name_words)
+            ):
+                if 0.95 >= min_confidence:
+                    out.append(_make_entity(name, "PERSON", 0.95, text))
+                processed.update(range(i, i + len(name_words)))
+                break
+
+    # PHASE 2 — title-based names (entity/mod.rs:409-457)
+    for i in range(len(words)):
+        if i in processed:
+            continue
+        if clean_word(words[i]).lower() in PERSON_TITLES and i + 1 < len(words) \
+                and (i + 1) not in processed:
+            next_word = clean_word(words[i + 1])
+            if is_capitalized(words[i + 1]) and _is_likely_person_word(next_word):
+                name = next_word
+                if i + 2 < len(words) and (i + 2) not in processed:
+                    third = clean_word(words[i + 2])
+                    if is_capitalized(words[i + 2]) and _is_likely_person_word(third):
+                        processed.add(i + 2)
+                        name = f"{next_word} {third}"
+                if 0.9 >= min_confidence:
+                    out.append(_make_entity(name, "PERSON", 0.9, text))
+                processed.add(i)
+                processed.add(i + 1)
+
+    # PHASE 3 — two-word First Last (entity/mod.rs:459-499)
+    for i in range(len(words) - 1):
+        if i in processed or (i + 1) in processed:
+            continue
+        first = clean_word(words[i])
+        second = clean_word(words[i + 1])
+        if (
+            is_capitalized(words[i])
+            and is_capitalized(words[i + 1])
+            and _is_likely_person_word(first)
+            and _is_likely_person_word(second)
+            and first.lower() not in NON_PERSON_WORDS
+            and second.lower() not in NON_PERSON_WORDS
+        ):
+            name = f"{first} {second}"
+            if _is_likely_person_name(name):
+                confidence = calculate_confidence(name, "PERSON")
+                if confidence >= min_confidence:
+                    out.append(_make_entity(name, "PERSON", confidence, text))
+                processed.add(i)
+                processed.add(i + 1)
+
+    # PHASE 4 — remaining single capitalized words (entity/mod.rs:325-344)
+    for i, raw in enumerate(words):
+        if i in processed:
+            continue
+        word = clean_word(raw)
+        if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+            continue
+        if is_capitalized(raw) and _is_likely_person_word(word):
+            confidence = calculate_confidence(word, "PERSON")
+            if confidence >= min_confidence:
+                out.append(_make_entity(word, "PERSON", confidence, text))
+    return out
+
+
+def _extract_organizations(text: str, min_confidence: float) -> list[ExtractedEntity]:
+    """ORG suffix/prefix scan — note: only the FIRST occurrence of each
+    suffix/prefix is considered (entity/mod.rs:501-566 uses ``text.find``)."""
+    out: list[ExtractedEntity] = []
+    for suffix in ORG_SUFFIXES:
+        pos = text.find(suffix)
+        if pos != -1:
+            sp = text.rfind(" ", 0, pos)
+            start = sp + 1 if sp != -1 else 0
+            name = text[start: pos + len(suffix)].strip()
+            if name and _is_likely_organization(name):
+                confidence = calculate_confidence(name, "ORGANIZATION")
+                if confidence >= min_confidence:
+                    out.append(_make_entity(name, "ORGANIZATION", confidence, text))
+    for prefix in ORG_PREFIXES:
+        pos = text.find(prefix)
+        if pos != -1:
+            dot = text.find(".", pos)
+            end = dot if dot != -1 else min(len(text), pos + 50)
+            name = text[pos:end].strip()
+            if name and len(name) > len(prefix):
+                confidence = calculate_confidence(name, "ORGANIZATION")
+                if confidence >= min_confidence:
+                    out.append(_make_entity(name, "ORGANIZATION", confidence, text))
+    return out
+
+
+def _extract_locations(text: str, min_confidence: float) -> list[ExtractedEntity]:
+    """Known-location containment scan (entity/mod.rs:569-600)."""
+    out = []
+    for location in KNOWN_LOCATIONS:
+        if location in text:
+            confidence = calculate_confidence(location, "LOCATION")
+            if confidence >= min_confidence:
+                out.append(_make_entity(location, "LOCATION", confidence, text))
+    return out
+
+
+def _extract_events(text: str, min_confidence: float) -> list[ExtractedEntity]:
+    """entity/mod.rs:985-1019."""
+    lowered = text.lower()
+    return [
+        _make_entity(w, "EVENT", 0.7, text)
+        for w in EVENT_WORDS
+        if w in lowered and 0.7 >= min_confidence
+    ]
+
+
+def _extract_objects(text: str, min_confidence: float) -> list[ExtractedEntity]:
+    """entity/mod.rs:1022-1057."""
+    lowered = text.lower()
+    return [
+        _make_entity(w, "OBJECT", 0.65, text)
+        for w in OBJECT_WORDS
+        if w in lowered and 0.65 >= min_confidence
+    ]
+
+
+def _extract_concepts(text: str, min_confidence: float, entity_type: str) -> list[ExtractedEntity]:
+    """entity/mod.rs:917-982."""
+    out = []
+    for raw in text.split():
+        cw = clean_word(raw)
+        if any(ind in cw for ind in CONCEPT_INDICATORS) and 0.75 >= min_confidence:
+            out.append(_make_entity(cw, entity_type, 0.75, text))
+        if is_capitalized(raw) and len(raw) > 4:
+            cw2 = clean_word(raw)
+            if cw2.lower() not in COMMON_WORDS and 0.6 >= min_confidence:
+                out.append(_make_entity(cw2, entity_type, 0.6, text))
+    return out
+
+
+_TYPE_DISPATCH = {
+    "PERSON": _extract_persons, "CHARACTER": _extract_persons,
+    "RESEARCHER": _extract_persons, "SPEAKER": _extract_persons,
+    "ORGANIZATION": _extract_organizations, "INSTITUTION": _extract_organizations,
+    "BRAND": _extract_organizations, "COMPANY": _extract_organizations,
+    "LOCATION": _extract_locations, "SETTING": _extract_locations,
+    "PLACE": _extract_locations,
+    "EVENT": _extract_events, "EXPERIMENT": _extract_events,
+    "OBJECT": _extract_objects, "TOOL": _extract_objects,
+    "ARTIFACT": _extract_objects, "ITEM": _extract_objects,
+}
+
+
+def extract_entities(
+    text: str,
+    min_confidence: float = 0.7,
+    entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
+) -> list[ExtractedEntity]:
+    """Per-chunk extraction pipeline (entity/mod.rs:114-173):
+    type dispatch → per-chunk (name,type) dedup (merge mentions, max
+    confidence, first-seen order) → confidence filter."""
+    entities: list[ExtractedEntity] = []
+    for etype in entity_types:
+        fn = _TYPE_DISPATCH.get(etype)
+        if fn is not None:
+            entities.extend(fn(text, min_confidence))
+        elif etype in ("CONCEPT", "THEORY", "THEME", "ARGUMENT", "IDEA"):
+            entities.extend(_extract_concepts(text, min_confidence, etype))
+        else:
+            entities.extend(_extract_concepts(text, min_confidence, etype))
+
+    # dedup by (name, type), merging mentions and keeping max confidence
+    # (entity/mod.rs:788-809); Python dict preserves first-seen order, which
+    # pins the otherwise-unspecified Rust HashMap iteration order.
+    unique: dict[tuple[str, str], ExtractedEntity] = {}
+    for ent in entities:
+        key = (ent.name, ent.entity_type)
+        existing = unique.get(key)
+        if existing is None:
+            unique[key] = ent
+        else:
+            existing.mentions.extend(ent.mentions)
+            if ent.confidence > existing.confidence:
+                existing.confidence = ent.confidence
+    return [e for e in unique.values() if e.confidence >= min_confidence]
+
+
+# relationship-type inference matrix (entity/mod.rs:841-879)
+def infer_relationship_type(type1: str, type2: str, context: str) -> str:
+    pair = (type1, type2)
+    if pair in (("PERSON", "ORGANIZATION"), ("ORGANIZATION", "PERSON")):
+        if "works for" in context or "employed by" in context:
+            return "WORKS_FOR"
+        if "founded" in context or "CEO" in context:
+            return "LEADS"
+        return "ASSOCIATED_WITH"
+    if pair in (("PERSON", "LOCATION"), ("LOCATION", "PERSON")):
+        if "born in" in context or "from" in context:
+            return "BORN_IN"
+        if "lives in" in context or "based in" in context:
+            return "LOCATED_IN"
+        return "ASSOCIATED_WITH"
+    if pair in (("ORGANIZATION", "LOCATION"), ("LOCATION", "ORGANIZATION")):
+        if "headquartered" in context or "based in" in context:
+            return "HEADQUARTERED_IN"
+        return "LOCATED_IN"
+    if pair == ("PERSON", "PERSON"):
+        if "married" in context or "spouse" in context:
+            return "MARRIED_TO"
+        if "colleague" in context or "partner" in context:
+            return "COLLEAGUE_OF"
+        return "KNOWS"
+    return "RELATED_TO"
+
+
+def extract_relationships(
+    entities: list[ExtractedEntity], text: str
+) -> list[tuple[str, str, str]]:
+    """All co-occurring pairs (i<j) in this chunk, typed by context keywords
+    (entity/mod.rs:812-879). Entity order is this engine's deterministic
+    extraction order; the reference's order is petgraph insertion order,
+    which only affects (source, target) orientation, not the pair set."""
+    rels = []
+    for i in range(len(entities)):
+        for j in range(i + 1, len(entities)):
+            e1, e2 = entities[i], entities[j]
+            rel = infer_relationship_type(e1.entity_type, e2.entity_type, text)
+            rels.append((e1.entity_id, e2.entity_id, rel))
+    return rels

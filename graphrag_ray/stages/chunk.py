@@ -1,0 +1,54 @@
+"""Chunking stage: spans-documents → chunks (flat map over doc rows).
+
+Ray-Data shape: a stateless ``map_batches`` UDF (Arrow in / Arrow out) that
+emits ≥0 chunk rows per document row. The document text is the ordered
+concatenation of its ``kind=='text'`` spans (SURVEY.md §1.3 adapter rule);
+media spans are untouched — this stage only *reads* spans, never rewrites
+them, preserving the per-row span-sequence invariant.
+
+Reference semantics: text/mod.rs:141-187 (window/overlap/sentence snap),
+chunk ids "{doc_id}_{idx}" (text/mod.rs:161).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.chunking import chunk_text
+from ..schemas import CHUNKS
+
+
+def make_chunk_batch_fn(chunk_size: int = 1000, overlap: int = 200):
+    """Build the map_batches UDF (configured once, applied per batch)."""
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        out_chunk_id: list[str] = []
+        out_doc_id: list[str] = []
+        out_idx: list[int] = []
+        out_content: list[str] = []
+        out_start: list[int] = []
+        out_end: list[int] = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            text = "".join(s["text"] for s in spans if s["kind"] == "text")
+            for idx, start, end in chunk_text(text, chunk_size, overlap):
+                out_chunk_id.append(f"{doc_id}_{idx}")
+                out_doc_id.append(doc_id)
+                out_idx.append(idx)
+                out_content.append(text[start:end])
+                out_start.append(start)
+                out_end.append(end)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_chunk_id, pa.string()),
+                pa.array(out_doc_id, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_content, pa.string()),
+                pa.array(out_start, pa.int64()),
+                pa.array(out_end, pa.int64()),
+            ],
+            schema=CHUNKS,
+        )
+
+    return chunk_batch
