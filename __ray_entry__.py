@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator surface
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` provides the DuckDB
+equivalent for every SQL-expressible query (KG extraction itself is not
+SQL-expressible — those entries are gated by the oracle parity tests in
+tests/test_pipeline_parity.py and get rows-only driver checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,142 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOP_IN = "('the','a','and','of','to','in','is','on','at')"
+_TERM_VALUES = "(VALUES ('spark'),('table'),('join'),('window'),('stream'),('vector'))"
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: spans adapter →
+    chunk → extract → canonicalize → edges → triples."""
+    from graphrag_ray.config import PipelineConfig
+    from graphrag_ray.pipelines.kg import build_kg, spans_dataset_from_flat_parquet
+
+    docs = spans_dataset_from_flat_parquet("/root/testdata/sf0.001/documents.parquet")
+    res = build_kg(docs, PipelineConfig(chunk_size=512, chunk_overlap=100))
+    return res.triples
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphrag_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis (SQL-oracled)
+        "doc_token_stats": q.doc_token_stats,
+        "doc_quality": q.doc_quality,
+        "doc_lang_id": q.doc_lang_id,
+        "doc_fingerprint": q.doc_fingerprint,
+        "corpus_stats": q.corpus_stats,
+        "term_stats": q.term_stats,
+        "term_cooccur": q.term_cooccur,
+        "top_terms": q.top_terms,
+        # --- dedup family
+        "dedup_exact": q.dedup_exact,           # SQL-oracled
+        "dedup_simhash": q.dedup_simhash,        # rows-only (signature table)
+        "dedup_minhash_pairs": q.dedup_minhash_pairs,  # rows-only
+        "embedding_near_dup": q.embedding_near_dup,    # SQL-oracled
+        # --- similarity search
+        "ann_topk": q.ann_topk,                  # SQL-oracled
+        "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
+        # --- KG construction (rows-only; parity gated by tests/)
+        "kg_chunks": q.kg_chunks,
+        "kg_entities": q.kg_entities,
+        "kg_triples": q.kg_triples,
+        "kg_alias_map": q.kg_alias_map,
+        "kg_communities": q.kg_communities,
+        "kg_community_summaries": q.kg_community_summaries,
+        "kg_chunk_embeddings": q.kg_chunk_embeddings,
+        "media_features": q.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   array_length({_TOKS})::BIGINT AS n_tokens,
+                   array_length(list_distinct({_TOKS}))::BIGINT AS n_uniq_tokens,
+                   coalesce(list_sum(list_transform({_TOKS}, t -> length(t))), 0)::BIGINT
+                       AS sum_token_len
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+            SELECT doc_id,
+                   array_length(t)::BIGINT AS n_tokens,
+                   array_length(list_filter(t, x -> x IN {_STOP_IN}))::BIGINT
+                       AS n_stop_tokens,
+                   array_length(list_distinct(t))::BIGINT AS n_uniq_tokens
+            FROM toks
+        """,
+        "doc_lang_id": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            h AS (SELECT doc_id,
+              array_length(list_filter(t, x -> x IN ('the','a','and','of','to')))::BIGINT AS hits_en,
+              array_length(list_filter(t, x -> x IN ('der','die','das','und','zu')))::BIGINT AS hits_de,
+              array_length(list_filter(t, x -> x IN ('el','la','de','los','y')))::BIGINT AS hits_es,
+              array_length(list_filter(t, x -> x IN ('le','la','de','et','les')))::BIGINT AS hits_fr,
+              array_length(list_filter(t, x -> x IN ('de','shi','bu','le','zai')))::BIGINT AS hits_zh
+            FROM toks)
+            SELECT doc_id,
+                   CASE WHEN hits_en >= greatest(hits_de, hits_es, hits_fr, hits_zh) THEN 'en'
+                        WHEN hits_de >= greatest(hits_es, hits_fr, hits_zh) THEN 'de'
+                        WHEN hits_es >= greatest(hits_fr, hits_zh) THEN 'es'
+                        WHEN hits_fr >= hits_zh THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   hits_en, hits_de, hits_es, hits_fr, hits_zh
+            FROM h
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "corpus_stats": f"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS n_chars,
+                   sum(array_length({_TOKS}))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang
+        """,
+        "term_stats": f"""
+            SELECT t.term,
+                   sum((length(d.text) - length(replace(d.text, t.term, '')))
+                       // length(t.term))::BIGINT AS n_occurrences,
+                   sum(CASE WHEN contains(d.text, t.term) THEN 1 ELSE 0 END)::BIGINT
+                       AS doc_freq
+            FROM documents d CROSS JOIN {_TERM_VALUES} AS t(term)
+            GROUP BY t.term
+        """,
+        "term_cooccur": f"""
+            SELECT a.term AS term_a, b.term AS term_b,
+                   sum(CASE WHEN contains(d.text, a.term) AND contains(d.text, b.term)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_docs
+            FROM documents d
+            CROSS JOIN {_TERM_VALUES} AS a(term)
+            CROSS JOIN {_TERM_VALUES} AS b(term)
+            WHERE a.term < b.term
+            GROUP BY 1, 2
+        """,
+        "top_terms": f"""
+            SELECT term, count(*)::BIGINT AS n
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+        """,
+        "dedup_exact": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.45
+        """,
+        "ann_topk": """
+            SELECT vec_id::BIGINT AS vec_id,
+                   round(list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE, 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,292 @@
+"""Driver-facing query callables (one per operator surface).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns
+a Dataset / DataFrame / Arrow table. Matching DuckDB oracle SQL lives in
+``__ray_entry__.oracle_sql``; column names are kept identical on both sides
+(the driver's compare is schema+value-hash based).
+
+None of these call ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .config import PipelineConfig
+from .stages import ann, dedup, text_analysis
+from .stages.community import detect_communities
+from .stages.embed import HashEmbedder
+from .stages.media import MediaFeatureExtractor, explode_media_spans
+from .pipelines.kg import build_kg, spans_dataset_from_flat_parquet
+
+# fixed term list for corpus term statistics (present in the driver corpus
+# vocabulary; shared with the SQL oracle)
+TERMS = ("spark", "table", "join", "window", "stream", "vector")
+
+KG_CFG = PipelineConfig(chunk_size=512, chunk_overlap=100)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-oracled)
+
+
+def doc_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(text_analysis.token_stats, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(text_analysis.quality_stats, batch_format="pyarrow")
+
+
+def doc_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(text_analysis.lang_id, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(text_analysis.fingerprint, batch_format="pyarrow")
+
+
+def corpus_stats(sf_dir: str):
+    """Per-language corpus rollup (G9 analogue): partial counts per batch →
+    tiny groupby-aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for lang, text in zip(langs, texts):
+            slot = acc.setdefault(lang, [0, 0, 0])
+            slot[0] += 1
+            slot[1] += len(text or "")
+            slot[2] += len((text or "").split())
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(list(acc.keys()), pa.string()),
+                "n_docs": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "n_chars": pa.array([v[1] for v in acc.values()], pa.int64()),
+                "n_tokens": pa.array([v[2] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+
+
+def term_stats(sf_dir: str):
+    """M12 mention counting + G10 document frequency for a fixed term list."""
+    return (
+        _docs(sf_dir)
+        .map_batches(text_analysis.make_term_stats_fn(TERMS), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("doc_freq", alias_name="doc_freq"),
+        )
+    )
+
+
+def term_cooccur(sf_dir: str):
+    """G8 analogue: doc-level co-occurrence counts for term pairs."""
+    return (
+        _docs(sf_dir)
+        .map_batches(text_analysis.make_cooccur_fn(TERMS), batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """T4 analogue: global top-k terms by count (partial per batch → small
+    groupby → tiny driver-side sort)."""
+    agg = (
+        _docs(sf_dir)
+        .map_batches(text_analysis.tokenize_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    df = agg.to_pandas().sort_values(["n", "term"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def dedup_exact(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(dedup.exact_dedup_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup.exact_dedup_merge, batch_format="pyarrow")
+        .select_columns(["fp", "keep_doc_id", "n_docs"])
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(dedup.simhash_rows, batch_format="pyarrow")
+
+
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash-LSH near-dup: shingle→sign→band→bucket groupby→candidates→
+    exact Jaccard verification in an actor pool holding the shingle index."""
+    docs = _docs(sf_dir)
+    bands = docs.map_batches(dedup.minhash_band_rows, batch_format="pyarrow")
+    candidates = bands.groupby("bucket").map_groups(
+        dedup.candidate_pairs_from_bands, batch_format="pyarrow"
+    )
+    # distinct pairs across buckets (a pair can collide in several bands)
+    candidates = candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    # broadcast shingle index (small side); built once on the driver
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    index = {
+        int(d): dedup.shingles(t or "")
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    ref = ray.put(index)
+    return candidates.map_batches(
+        dedup.JaccardVerifier,
+        fn_constructor_kwargs={"shingle_index_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    all_mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+    all_ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    return _embeddings(sf_dir).map_batches(
+        ann.make_near_dup_fn(all_mat, all_ids, threshold), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl["vec_id"].to_pylist()
+    return np.array(tbl["embedding"][ids.index(0)].as_py(), dtype=np.float32)
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    q = _query_vector(sf_dir)
+    partials = _embeddings(sf_dir).map_batches(
+        ann.make_topk_partial_fn(q, k), batch_format="pyarrow"
+    )
+    return ann.finalize_topk(partials, k)
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10):
+    q = _query_vector(sf_dir)
+    dim = len(q)
+    partials = _embeddings(sf_dir).map_batches(
+        ann.make_lsh_topk_partial_fn(q, k, dim), batch_format="pyarrow"
+    )
+    return ann.finalize_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline surfaces (non-SQL-expressible → rows-only driver checks;
+# correctness is gated by the oracle parity tests in tests/)
+
+
+def _kg(sf_dir: str):
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    return build_kg(docs, KG_CFG)
+
+
+def kg_chunks(sf_dir: str):
+    return _kg(sf_dir).chunks.select_columns(
+        ["chunk_id", "doc_id", "chunk_idx", "start_offset", "end_offset"]
+    )
+
+
+def kg_entities(sf_dir: str):
+    return _kg(sf_dir).entities.select_columns(
+        ["canonical_id", "canonical_name", "entity_type", "doc_frequency",
+         "mention_count"]
+    )
+
+
+def kg_triples(sf_dir: str):
+    return _kg(sf_dir).triples
+
+
+def kg_alias_map(sf_dir: str):
+    return _kg(sf_dir).alias_map
+
+
+def kg_communities(sf_dir: str):
+    res = _kg(sf_dir)
+    communities, _ = detect_communities(res.entities, res.edges)
+    return communities
+
+
+def kg_community_summaries(sf_dir: str):
+    res = _kg(sf_dir)
+    _, summaries = detect_communities(res.entities, res.edges)
+    return summaries
+
+
+def kg_chunk_embeddings(sf_dir: str):
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    res = build_kg(docs, KG_CFG)
+    emb = res.chunks.map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={"dim": 64},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("vector").to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1) if len(vecs) else np.array([])
+        return pa.Table.from_pydict(
+            {
+                "id": batch.column("id"),
+                "dim": pa.array([vecs.shape[1] if len(vecs) else 0] * len(batch),
+                                 pa.int32()),
+                "norm_ok": pa.array([bool(abs(n - 1.0) < 1e-3 or n == 0.0)
+                                      for n in norms], pa.bool_()),
+            }
+        )
+
+    return emb.map_batches(summarize, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str):
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    media = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"mode": "fake", "feature_dim": 8},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "media_ref", "kind", "span_index"])

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (training-data ops).
+
+- ``brute_force_topk``: exact cosine top-k — per-batch numpy matmul against
+  a broadcast query matrix, per-batch top-k partials, tiny final sort.
+  The baseline any ANN variant is judged against.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path: only
+  batches' rows whose signature matches the query's bucket (within a
+  Hamming radius) are scored. Approximate; recall measured in tests.
+- ``cosine_near_dup_pairs``: all pairs with cosine ≥ threshold (embedding
+  near-dedup), batch rows × broadcast matrix.
+
+DuckDB oracle compatibility: similarities are computed in float32 (matching
+DuckDB's FLOAT[] ``list_cosine_similarity``) then rounded half-away-from-
+zero to 4 digits; ordering uses (rounded sim DESC, vec_id ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return np.array(arr.to_pylist(), dtype=np.float32)
+
+
+def _sql_round4(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 * np.sign(x)
+
+
+def cosine_sims(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Cosine in float32 end-to-end (oracle-compatible)."""
+    dots = mat @ q
+    norms = np.sqrt((mat * mat).sum(axis=1)) * np.float32(np.sqrt((q * q).sum()))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(norms > 0, dots / norms, np.float32(0.0))
+    return sims.astype(np.float32)
+
+
+def make_topk_partial_fn(query: np.ndarray, k: int):
+    """Per-batch exact scoring + local top-k (the combiner)."""
+    q = query.astype(np.float32)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(mat) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        sims = _sql_round4(cosine_sims(mat, q).astype(np.float64))
+        order = np.lexsort((vec_ids, -sims))[:k]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return topk_partial
+
+
+def finalize_topk(ds, k: int):
+    """Merge the per-batch partials (tiny) into the global top-k."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].to_numpy(), "sim": df["sim"].to_numpy()}
+    ).reset_index(drop=True)
+
+
+def make_near_dup_fn(all_mat: np.ndarray, all_ids: np.ndarray, threshold: float):
+    """Per-batch rows × broadcast full matrix → pairs (a < b) with
+    rounded cosine ≥ threshold."""
+    norms_all = np.sqrt((all_mat * all_mat).sum(axis=1))
+
+    def near_dup(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        out_a, out_b, out_s = [], [], []
+        if len(mat):
+            norms_b = np.sqrt((mat * mat).sum(axis=1))
+            sims = mat @ all_mat.T
+            denom = norms_b[:, None] * norms_all[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, sims / denom, np.float32(0.0))
+            sims = _sql_round4(sims.astype(np.float64))
+            for i in range(len(ids)):
+                mask = (sims[i] >= threshold) & (all_ids > ids[i])
+                for j in np.nonzero(mask)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(all_ids[j]))
+                    out_s.append(float(sims[i, j]))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return near_dup
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate search (the scale path)
+
+N_PLANES = 16
+_PLANES_SEED = 7
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(_PLANES_SEED)
+    return rng.normal(size=(N_PLANES, dim)).astype(np.float32)
+
+
+def signature_bits(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    return ((mat @ planes.T) > 0).astype(np.uint16)
+
+
+def sig_to_int(bits: np.ndarray) -> np.ndarray:
+    weights = (1 << np.arange(bits.shape[1], dtype=np.uint32)).astype(np.uint32)
+    return (bits.astype(np.uint32) * weights[None, :]).sum(axis=1)
+
+
+def make_lsh_topk_partial_fn(query: np.ndarray, k: int, dim: int, radius: int = 2):
+    """Score only rows whose hyperplane signature is within ``radius``
+    Hamming bits of the query's — candidate pruning per batch."""
+    planes = _planes(dim)
+    q = query.astype(np.float32)
+    q_sig = int(sig_to_int(signature_bits(q[None, :], planes))[0])
+
+    def lsh_partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        empty = pa.Table.from_pydict(
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+        if len(mat) == 0:
+            return empty
+        sigs = sig_to_int(signature_bits(mat, planes))
+        xor = sigs ^ np.uint32(q_sig)
+        hamming = np.array([bin(int(x)).count("1") for x in xor])
+        mask = hamming <= radius
+        if not mask.any():
+            return empty
+        sub, sub_ids = mat[mask], vec_ids[mask]
+        sims = _sql_round4(cosine_sims(sub, q).astype(np.float64))
+        order = np.lexsort((sub_ids, -sims))[:k]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(sub_ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return lsh_partial

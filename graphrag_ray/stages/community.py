@@ -1,0 +1,191 @@
+"""Leiden-style community detection + extractive summaries.
+
+Behavioral transcription of the reference's single-level Leiden
+(graph/leiden.rs:429-783): singleton init → greedy local moving on the
+Newman modularity delta (:711-736, ≤100 iterations) → refinement that
+splits communities which are not connected subgraphs into connected
+components (:598-708). Summaries follow the extractive format of
+graph/leiden.rs:145-198 (top 5 entity names per type).
+
+Ray-Data disposition (SURVEY.md §2.9): the entity graph is tiny relative to
+the corpus (|entities| ≪ |docs|), so the algorithm runs in ONE Ray task over
+the collected node/edge tables — the idiomatic choice for an iterative
+global algorithm the Dataset API can't express. Determinism: nodes are
+iterated in sorted-id order and neighbor communities in sorted order (the
+reference iterates petgraph insertion order / HashSet order; community
+*labels* may differ — parity is partition equality, per SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+
+
+def _leiden_partition(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    resolution: float = 1.0,
+    max_iterations: int = 100,
+) -> dict[str, int]:
+    order = sorted(nodes)
+    adj: dict[str, list[str]] = {n: [] for n in order}
+    n_edge_rows = 0
+    for a, b in edges:
+        if a in adj and b in adj and a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+            n_edge_rows += 1
+    total_edges = float(n_edge_rows) * 2.0  # leiden.rs:718 (undirected 2m)
+    if total_edges == 0:
+        return {n: i for i, n in enumerate(order)}
+
+    communities = {n: i for i, n in enumerate(order)}  # leiden.rs:524-535
+    degree = {n: float(len(adj[n])) for n in order}
+
+    def edges_to_community(node: str, comm: int) -> int:
+        return sum(1 for nb in adj[node] if communities[nb] == comm)
+
+    # maintained incrementally for O(1) sigma lookups
+    sigma_tot: dict[int, float] = {}
+    for n in order:
+        sigma_tot[communities[n]] = sigma_tot.get(communities[n], 0.0) + degree[n]
+
+    improved = True
+    iteration = 0
+    while improved and iteration < max_iterations:  # leiden.rs:516-533
+        improved = False
+        for node in order:
+            current = communities[node]
+            neighbor_comms = sorted({communities[nb] for nb in adj[node]})
+            best, best_delta = current, 0.0
+            k_in_from = edges_to_community(node, current)
+            for cand in neighbor_comms:
+                if cand == current:
+                    continue
+                k_in_to = edges_to_community(node, cand)
+                d = degree[node]
+                # Newman delta (leiden.rs:711-736)
+                delta = (k_in_to - k_in_from) / total_edges - resolution * d * (
+                    (sigma_tot[cand] - sigma_tot[current] + d) / (total_edges * total_edges)
+                )
+                if delta > best_delta:
+                    best_delta = delta
+                    best = cand
+            if best != current:
+                communities[node] = best
+                sigma_tot[current] -= degree[node]
+                sigma_tot[best] = sigma_tot.get(best, 0.0) + degree[node]
+                improved = True
+        iteration += 1
+
+    # refinement: split disconnected communities (leiden.rs:598-708)
+    by_comm: dict[int, list[str]] = {}
+    for n, c in communities.items():
+        by_comm.setdefault(c, []).append(n)
+    for comm_id in sorted(by_comm):
+        members = sorted(by_comm[comm_id])
+        member_set = set(members)
+        components: list[list[str]] = []
+        unvisited = set(members)
+        while unvisited:
+            start = min(unvisited)
+            stack = [start]
+            comp = []
+            while stack:
+                node = stack.pop()
+                if node not in unvisited:
+                    continue
+                unvisited.discard(node)
+                comp.append(node)
+                for nb in adj[node]:
+                    if nb in member_set and nb in unvisited:
+                        stack.append(nb)
+            components.append(comp)
+        if len(components) > 1:
+            max_id = max(communities.values())
+            for idx, comp in enumerate(components):
+                new_id = max_id + idx + 1
+                for node in comp:
+                    communities[node] = new_id
+    return communities
+
+
+def _summaries(
+    partition: dict[str, int],
+    meta: dict[str, tuple[str, str]],  # id → (name, type)
+    level: int = 0,
+    max_length: int = 2000,
+) -> list[dict]:
+    """Extractive per-community summary (graph/leiden.rs:145-198).
+    Type groups iterated in sorted order (reference: HashMap order)."""
+    by_comm: dict[int, list[str]] = {}
+    for node, comm in partition.items():
+        by_comm.setdefault(comm, []).append(node)
+    out = []
+    for comm_id in sorted(by_comm):
+        members = sorted(by_comm[comm_id])
+        by_type: dict[str, list[str]] = {}
+        for m in members:
+            name, etype = meta.get(m, (m, "UNKNOWN"))
+            by_type.setdefault(etype, []).append(name)
+        parts = [
+            f"Community {comm_id} (Level {level})",
+            f"Contains {len(members)} entities:",
+        ]
+        for etype in sorted(by_type):
+            names = by_type[etype]
+            more = f" and {len(names) - 5} more" if len(names) > 5 else ""
+            parts.append(f"- {etype}: {', '.join(names[:5])}{more}")
+        summary = "\n".join(parts)
+        if len(summary) > max_length:
+            summary = summary[: max(0, max_length - 3)] + "..."
+        out.append(
+            {"level": level, "community_id": comm_id, "summary": summary,
+             "entity_count": len(members)}
+        )
+    return out
+
+
+@ray.remote
+def _detect_task(nodes, edges, meta, resolution, max_iterations, max_length):
+    partition = _leiden_partition(nodes, edges, resolution, max_iterations)
+    communities = pd.DataFrame(
+        {
+            "level": 0,
+            "community_id": [partition[n] for n in sorted(partition)],
+            "entity_id": sorted(partition),
+        }
+    )
+    communities["level"] = communities["level"].astype("int32")
+    communities["community_id"] = communities["community_id"].astype("int64")
+    summaries = pd.DataFrame(_summaries(partition, meta, 0, max_length))
+    if summaries.empty:
+        summaries = pd.DataFrame(
+            {"level": pd.Series(dtype="int32"),
+             "community_id": pd.Series(dtype="int64"),
+             "summary": pd.Series(dtype="str"),
+             "entity_count": pd.Series(dtype="int64")}
+        )
+    return communities, summaries
+
+
+def detect_communities(
+    entities_ds: "ray.data.Dataset",
+    edges_ds: "ray.data.Dataset",
+    resolution: float = 1.0,
+    max_iterations: int = 100,
+    summary_max_length: int = 2000,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Collect the (small) canonical graph and run Leiden in one Ray task."""
+    ent = entities_ds.select_columns(["canonical_id", "canonical_name", "entity_type"]).take_all()
+    edg = edges_ds.select_columns(["src", "dst"]).take_all()
+    nodes = [r["canonical_id"] for r in ent]
+    meta = {r["canonical_id"]: (r["canonical_name"], r["entity_type"]) for r in ent}
+    edges = [(r["src"], r["dst"]) for r in edg]
+    communities, summaries = ray.get(
+        _detect_task.remote(nodes, edges, meta, resolution, max_iterations,
+                            summary_max_length)
+    )
+    return ray.data.from_pandas(communities), ray.data.from_pandas(summaries)

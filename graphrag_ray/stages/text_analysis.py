@@ -1,0 +1,189 @@
+"""Text-analysis operators over flat document tables (training-data ops).
+
+These extend the engine beyond the reference's own operator set with the
+stages a large-scale training-data pipeline needs (driver instruction):
+token counting, quality metrics, language-ID, document fingerprinting.
+Each is a stateless vectorized ``map_batches`` UDF over Arrow batches and
+has an exact DuckDB SQL oracle in ``__ray_entry__.oracle_sql``.
+
+Design for oracle hash-compare: outputs are integers or md5 strings
+wherever possible (no float rounding hazards); the one ratio-free contract
+is documented per function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# fixed stopword list (shared with the SQL oracle)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "at")
+
+# language function-word profiles for the n-gram/stopword language-ID
+# heuristic; priority order breaks ties deterministically (matches the SQL
+# CASE chain in the oracle).
+LANG_PROFILES = (
+    ("en", ("the", "a", "and", "of", "to")),
+    ("de", ("der", "die", "das", "und", "zu")),
+    ("es", ("el", "la", "de", "los", "y")),
+    ("fr", ("le", "la", "de", "et", "les")),
+    ("zh", ("de", "shi", "bu", "le", "zai")),
+)
+
+
+def sql_round(x: float, digits: int = 4) -> float:
+    """DuckDB-compatible rounding (half away from zero) for non-negative x."""
+    scale = 10 ** digits
+    return math.floor(x * scale + 0.5) / scale
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc token statistics: doc_id, n_chars, n_tokens, n_uniq_tokens,
+    sum_token_len. Token = maximal non-whitespace run."""
+    texts = batch.column("text").to_pylist()
+    n_tokens, n_uniq, sum_len = [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        n_tokens.append(len(toks))
+        n_uniq.append(len(set(toks)))
+        sum_len.append(sum(len(w) for w in toks))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            "sum_token_len": pa.array(sum_len, pa.int64()),
+        }
+    )
+
+
+def quality_stats(batch: pa.Table) -> pa.Table:
+    """Quality-scoring counts: doc_id, n_tokens, n_stop_tokens,
+    n_uniq_tokens (integer contract; ratios are downstream arithmetic)."""
+    texts = batch.column("text").to_pylist()
+    stop = set(STOPWORDS)
+    n_tokens, n_stop, n_uniq = [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        n_tokens.append(len(toks))
+        n_stop.append(sum(1 for w in toks if w in stop))
+        n_uniq.append(len(set(toks)))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_stop_tokens": pa.array(n_stop, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        }
+    )
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language ID: doc_id, pred_lang (+ per-profile hit
+    counts). Ties resolved by profile priority order."""
+    texts = batch.column("text").to_pylist()
+    preds = []
+    counts: dict[str, list[int]] = {lang: [] for lang, _ in LANG_PROFILES}
+    for t in texts:
+        toks = (t or "").split()
+        best_lang, best_count = LANG_PROFILES[0][0], -1
+        for lang, words in LANG_PROFILES:
+            c = sum(1 for w in toks if w in words)
+            counts[lang].append(c)
+            if c > best_count:
+                best_lang, best_count = lang, c
+        preds.append(best_lang)
+    cols = {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds, pa.string())}
+    for lang, _ in LANG_PROFILES:
+        cols[f"hits_{lang}"] = pa.array(counts[lang], pa.int64())
+    return pa.Table.from_pydict(cols)
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 of the raw text (exact-dedup key) plus a
+    64-bit rolling-hash style content id derived from it."""
+    texts = batch.column("text").to_pylist()
+    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array(fps, pa.string()),
+        }
+    )
+
+
+def make_term_stats_fn(terms: tuple[str, ...]):
+    """Per-batch partial for corpus term statistics (mention finder M12 +
+    TF-IDF document-frequency G10 as a combiner): for each term, total
+    non-overlapping occurrences and docs containing it within the batch."""
+
+    def term_stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        occ = {t: 0 for t in terms}
+        df = {t: 0 for t in terms}
+        for text in texts:
+            text = text or ""
+            for term in terms:
+                c = text.count(term)  # non-overlapping, like replace-count
+                if c:
+                    occ[term] += c
+                    df[term] += 1
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(terms), pa.string()),
+                "n_occurrences": pa.array([occ[t] for t in terms], pa.int64()),
+                "doc_freq": pa.array([df[t] for t in terms], pa.int64()),
+            }
+        )
+
+    return term_stats
+
+
+def make_cooccur_fn(terms: tuple[str, ...]):
+    """Per-batch partial for doc-level term co-occurrence (G8 analogue over
+    the flat corpus): counts of docs containing both terms of each pair.
+    Pairs are oriented alphabetically (term_a < term_b) to match the SQL
+    oracle's a.term < b.term join condition."""
+    pairs = sorted(
+        {tuple(sorted((a, b))) for i, a in enumerate(terms) for b in terms[i + 1:]}
+    )
+
+    def cooccur(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = {p: 0 for p in pairs}
+        for text in texts:
+            text = text or ""
+            present = [t for t in terms if t in text]
+            ps = set(present)
+            for a, b in pairs:
+                if a in ps and b in ps:
+                    counts[(a, b)] += 1
+        return pa.Table.from_pydict(
+            {
+                "term_a": pa.array([a for a, _ in pairs], pa.string()),
+                "term_b": pa.array([b for _, b in pairs], pa.string()),
+                "n_docs": pa.array([counts[p] for p in pairs], pa.int64()),
+            }
+        )
+
+    return cooccur
+
+
+def tokenize_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial term counts for the global top-terms aggregation
+    (T4 analogue): term → count within batch."""
+    texts = batch.column("text").to_pylist()
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split():
+            counts[w] = counts.get(w, 0) + 1
+    return pa.Table.from_pydict(
+        {
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "cnt": pa.array(list(counts.values()), pa.int64()),
+        }
+    )

@@ -1,0 +1,86 @@
+"""Leiden semantics tests (reference toy graph: graph/leiden.rs:785-843 —
+two dense cliques joined by one weak edge → two communities)."""
+
+import ray
+
+from graphrag_ray.stages.community import _leiden_partition, _summaries, detect_communities
+
+
+def test_two_cliques_split():
+    nodes = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),  # weak bridge
+    ]
+    partition = _leiden_partition(nodes, edges)
+    groups = {}
+    for n, c in partition.items():
+        groups.setdefault(c, set()).add(n)
+    parts = sorted(groups.values(), key=lambda s: sorted(s))
+    assert {frozenset(p) for p in parts} == {
+        frozenset({"a1", "a2", "a3"}),
+        frozenset({"b1", "b2", "b3"}),
+    }
+
+
+def test_refinement_splits_disconnected():
+    # two components with no bridge: local moving keeps singletons separate,
+    # but force the check — a community containing both components must split
+    nodes = ["x1", "x2", "y1", "y2"]
+    edges = [("x1", "x2"), ("y1", "y2")]
+    partition = _leiden_partition(nodes, edges)
+    comms = {}
+    for n, c in partition.items():
+        comms.setdefault(c, set()).add(n)
+    for members in comms.values():
+        # every community is a connected subgraph
+        assert members in ({"x1", "x2"}, {"y1", "y2"}, {"x1"}, {"x2"}, {"y1"}, {"y2"})
+
+
+def test_deterministic():
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)]
+    p1 = _leiden_partition(nodes, edges)
+    p2 = _leiden_partition(nodes, edges)
+    assert p1 == p2
+
+
+def test_empty_graph():
+    assert _leiden_partition([], []) == {}
+    p = _leiden_partition(["solo"], [])
+    assert p == {"solo": 0}
+
+
+def test_summary_format():
+    partition = {"PERSON_a": 0, "PERSON_b": 0, "LOCATION_x": 0}
+    meta = {
+        "PERSON_a": ("Alice", "PERSON"),
+        "PERSON_b": ("Bob", "PERSON"),
+        "LOCATION_x": ("Tokyo", "LOCATION"),
+    }
+    out = _summaries(partition, meta)
+    assert len(out) == 1
+    s = out[0]["summary"]
+    assert s.startswith("Community 0 (Level 0)")
+    assert "Contains 3 entities:" in s
+    assert "- LOCATION: Tokyo" in s
+    assert "- PERSON: Alice, Bob" in s
+    assert out[0]["entity_count"] == 3
+
+
+def test_detect_communities_datasets(ray_session):
+    import pandas as pd
+
+    ents = ray.data.from_pandas(pd.DataFrame({
+        "canonical_id": ["A", "B", "C"],
+        "canonical_name": ["Alice", "Bob", "Tokyo"],
+        "entity_type": ["PERSON", "PERSON", "LOCATION"],
+    }))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": ["A", "B"], "dst": ["B", "C"],
+    }))
+    comms, sums = detect_communities(ents, edges)
+    cdf = comms.to_pandas()
+    assert set(cdf["entity_id"]) == {"A", "B", "C"}
+    assert sums.count() >= 1
