@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": q.kg_communities,
         "kg_community_summaries": q.kg_community_summaries,
         "kg_chunk_embeddings": q.kg_chunk_embeddings,
+        "kg_mentions": q.kg_mentions,
         "media_features": q.media_features,
     }
 

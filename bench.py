@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: end-to-end KG construction — read a materialized interleaved
+spans corpus (the north-rule input shape) → chunk → extract → canonicalize
+→ edges → triples → communities. Input corpus is synthesized
+deterministically ONCE (untimed prep, cached under /tmp keyed by sf+factor)
+from $GRAFT_SF_DIR's documents table with GRAFT_SYNTH_FACTOR× sentences per
+doc (default 128 → ~25 KB text/doc, realistic document sizes), then the
+timed pipeline reads it like any production spans table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "triples_per_sec": ..., ...}
+
+--scaling: runs the plain bench twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus scaling
+efficiency (sandbox proxy for N→4N nodes, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+FACTOR = int(os.environ.get("GRAFT_SYNTH_FACTOR", "128"))
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    """Synthesize the spans corpus once (deterministic, cached)."""
+    import ray
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_bench_corpus/{tag}_f{FACTOR}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    from graphrag_ray.pipelines.kg import spans_dataset_from_flat_parquet
+
+    os.makedirs(out, exist_ok=True)
+    ds = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet", factor=FACTOR)
+    ds.write_parquet(out)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from graphrag_ray import queries as q
+    from graphrag_ray.config import PipelineConfig
+    from graphrag_ray.pipelines.kg import build_kg, read_spans_documents
+    from graphrag_ray.stages.community import detect_communities
+
+    corpus = ensure_corpus(sf_dir)
+    cfg = PipelineConfig(chunk_size=512, chunk_overlap=100)
+
+    # warm-up (untimed): spawn workers, import the library in them, warm the
+    # page cache — a small slice through the REAL pipeline stages
+    warm_docs = read_spans_documents(corpus).limit(64)
+    build_kg(warm_docs.materialize(), cfg)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: KG construction end-to-end over the spans corpus
+    t0 = time.perf_counter()
+    docs = read_spans_documents(corpus)
+    res = build_kg(docs, cfg)
+    n_triples = res.triples.count()
+    communities, _summaries = detect_communities(res.entities, res.edges)
+    n_community_rows = communities.count()
+    headline = time.perf_counter() - t0
+    timings["kg_full"] = round(headline, 3)
+
+    n_docs = docs.count()
+    n_chunks = res.chunks.count()
+
+    # --- secondary operator pipelines (over the raw driver tables)
+    def consume(ds):
+        if hasattr(ds, "count"):
+            return ds.count()
+        return len(ds)
+
+    timed("doc_token_stats", lambda: consume(q.doc_token_stats(sf_dir)))
+    timed("dedup_exact", lambda: consume(q.dedup_exact(sf_dir)))
+    timed("dedup_minhash_pairs", lambda: consume(q.dedup_minhash_pairs(sf_dir)))
+    timed("ann_topk", lambda: consume(q.ann_topk(sf_dir)))
+    timed("embedding_near_dup", lambda: consume(q.embedding_near_dup(sf_dir)))
+    timed("media_features", lambda: consume(q.media_features(sf_dir)))
+    timed("top_terms", lambda: consume(q.top_terms(sf_dir)))
+
+    result = {
+        "metric": "kg_construction_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "synth_factor": FACTOR,
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "n_triples": n_triples,
+        "n_entities": res.report["entity_count"],
+        "n_community_rows": n_community_rows,
+        "triples_per_sec": round(n_triples / headline, 1),
+        "chunks_per_sec": round(n_chunks / headline, 1),
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (N→4N proxy)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["triples_per_sec"]
+    tput_hi = hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "triples_per_sec_8": tput_lo,
+        "triples_per_sec_32": tput_hi,
+        "speedup": round(tput_hi / tput_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "synth_factor": FACTOR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

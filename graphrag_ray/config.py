@@ -36,7 +36,11 @@ class PipelineConfig:
     salt_partitions: int = 8
 
     # --- edges
-    max_contexts_per_edge: int = 64  # provenance cap so hot edges stay bounded
+    max_contexts_per_edge: int = 8  # provenance sample cap per edge
+    # 'tree' = sort-free reduce tree (repartition + associative merge);
+    # 'groupby' = keyed shuffle — use when the distinct-edge set itself is
+    # too large for the tree's final fan-in task
+    edge_merge: str = "tree"
 
     # --- embeddings (reference: vector/mod.rs:573-660, config/mod.rs:1295)
     embedding_dim: int = 384
@@ -48,8 +52,11 @@ class PipelineConfig:
     community_summary_max_length: int = 2000
 
     # --- execution tuning
-    chunk_batch_size: int = 64  # documents per chunker batch
-    extract_batch_size: int = 256  # chunks per extraction batch
+    chunk_batch_size: int = 64  # documents per chunker batch (chunks table)
+    # documents per fused chunk+extract UDF call; also the docs-per-task
+    # granularity of the hot stage (bigger → better combiner compression,
+    # smaller → more parallelism)
+    extract_batch_size: int = 16
     extract_concurrency: int | None = None  # None → let Ray elastically size
 
     # --- checkpointing

@@ -14,6 +14,7 @@ the single-process oracle.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from .textfns import clean_word, is_capitalized, normalize_name
 
@@ -94,17 +95,22 @@ class ExtractedEntity:
     mentions: list[tuple[int, int]] = field(default_factory=list)  # (start, end)
 
 
+@lru_cache(maxsize=131072)
 def _is_likely_person_word(word: str) -> bool:
-    """entity/mod.rs:648-689."""
+    """entity/mod.rs:648-689. Cached (hot loop, small vocabulary)."""
     if len(word) < 2:
         return False
     lower = word.lower()
-    has_ending = lower.endswith(NAME_ENDINGS)
-    has_prefix = lower.startswith(NAME_PREFIXES)
-    proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
     if len(word) <= 2 and lower in SHORT_NON_NAMES:
         return False
-    return proper and (len(word) >= 3 or has_ending or has_prefix)
+    proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
+    if not proper:
+        return False
+    return (
+        len(word) >= 3
+        or lower.endswith(NAME_ENDINGS)
+        or lower.startswith(NAME_PREFIXES)
+    )
 
 
 def _is_likely_person_name(name: str) -> bool:
@@ -154,10 +160,15 @@ def _find_mentions(text: str, name: str) -> list[tuple[int, int]]:
     return mentions
 
 
+@lru_cache(maxsize=131072)
+def _entity_id(name: str, entity_type: str) -> str:
+    return f"{entity_type}_{normalize_name(name)}"
+
+
 def _make_entity(name: str, entity_type: str, confidence: float, text: str) -> ExtractedEntity:
     """entity/mod.rs:602-631."""
     return ExtractedEntity(
-        entity_id=f"{entity_type}_{normalize_name(name)}",
+        entity_id=_entity_id(name, entity_type),
         name=name,
         entity_type=entity_type,
         confidence=confidence,
@@ -165,39 +176,47 @@ def _make_entity(name: str, entity_type: str, confidence: float, text: str) -> E
     )
 
 
+_KNOWN_LOWER = tuple(tuple(w.lower() for w in n.split()) for n in KNOWN_PERSON_NAMES)
+_KNOWN_FIRST = frozenset(w[0] for w in _KNOWN_LOWER)
+
+
 def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
-    """Four-phase PERSON extraction (entity/mod.rs:176-499)."""
+    """Four-phase PERSON extraction (entity/mod.rs:176-499).
+
+    Per-chunk token attributes (cleaned form, capitalization, lowercase)
+    are computed once and shared across phases — semantics identical to the
+    reference's per-phase recomputation."""
     out: list[ExtractedEntity] = []
     words = text.split()
+    n = len(words)
+    cleaned = [clean_word(w) for w in words]
+    lower = [c.lower() for c in cleaned]
+    cap = [bool(w) and w[0].isupper() for w in words]
     processed: set[int] = set()
 
     # PHASE 1 — known fixture names (entity/mod.rs:349-407)
-    for i in range(len(words)):
-        if i in processed:
+    for i in range(n):
+        if i in processed or lower[i] not in _KNOWN_FIRST:
             continue
-        for name in KNOWN_PERSON_NAMES:
-            name_words = name.split()
-            if i + len(name_words) <= len(words) and all(
-                clean_word(words[i + j]).lower() == expected.lower()
-                for j, expected in enumerate(name_words)
-            ):
+        for name, name_lower in zip(KNOWN_PERSON_NAMES, _KNOWN_LOWER):
+            k = len(name_lower)
+            if i + k <= n and all(lower[i + j] == name_lower[j] for j in range(k)):
                 if 0.95 >= min_confidence:
                     out.append(_make_entity(name, "PERSON", 0.95, text))
-                processed.update(range(i, i + len(name_words)))
+                processed.update(range(i, i + k))
                 break
 
     # PHASE 2 — title-based names (entity/mod.rs:409-457)
-    for i in range(len(words)):
+    for i in range(n):
         if i in processed:
             continue
-        if clean_word(words[i]).lower() in PERSON_TITLES and i + 1 < len(words) \
-                and (i + 1) not in processed:
-            next_word = clean_word(words[i + 1])
-            if is_capitalized(words[i + 1]) and _is_likely_person_word(next_word):
+        if lower[i] in PERSON_TITLES and i + 1 < n and (i + 1) not in processed:
+            next_word = cleaned[i + 1]
+            if cap[i + 1] and _is_likely_person_word(next_word):
                 name = next_word
-                if i + 2 < len(words) and (i + 2) not in processed:
-                    third = clean_word(words[i + 2])
-                    if is_capitalized(words[i + 2]) and _is_likely_person_word(third):
+                if i + 2 < n and (i + 2) not in processed:
+                    third = cleaned[i + 2]
+                    if cap[i + 2] and _is_likely_person_word(third):
                         processed.add(i + 2)
                         name = f"{next_word} {third}"
                 if 0.9 >= min_confidence:
@@ -206,20 +225,18 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
                 processed.add(i + 1)
 
     # PHASE 3 — two-word First Last (entity/mod.rs:459-499)
-    for i in range(len(words) - 1):
+    for i in range(n - 1):
         if i in processed or (i + 1) in processed:
             continue
-        first = clean_word(words[i])
-        second = clean_word(words[i + 1])
         if (
-            is_capitalized(words[i])
-            and is_capitalized(words[i + 1])
-            and _is_likely_person_word(first)
-            and _is_likely_person_word(second)
-            and first.lower() not in NON_PERSON_WORDS
-            and second.lower() not in NON_PERSON_WORDS
+            cap[i]
+            and cap[i + 1]
+            and _is_likely_person_word(cleaned[i])
+            and _is_likely_person_word(cleaned[i + 1])
+            and lower[i] not in NON_PERSON_WORDS
+            and lower[i + 1] not in NON_PERSON_WORDS
         ):
-            name = f"{first} {second}"
+            name = f"{cleaned[i]} {cleaned[i + 1]}"
             if _is_likely_person_name(name):
                 confidence = calculate_confidence(name, "PERSON")
                 if confidence >= min_confidence:
@@ -228,13 +245,13 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
                 processed.add(i + 1)
 
     # PHASE 4 — remaining single capitalized words (entity/mod.rs:325-344)
-    for i, raw in enumerate(words):
+    for i in range(n):
         if i in processed:
             continue
-        word = clean_word(raw)
-        if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+        word = cleaned[i]
+        if len(word) < 2 or lower[i] in NON_PERSON_WORDS:
             continue
-        if is_capitalized(raw) and _is_likely_person_word(word):
+        if cap[i] and _is_likely_person_word(word):
             confidence = calculate_confidence(word, "PERSON")
             if confidence >= min_confidence:
                 out.append(_make_entity(word, "PERSON", confidence, text))
@@ -388,6 +405,39 @@ def infer_relationship_type(type1: str, type2: str, context: str) -> str:
     return "RELATED_TO"
 
 
+_CONTEXT_KEYWORDS = (
+    "works for", "employed by", "founded", "CEO", "born in", "from",
+    "lives in", "based in", "headquartered", "married", "spouse",
+    "colleague", "partner",
+)
+
+
+def _pair_rel_table(text: str) -> dict[tuple[str, str], str]:
+    """Precompute the relation type per (type, type) pair for one chunk.
+
+    The reference re-scans the chunk text per entity pair
+    (entity/mod.rs:812-879); the keyword hits depend only on the chunk, so
+    we scan once and type all pairs via lookup — identical output."""
+    has = {kw: kw in text for kw in _CONTEXT_KEYWORDS}
+    po = ("WORKS_FOR" if has["works for"] or has["employed by"]
+          else "LEADS" if has["founded"] or has["CEO"]
+          else "ASSOCIATED_WITH")
+    pl = ("BORN_IN" if has["born in"] or has["from"]
+          else "LOCATED_IN" if has["lives in"] or has["based in"]
+          else "ASSOCIATED_WITH")
+    ol = ("HEADQUARTERED_IN" if has["headquartered"] or has["based in"]
+          else "LOCATED_IN")
+    pp = ("MARRIED_TO" if has["married"] or has["spouse"]
+          else "COLLEAGUE_OF" if has["colleague"] or has["partner"]
+          else "KNOWS")
+    return {
+        ("PERSON", "ORGANIZATION"): po, ("ORGANIZATION", "PERSON"): po,
+        ("PERSON", "LOCATION"): pl, ("LOCATION", "PERSON"): pl,
+        ("ORGANIZATION", "LOCATION"): ol, ("LOCATION", "ORGANIZATION"): ol,
+        ("PERSON", "PERSON"): pp,
+    }
+
+
 def extract_relationships(
     entities: list[ExtractedEntity], text: str
 ) -> list[tuple[str, str, str]]:
@@ -395,10 +445,12 @@ def extract_relationships(
     (entity/mod.rs:812-879). Entity order is this engine's deterministic
     extraction order; the reference's order is petgraph insertion order,
     which only affects (source, target) orientation, not the pair set."""
+    table = _pair_rel_table(text)
     rels = []
     for i in range(len(entities)):
+        e1 = entities[i]
         for j in range(i + 1, len(entities)):
-            e1, e2 = entities[i], entities[j]
-            rel = infer_relationship_type(e1.entity_type, e2.entity_type, text)
+            e2 = entities[j]
+            rel = table.get((e1.entity_type, e2.entity_type), "RELATED_TO")
             rels.append((e1.entity_id, e2.entity_id, rel))
     return rels

@@ -13,12 +13,14 @@ from functools import lru_cache
 # normalization
 
 
+@lru_cache(maxsize=131072)
 def normalize_name(name: str) -> str:
     """Entity-id normalization (entity/mod.rs:779-785).
 
     Lowercase, then keep only alphanumerics and underscores. Note the
     reference filters spaces *out* before its (dead) space→underscore
-    replace, so "Alice Harmon" → "aliceharmon".
+    replace, so "Alice Harmon" → "aliceharmon". Cached (hot loop, small
+    name vocabulary).
     """
     return "".join(c for c in name.lower() if c.isalnum() or c == "_")
 
@@ -34,9 +36,13 @@ def normalize_string(s: str) -> str:
     return " ".join(s.split())
 
 
+@lru_cache(maxsize=131072)
 def clean_word(word: str) -> str:
     """Remove non-alphabetic chars except apostrophes, trim trailing
-    apostrophes (entity/mod.rs:638-645)."""
+    apostrophes (entity/mod.rs:638-645). Cached — token vocabulary is small
+    relative to token count in the hot extraction loop."""
+    if word.isalpha():
+        return word
     kept = "".join(c for c in word if c.isalpha() or c == "'")
     return kept.rstrip("'")
 

@@ -34,8 +34,9 @@ from ..stages.canonicalize import (
     make_salted_merge_fn,
 )
 from ..stages.chunk import make_chunk_batch_fn
-from ..stages.edges import EdgeRewriter, make_merge_edges_fn, triples_projection
-from ..stages.extract import PatternExtractor
+from ..stages.edges import (EdgeRewriter, finalize_edges, make_alias_broadcast,
+                            merge_edges, tree_merge_edges, triples_projection)
+from ..stages.extract import ChunkExtract
 from ..synth import spans_batch_from_flat
 
 
@@ -53,13 +54,13 @@ def read_spans_documents(path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(path)
 
 
-def spans_dataset_from_flat_parquet(parquet_path: str, include_base_text: bool = True
-                                    ) -> "ray.data.Dataset":
+def spans_dataset_from_flat_parquet(parquet_path: str, include_base_text: bool = True,
+                                    factor: int = 1) -> "ray.data.Dataset":
     """Driver testdata adapter: flat documents.parquet → deterministic spans
     corpus, generated distributedly inside map_batches (synth.py)."""
     flat = ray.data.read_parquet(parquet_path, columns=["doc_id", "text"])
     return flat.map_batches(
-        lambda b: spans_batch_from_flat(b, include_base_text),
+        lambda b: spans_batch_from_flat(b, include_base_text, factor),
         batch_format="pyarrow",
     )
 
@@ -80,48 +81,65 @@ def build_kg(
 ) -> KGResult:
     """Run the KG-construction pipeline over a spans documents Dataset."""
     t0 = time.perf_counter()
+    stage_sec: dict[str, float] = {}
+    _last = [t0]
+
+    def mark(stage: str) -> None:
+        now = time.perf_counter()
+        stage_sec[stage] = round(now - _last[0], 3)
+        _last[0] = now
+
     ckpt = CheckpointManager(cfg.out_dir, cfg.run_id, cfg.config_hash(),
                              enabled=cfg.checkpoint)
 
-    # --- chunk + extract (fused streaming stages, no shuffle)
+    # --- chunk + extract (ONE fused streaming stage, no shuffle)
     def compute_extraction():
-        chunks = docs.map_batches(
-            make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap),
-            batch_format="pyarrow",
-            batch_size=cfg.chunk_batch_size,
-        )
-        extractor = PatternExtractor(
+        stage = ChunkExtract(
+            chunk_size=cfg.chunk_size,
+            chunk_overlap=cfg.chunk_overlap,
             min_confidence=cfg.min_confidence,
             entity_types=cfg.entity_types,
             extract_rels=cfg.extract_relationships,
             relationship_confidence=cfg.relationship_confidence,
+            max_contexts=cfg.max_contexts_per_edge,
         )
-        return chunks.map_batches(
-            extractor,
+        return docs.map_batches(
+            stage,
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
 
     if cfg.checkpoint:
         extraction = ckpt.load_or_compute("extraction", compute_extraction,
-                                          key_column="chunk_id")
+                                          key_column="doc_id")
     else:
         # feeds two branches (canonicalization + edges): pin the (small)
         # extraction output in the object store rather than recomputing the
         # text scan per branch.
         extraction = compute_extraction().materialize()
+    mark("extract")
 
     # --- canonicalization: combiner → (salted merge) → per-block fuzzy
     def compute_canonical():
         partials = extraction.map_batches(
             make_partial_aggregate_fn(cfg.salt_partitions),
             batch_format="pyarrow",
+            batch_size=None,  # full-block batches: per-batch combiner
+        )
+        # sort-free pre-combine (repartition = block concat, no keyed
+        # shuffle): collapses per-batch partials per (key, salt) so the
+        # salted exchange below moves a few thousand rows, not one row per
+        # input block per key
+        partials = partials.repartition(32).map_batches(
+            make_salted_merge_fn(), batch_format="pyarrow", batch_size=None
         )
         if cfg.salt_partitions > 1:
+            # the salted groupby-aggregate: fan-in per hot key bounded by
+            # salt_partitions (explicit hot-entity skew handling)
             partials = partials.groupby(["bucket", "salt"]).map_groups(
                 make_salted_merge_fn(), batch_format="pyarrow"
             )
-        return partials.groupby("bucket").map_groups(
+        return partials.repartition(8).groupby("bucket").map_groups(
             make_finalize_bucket_fn(cfg.fuzzy_threshold, cfg.max_edit_distance,
                                     cfg.use_phonetic),
             batch_format="pyarrow",
@@ -132,6 +150,7 @@ def build_kg(
                                               key_column="canonical_id")
     else:
         canonical_full = compute_canonical().materialize()
+    mark("canonical")
 
     # --- broadcast alias→canonical map (J2)
     alias_rows = canonical_full.map_batches(explode_alias_map, batch_format="pyarrow")
@@ -142,37 +161,45 @@ def build_kg(
             alias_tbl["entity_id"], alias_tbl["canonical_id"], alias_tbl["canonical_name"]
         )
     }
-    alias_ref = ray.put(alias_dict)
+    alias_ref = ray.put(make_alias_broadcast(alias_dict))
+    mark("alias_broadcast")
 
     # --- edges: rewrite + combine (actor pool) → dedup groupby
+    # size the rewrite actor pool to the cluster (a fixed small cap would
+    # throttle the heaviest post-extraction stage on big machines)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+
     def compute_edges():
         rewritten = extraction.map_batches(
             EdgeRewriter,
             fn_constructor_kwargs={
-                "alias_map_ref": alias_ref,
+                "alias_ref": alias_ref,
                 "max_contexts": cfg.max_contexts_per_edge,
             },
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            batch_size=None,  # full-block batches: the rewrite is vectorized
+            concurrency=(1, max(4, n_cpus)),
             num_cpus=1,
         )
-        return rewritten.groupby("bucket").map_groups(
-            make_merge_edges_fn(cfg.max_contexts_per_edge), batch_format="pyarrow"
-        )
+        if cfg.edge_merge == "groupby":
+            return rewritten.groupby("bucket").map_groups(
+                merge_edges, batch_format="pyarrow"
+            )
+        return tree_merge_edges(rewritten)
 
     if cfg.checkpoint:
         edges_full = ckpt.load_or_compute("edges", compute_edges, key_column="src")
     else:
         edges_full = compute_edges().materialize()
+    mark("edges")
 
     entities = canonical_full.drop_columns(["member_entity_ids"])
-    edges = edges_full.select_columns(
-        ["src", "dst", "rel_type", "confidence", "n_occurrences", "context"]
-    )
+    edges = edges_full.map_batches(finalize_edges, batch_format="pyarrow")
     triples = edges_full.map_batches(triples_projection, batch_format="pyarrow")
 
     n_entities = entities.count()
     n_edges = edges_full.count()
+    mark("counts")
     elapsed = time.perf_counter() - t0
     # PipelineReport parity (pipeline_executor.rs:32-45)
     report = {
@@ -180,6 +207,7 @@ def build_kg(
         "relationship_count": n_edges,
         "approach": "ray-data-pattern",
         "elapsed_ms": int(elapsed * 1000),
+        "stage_sec": stage_sec,
         "checkpoint_stages_skipped": ckpt.skipped,
         "checkpoint_stages_written": ckpt.written,
     }

@@ -290,3 +290,15 @@ def media_features(sf_dir: str):
         batch_size=16,
         concurrency=(1, 4),
     ).select_columns(["doc_id", "media_ref", "kind", "span_index"])
+
+
+def kg_mentions(sf_dir: str):
+    """J4 mentions table with character offsets (separate scan so the hot
+    KG path doesn't carry offset lists)."""
+    from .stages.extract import make_mentions_batch_fn
+
+    res = _kg(sf_dir)
+    return res.chunks.map_batches(
+        make_mentions_batch_fn(KG_CFG.min_confidence, KG_CFG.entity_types),
+        batch_format="pyarrow",
+    )

@@ -40,25 +40,41 @@ CHUNKS = pa.schema(
     ]
 )
 
-# tagged union emitted by the extraction stage in a single pass:
-# row_kind == 'entity' rows fill the entity columns, 'edge' rows the edge ones.
+# tagged union emitted by the extraction stage in a single pass, already
+# combined within each batch (the earliest combiner): 'entity' rows are
+# keyed (doc_id, name, entity_type) with occurrence counts; 'edge' rows are
+# keyed (src_id, dst_id, rel_type) with counts + capped context chunk ids.
 EXTRACTION = pa.schema(
     [
         ("row_kind", pa.string()),      # 'entity' | 'edge'
-        ("chunk_id", pa.string()),
-        ("doc_id", pa.string()),
         # entity columns (entity/mod.rs:602-631)
+        ("doc_id", pa.string()),
         ("entity_id", pa.string()),     # "{TYPE}_{normalized_name}"
         ("name", pa.string()),
         ("entity_type", pa.string()),
         ("confidence", pa.float32()),
-        ("n_mentions", pa.int32()),
-        ("mention_starts", pa.list_(pa.int64())),
-        ("mention_ends", pa.list_(pa.int64())),
+        ("n_rows", pa.int64()),         # chunk-level occurrence count
+        ("n_mentions", pa.int64()),
         # edge columns (entity/mod.rs:812-879)
         ("src_id", pa.string()),
         ("dst_id", pa.string()),
         ("rel_type", pa.string()),
+        ("n_occurrences", pa.int64()),
+        # capped pipe-joined sample of context chunk ids (provenance); a
+        # string column instead of list<string> keeps the hottest shuffle
+        # free of per-row Python list conversion
+        ("contexts", pa.string()),
+    ]
+)
+
+# the J4 mentions table (offsets re-derived by the dedicated mentions stage)
+MENTIONS = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("chunk_id", pa.string()),
+        ("start_offset", pa.int64()),
+        ("end_offset", pa.int64()),
+        ("confidence", pa.float32()),
     ]
 )
 

@@ -109,17 +109,20 @@ def make_partial_aggregate_fn(salt_partitions: int = 8, num_buckets: int = 64):
         names = batch.column("name").to_pylist()
         etypes = batch.column("entity_type").to_pylist()
         confs = batch.column("confidence").to_pylist()
+        n_rows = batch.column("n_rows").to_pylist()
         n_mentions = batch.column("n_mentions").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
 
         acc: dict[tuple[str, str], ExactCluster] = {}
-        for name, etype, conf, nm, doc in zip(names, etypes, confs, n_mentions, doc_ids):
+        for name, etype, conf, nr, nm, doc in zip(
+            names, etypes, confs, n_rows, n_mentions, doc_ids
+        ):
             norm = normalize_string(name)
             key = (etype, norm)
             c = acc.get(key)
             if c is None:
                 c = acc[key] = ExactCluster(etype, norm, {})
-            c.name_counts[name] = c.name_counts.get(name, 0) + 1
+            c.name_counts[name] = c.name_counts.get(name, 0) + nr
             c.mention_count += nm
             c.max_confidence = max(c.max_confidence, conf)
             c.docs.add(doc)
@@ -152,13 +155,48 @@ def _merge_partial_rows(batch: pa.Table) -> dict[tuple[str, str], ExactCluster]:
 
 
 def make_salted_merge_fn(num_buckets: int = 64):
-    """(bucket, salt) group → one partial row per (type, norm) — still
-    PARTIAL-shaped, just with fan-in collapsed."""
+    """Combine partial rows per (type, norm, salt) — still PARTIAL-shaped,
+    just with fan-in collapsed. Works both as a pre-shuffle map_batches
+    combiner (mixed salts per batch) and as the (bucket, salt) group merge."""
 
     def merge_partials_group(batch: pa.Table) -> pa.Table:
-        salt = int(batch.column("salt")[0].as_py()) if batch.num_rows else 0
-        acc = _merge_partial_rows(batch)
-        return _partials_to_table(acc, lambda c: salt, num_buckets)
+        acc: dict[tuple[str, str, int], ExactCluster] = {}
+        for etype, norm, salt, anames, acounts, mc, conf, docs in zip(
+            batch.column("entity_type").to_pylist(),
+            batch.column("norm_name").to_pylist(),
+            batch.column("salt").to_pylist(),
+            batch.column("alias_names").to_pylist(),
+            batch.column("alias_counts").to_pylist(),
+            batch.column("mention_count").to_pylist(),
+            batch.column("max_confidence").to_pylist(),
+            batch.column("docs").to_pylist(),
+        ):
+            key = (etype, norm, int(salt))
+            c = acc.get(key)
+            if c is None:
+                c = acc[key] = ExactCluster(etype, norm, {})
+            for name, cnt in zip(anames, acounts):
+                c.name_counts[name] = c.name_counts.get(name, 0) + int(cnt)
+            c.mention_count += int(mc)
+            c.max_confidence = max(c.max_confidence, float(conf))
+            c.docs |= set(docs)
+        rows = {name: [] for name in PARTIAL_SCHEMA.names}
+        for (etype, norm, salt), c in acc.items():
+            blk = block_key(etype, norm)
+            rows["bucket"].append(zlib.crc32(blk.encode()) % num_buckets)
+            rows["salt"].append(salt)
+            rows["block"].append(blk)
+            rows["entity_type"].append(etype)
+            rows["norm_name"].append(norm)
+            rows["alias_names"].append(list(c.name_counts.keys()))
+            rows["alias_counts"].append(list(c.name_counts.values()))
+            rows["mention_count"].append(c.mention_count)
+            rows["max_confidence"].append(c.max_confidence)
+            rows["docs"].append(sorted(c.docs))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in PARTIAL_SCHEMA],
+            schema=PARTIAL_SCHEMA,
+        )
 
     return merge_partials_group
 

@@ -1,21 +1,31 @@
 """Edge rewrite + dedup → edges table and (subj, pred, obj) triples.
 
-Dataflow:
-1. broadcast the alias→canonical map once (``ray.put``); each rewrite actor
-   reads it in ``__init__`` — the small-side lookup is shipped once per
-   actor, never per batch (J2, SURVEY.md §2.4). At a scale where the alias
-   map itself outgrows worker memory the swap-in is a hash-partitioned join
-   on src/dst; broadcast is correct while |entities| ≪ |corpus|.
-2. rewrite src/dst to canonical ids inside map_batches, drop self-loops
-   (variants of the same entity that merged), and per-batch pre-dedup on
-   (src, dst, rel_type) — the combiner that keeps the hot-edge shuffle
-   bounded. Each combined row carries a coarse ``bucket`` (hash of the
-   edge key) for the final exchange.
-3. groupby (bucket) → merge per (src, dst, rel_type) inside the group UDF:
-   max confidence, occurrence count, union of context chunk ids capped at
-   ``max_contexts`` (G7 semantics, gleaning_extractor.rs:450-467 first-wins
-   generalized to a merge). Coarse buckets amortize per-group overhead; the
-   per-key merge is a dict pass inside the UDF.
+Fully VECTORIZED dataflow (no Python row loops — this stage sees the
+quadratic co-occurrence stream, by far the widest data in the pipeline):
+
+1. the alias→canonical map is broadcast once as parallel arrays
+   (``ray.put``); each rewrite actor materializes them in ``__init__``
+   (J2, SURVEY.md §2.4). At a scale where the alias map outgrows worker
+   memory the swap-in is a hash-partitioned join on src/dst; broadcast is
+   correct while |entities| ≪ |corpus|.
+2. rewrite = ``pc.index_in`` (C-level hash lookup) src/dst → canonical
+   integer indices; drop missing endpoints (J1 drop-on-miss,
+   core/mod.rs:395-410) and self-loops; encode each edge as ONE int64
+   ``ekey = (src_idx * n_canon + dst_idx) * n_rels + rel_idx``.
+3. per-batch combine = ``np.unique(ekey)`` + ``np.bincount`` weighted sums
+   — the combiner that keeps the hot-edge shuffle bounded. The coarse
+   shuffle ``bucket`` is ``ekey % num_buckets`` (deterministic across
+   batches because canonical/rel vocabularies are fixed by the broadcast).
+4. groupby(bucket) → same numpy merge per group (G7 semantics,
+   gleaning_extractor.rs:450-467 generalized to a count/confidence merge).
+
+Provenance: ``context`` carries a capped pipe-joined chunk-id SAMPLE taken
+from the first contributing partial per edge (exact context *union* would
+reintroduce per-row Python list handling; the cap already made it a sample).
+Confidence: the pattern path assigns the constant
+``relationship_confidence`` to every edge (graphrag/build.rs:594-605), so
+first == max; a future extractor with per-edge confidences should switch
+the merge to a vectorized max.
 
 Triples are a projection of the deduped edges with canonical *names*
 (parquet.rs:425-435 relationships + atomic_fact_extractor.rs:29-40 shape).
@@ -23,16 +33,22 @@ Triples are a projection of the deduped edges with canonical *names*
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 
+# closed relation-type vocabulary of the pattern path (entity/mod.rs:841-879)
+REL_TYPES = (
+    "WORKS_FOR", "LEADS", "ASSOCIATED_WITH", "BORN_IN", "LOCATED_IN",
+    "HEADQUARTERED_IN", "MARRIED_TO", "COLLEAGUE_OF", "KNOWS", "RELATED_TO",
+)
+
 EDGE_PARTIAL_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
+        ("ekey", pa.int64()),
         ("src", pa.string()),
         ("dst", pa.string()),
         ("rel_type", pa.string()),
@@ -40,115 +56,144 @@ EDGE_PARTIAL_SCHEMA = pa.schema(
         ("dst_name", pa.string()),
         ("confidence", pa.float32()),
         ("n_occurrences", pa.int64()),
-        ("context", pa.list_(pa.string())),
+        ("context", pa.string()),  # pipe-joined capped chunk-id sample
     ]
 )
 
-EDGE_FULL_SCHEMA = EDGE_PARTIAL_SCHEMA.remove(0)  # without bucket
+
+def make_alias_broadcast(alias_dict: dict[str, tuple[str, str]]):
+    """alias entity_id → (canonical_id, canonical_name) dict → parallel
+    arrays suitable for vectorized ``index_in`` rewriting."""
+    keys = list(alias_dict.keys())
+    canon_ids: list[str] = []
+    canon_names: list[str] = []
+    canon_pos: dict[str, int] = {}
+    key_to_canon = np.empty(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        cid, cname = alias_dict[k]
+        pos = canon_pos.get(cid)
+        if pos is None:
+            pos = canon_pos[cid] = len(canon_ids)
+            canon_ids.append(cid)
+            canon_names.append(cname)
+        key_to_canon[i] = pos
+    return {
+        "keys": keys,
+        "key_to_canon": key_to_canon,
+        "canon_ids": canon_ids,
+        "canon_names": canon_names,
+    }
 
 
 class EdgeRewriter:
-    """Actor-pool map_batches stage holding the broadcast alias map."""
+    """Actor-pool map_batches stage holding the broadcast alias arrays."""
 
-    def __init__(self, alias_map_ref, max_contexts: int = 64, num_buckets: int = 64):
-        # one ray.get per actor (zero-copy read from the local object store)
-        self.alias_map: dict[str, tuple[str, str]] = ray.get(alias_map_ref)
-        self.max_contexts = max_contexts
+    def __init__(self, alias_ref, num_buckets: int = 256, max_contexts: int = 8):
+        b = ray.get(alias_ref)
+        self.keys = pa.array(b["keys"], pa.string())
+        self.key_to_canon = b["key_to_canon"]
+        self.canon_ids = pa.array(b["canon_ids"], pa.string())
+        self.canon_names = pa.array(b["canon_names"], pa.string())
+        self.n_canon = max(1, len(b["canon_ids"]))
+        self.rels = pa.array(REL_TYPES, pa.string())
         self.num_buckets = num_buckets
+        self.max_contexts = max_contexts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch.column("row_kind"), "edge"))
-        srcs = batch.column("src_id").to_pylist()
-        dsts = batch.column("dst_id").to_pylist()
-        rels = batch.column("rel_type").to_pylist()
-        confs = batch.column("confidence").to_pylist()
-        chunks = batch.column("chunk_id").to_pylist()
+        if batch.num_rows == 0:
+            return EDGE_PARTIAL_SCHEMA.empty_table()
+        src_i = pc.index_in(batch.column("src_id"), self.keys)
+        dst_i = pc.index_in(batch.column("dst_id"), self.keys)
+        rel_i = pc.index_in(batch.column("rel_type"), self.rels)
+        valid = pc.and_(pc.and_(pc.is_valid(src_i), pc.is_valid(dst_i)),
+                        pc.is_valid(rel_i))
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return EDGE_PARTIAL_SCHEMA.empty_table()
+        si = src_i.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        di = dst_i.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = rel_i.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = self.key_to_canon[si]
+        dc = self.key_to_canon[di]
+        keep = sc != dc  # self-loops after canonical merge
+        if not keep.any():
+            return EDGE_PARTIAL_SCHEMA.empty_table()
+        batch = batch.filter(pa.array(keep))
+        sc, dc, ri = sc[keep], dc[keep], ri[keep]
+        n_occ = batch.column("n_occurrences").to_numpy(zero_copy_only=False)
 
-        acc: dict[tuple[str, str, str], list] = {}
-        for src, dst, rel, conf, chunk in zip(srcs, dsts, rels, confs, chunks):
-            s = self.alias_map.get(src)
-            d = self.alias_map.get(dst)
-            if s is None or d is None:
-                continue  # endpoint dropped (J1 drop-on-miss, core/mod.rs:395-410)
-            if s[0] == d[0]:
-                continue  # self-loop after canonical merge
-            key = (s[0], d[0], rel)
-            slot = acc.get(key)
-            if slot is None:
-                acc[key] = [s[1], d[1], float(conf), 1, [chunk]]
-            else:
-                slot[2] = max(slot[2], float(conf))
-                slot[3] += 1
-                if len(slot[4]) < self.max_contexts:
-                    slot[4].append(chunk)
+        ekey = (sc * self.n_canon + dc) * len(REL_TYPES) + ri
+        uniq, first_idx, inv = np.unique(ekey, return_index=True, return_inverse=True)
+        n_sum = np.bincount(inv, weights=n_occ).astype(np.int64)
+        order = pa.array(first_idx)
+        usc = sc[first_idx]
+        udc = dc[first_idx]
 
-        out = {name: [] for name in EDGE_PARTIAL_SCHEMA.names}
-        for (src, dst, rel), (sn, dn, conf, n, ctx) in acc.items():
-            out["bucket"].append(zlib.crc32(f"{src}|{dst}|{rel}".encode()) % self.num_buckets)
-            out["src"].append(src)
-            out["dst"].append(dst)
-            out["rel_type"].append(rel)
-            out["src_name"].append(sn)
-            out["dst_name"].append(dn)
-            out["confidence"].append(conf)
-            out["n_occurrences"].append(n)
-            out["context"].append(ctx)
         return pa.Table.from_arrays(
-            [pa.array(out[f.name], f.type) for f in EDGE_PARTIAL_SCHEMA],
+            [
+                pa.array((uniq % self.num_buckets).astype(np.int32)),
+                pa.array(uniq),
+                pc.take(self.canon_ids, pa.array(usc)),
+                pc.take(self.canon_ids, pa.array(udc)),
+                pc.take(self.rels, pa.array(ri[first_idx])),
+                pc.take(self.canon_names, pa.array(usc)),
+                pc.take(self.canon_names, pa.array(udc)),
+                pc.take(batch.column("confidence"), order),
+                pa.array(n_sum),
+                pc.take(batch.column("contexts"), order),
+            ],
             schema=EDGE_PARTIAL_SCHEMA,
         )
 
 
-def make_merge_edges_fn(max_contexts: int = 64):
-    """(bucket) group → one row per (src, dst, rel_type)."""
-
-    def merge_edges(batch: pa.Table) -> pa.Table:
-        acc: dict[tuple[str, str, str], list] = {}
-        for src, dst, rel, sn, dn, conf, n, ctx in zip(
-            batch.column("src").to_pylist(),
-            batch.column("dst").to_pylist(),
-            batch.column("rel_type").to_pylist(),
-            batch.column("src_name").to_pylist(),
-            batch.column("dst_name").to_pylist(),
-            batch.column("confidence").to_pylist(),
-            batch.column("n_occurrences").to_pylist(),
-            batch.column("context").to_pylist(),
-        ):
-            key = (src, dst, rel)
-            slot = acc.get(key)
-            if slot is None:
-                acc[key] = [sn, dn, float(conf), int(n), list(ctx)]
-            else:
-                slot[2] = max(slot[2], float(conf))
-                slot[3] += int(n)
-                room = max_contexts - len(slot[4])
-                if room > 0:
-                    slot[4].extend(ctx[:room])
-        out = {name: [] for name in EDGE_FULL_SCHEMA.names}
-        for (src, dst, rel), (sn, dn, conf, n, ctx) in acc.items():
-            out["src"].append(src)
-            out["dst"].append(dst)
-            out["rel_type"].append(rel)
-            out["src_name"].append(sn)
-            out["dst_name"].append(dn)
-            out["confidence"].append(conf)
-            out["n_occurrences"].append(n)
-            # dedup contexts preserving order, cap
-            seen: set[str] = set()
-            uniq = []
-            for c in ctx:
-                if c not in seen:
-                    seen.add(c)
-                    uniq.append(c)
-                    if len(uniq) >= max_contexts:
-                        break
-            out["context"].append(uniq)
-        return pa.Table.from_arrays(
-            [pa.array(out[f.name], f.type) for f in EDGE_FULL_SCHEMA],
-            schema=EDGE_FULL_SCHEMA,
+def tree_merge_edges(ds, levels=(64, 8, 1)):
+    """Sort-free reduce tree: repartition (block concatenation, no keyed
+    shuffle) + vectorized associative merge per partition, fanning in to a
+    final merge. For corpora where the *distinct*-edge set itself outgrows
+    one task, swap the last level for the keyed groupby(bucket) exchange —
+    the merge UDF is shared between both shapes."""
+    for n in levels:
+        ds = ds.repartition(n).map_batches(
+            merge_edges, batch_format="pyarrow", batch_size=None
         )
+    return ds
 
-    return merge_edges
+
+def merge_edges(batch: pa.Table) -> pa.Table:
+    """Partition/group merge → one row per ekey, all numpy/Arrow kernels."""
+    ekey = batch.column("ekey").to_numpy(zero_copy_only=False)
+    n_occ = batch.column("n_occurrences").to_numpy(zero_copy_only=False)
+    uniq, first_idx, inv = np.unique(ekey, return_index=True, return_inverse=True)
+    n_sum = np.bincount(inv, weights=n_occ).astype(np.int64)
+    order = pa.array(first_idx)
+    cols = {name: pc.take(batch.column(name), order)
+            for name in ("bucket", "src", "dst", "rel_type", "src_name",
+                         "dst_name", "confidence", "context")}
+    return pa.Table.from_arrays(
+        [
+            cols["bucket"], pa.array(uniq), cols["src"], cols["dst"],
+            cols["rel_type"], cols["src_name"], cols["dst_name"],
+            cols["confidence"], pa.array(n_sum), cols["context"],
+        ],
+        schema=EDGE_PARTIAL_SCHEMA,
+    )
+
+
+def finalize_edges(batch: pa.Table) -> pa.Table:
+    """Edges table for consumers: context back to list<string> (tiny —
+    one row per deduped edge)."""
+    ctxs = [c.split("|") if c else [] for c in batch.column("context").to_pylist()]
+    return pa.Table.from_pydict(
+        {
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "rel_type": batch.column("rel_type"),
+            "confidence": batch.column("confidence"),
+            "n_occurrences": batch.column("n_occurrences"),
+            "context": pa.array(ctxs, pa.list_(pa.string())),
+        }
+    )
 
 
 def triples_projection(batch: pa.Table) -> pa.Table:

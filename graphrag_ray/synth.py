@@ -117,8 +117,10 @@ def _variant(rng: random.Random, name: str) -> str:
     return name.upper()
 
 
-def synth_spans_for_doc(doc_id: int, base_text: str = "") -> list[dict]:
-    """Deterministic spans for one document — pure function of doc_id."""
+def synth_spans_for_doc(doc_id: int, base_text: str = "", factor: int = 1) -> list[dict]:
+    """Deterministic spans for one document — pure function of (doc_id,
+    factor). ``factor`` scales the sentence count per doc (bench corpora use
+    larger docs so per-doc text size is realistic; tests use factor=1)."""
     rng = random.Random((SEED << 32) ^ (doc_id * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFF))
     spans: list[dict] = []
     offset = 0
@@ -139,7 +141,7 @@ def synth_spans_for_doc(doc_id: int, base_text: str = "") -> list[dict]:
     if base_text:
         add_text(base_text.strip() + " ")
 
-    n_sentences = 3 + rng.randrange(6)
+    n_sentences = (3 + rng.randrange(6)) * max(1, factor)
     media_doc = doc_id % 10 == 0
     media_count = 0
     for s in range(n_sentences):
@@ -168,7 +170,8 @@ def doc_text_from_spans(spans: list[dict]) -> str:
     return "".join(s["text"] for s in spans if s["kind"] == "text")
 
 
-def spans_batch_from_flat(batch: pa.Table, include_base_text: bool = True) -> pa.Table:
+def spans_batch_from_flat(batch: pa.Table, include_base_text: bool = True,
+                          factor: int = 1) -> pa.Table:
     """Adapter: flat driver table (doc_id:int64, text:string) → spans table.
 
     Runs inside ``map_batches`` so the spans corpus is generated
@@ -181,7 +184,7 @@ def spans_batch_from_flat(batch: pa.Table, include_base_text: bool = True) -> pa
     out_spans = []
     for doc_id, text in zip(doc_ids, texts):
         out_ids.append(f"doc_{int(doc_id):08d}")
-        out_spans.append(synth_spans_for_doc(int(doc_id), text or ""))
+        out_spans.append(synth_spans_for_doc(int(doc_id), text or "", factor))
     return pa.Table.from_arrays(
         [
             pa.array(out_ids, type=pa.string()),
