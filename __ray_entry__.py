@@ -62,6 +62,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_community_summaries": q.kg_community_summaries,
         "kg_chunk_embeddings": q.kg_chunk_embeddings,
         "kg_mentions": q.kg_mentions,
+        "kg_stats": q.kg_stats,
+        "kg_pagerank": q.kg_pagerank,
+        "kg_components": q.kg_components,
+        "kg_common_entities": q.kg_common_entities,
+        "kg_semantic_neighbors": q.kg_semantic_neighbors,
+        "kg_cooccur_edges": q.kg_cooccur_edges,
+        "kg_enriched_chunks": q.kg_enriched_chunks,
+        "kg_atomic_facts": q.kg_atomic_facts,
+        "kg_gleaning_extraction": q.kg_gleaning_extraction,
+        "kg_validated_facts": q.kg_validated_facts,
         "media_features": q.media_features,
     }
 

@@ -19,6 +19,10 @@ class PipelineConfig:
     # --- chunking (reference: text/mod.rs:141-187, config/mod.rs:1307-1313)
     chunk_size: int = 1000
     chunk_overlap: int = 200
+    # 'legacy' = sliding window + sentence snap (text/mod.rs:141-187);
+    # 'hierarchical' = recursive-separator splitter (text/chunking.rs:6-152)
+    chunking_strategy: str = "legacy"
+    min_chunk_size: int = 50  # hierarchical only
 
     # --- extraction (reference: entity/mod.rs:114-173, config/mod.rs:1317)
     min_confidence: float = 0.7

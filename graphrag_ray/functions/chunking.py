@@ -55,6 +55,66 @@ def _find_word_boundary(text: str, start: int, preferred_end: int) -> int | None
     return start + pos
 
 
+HIERARCHICAL_SEPARATORS = ("\n\n", "\n", ". ", "! ", "? ", "; ", ": ", " ")
+
+
+def _word_boundary_backward(text: str, pos: int) -> int:
+    """Nearest word boundary going backward (text/chunking.rs:128-152)."""
+    while pos > 0:
+        if text[pos - 1].isspace():
+            return pos
+        pos -= 1
+    return pos
+
+
+def _find_optimal_boundary(text: str, start: int, max_end: int) -> int:
+    """Hierarchical separator search (text/chunking.rs:104-126): try each
+    separator in preference order, accept the last occurrence if it keeps
+    at least a quarter of the window."""
+    search = text[start:max_end]
+    for sep in HIERARCHICAL_SEPARATORS:
+        pos = search.rfind(sep)
+        if pos != -1:
+            boundary = start + pos + len(sep)
+            if boundary > start + (max_end - start) // 4:
+                return boundary
+    return _word_boundary_backward(text, max_end)
+
+
+def chunk_text_hierarchical(
+    text: str, chunk_size: int, overlap: int, min_chunk_size: int = 50
+) -> list[tuple[int, int, int]]:
+    """Recursive-separator chunker (M2, text/chunking.rs:6-152): splits on
+    the highest-priority separator within each window, keeps chunks with
+    ≥ min_chunk_size trimmed chars, re-aligns the overlapped next start to
+    a word boundary. Deviation from the reference: forward progress is
+    guaranteed (next start > current start) — the reference has no such
+    guard and relies on data never degenerating."""
+    chunks: list[tuple[int, int, int]] = []
+    n = len(text)
+    start = 0
+    counter = 0
+    while start < n:
+        end = min(start + chunk_size, n)
+        if end >= n:
+            if len(text[start:].strip()) >= min_chunk_size:
+                chunks.append((counter, start, n))
+                counter += 1
+            break
+        optimal = _find_optimal_boundary(text, start, end)
+        if optimal > start:
+            end = optimal
+        if len(text[start:end].strip()) >= min_chunk_size:
+            chunks.append((counter, start, end))
+            counter += 1
+        if end >= n:
+            break
+        next_start = max(0, end - overlap)
+        next_start = _word_boundary_backward(text, next_start)
+        start = max(start + 1, next_start)
+    return chunks
+
+
 def chunk_text(text: str, chunk_size: int, overlap: int) -> list[tuple[int, int, int]]:
     """Yield (chunk_idx, start, end) char spans (text/mod.rs:141-187)."""
     chunks: list[tuple[int, int, int]] = []

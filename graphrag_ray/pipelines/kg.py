@@ -68,6 +68,7 @@ def spans_dataset_from_flat_parquet(parquet_path: str, include_base_text: bool =
 @dataclass
 class KGResult:
     chunks: "ray.data.Dataset"
+    extraction: "ray.data.Dataset"      # tagged entity/edge partial rows
     entities: "ray.data.Dataset"        # canonical entity table
     alias_map: "ray.data.Dataset"       # entity_id → canonical rows
     edges: "ray.data.Dataset"
@@ -102,6 +103,8 @@ def build_kg(
             extract_rels=cfg.extract_relationships,
             relationship_confidence=cfg.relationship_confidence,
             max_contexts=cfg.max_contexts_per_edge,
+            chunking_strategy=cfg.chunking_strategy,
+            min_chunk_size=cfg.min_chunk_size,
         )
         return docs.map_batches(
             stage,
@@ -214,12 +217,14 @@ def build_kg(
 
     # chunks dataset re-derived lazily for callers that want it (cheap scan)
     chunks_ds = docs.map_batches(
-        make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap),
+        make_chunk_batch_fn(cfg.chunk_size, cfg.chunk_overlap,
+                            cfg.chunking_strategy, cfg.min_chunk_size),
         batch_format="pyarrow",
         batch_size=cfg.chunk_batch_size,
     )
     return KGResult(
         chunks=chunks_ds,
+        extraction=extraction,
         entities=entities,
         alias_map=alias_rows,
         edges=edges,

@@ -216,9 +216,18 @@ def ann_lsh_topk(sf_dir: str, k: int = 10):
 # correctness is gated by the oracle parity tests in tests/)
 
 
+_KG_CACHE: dict[str, object] = {}
+
+
 def _kg(sf_dir: str):
-    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
-    return build_kg(docs, KG_CFG)
+    """Memoized per sf_dir: many query surfaces share one KG build; the
+    result's intermediates are materialized Datasets, safe to reuse within
+    a session."""
+    res = _KG_CACHE.get(sf_dir)
+    if res is None:
+        docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+        res = _KG_CACHE[sf_dir] = build_kg(docs, KG_CFG)
+    return res
 
 
 def kg_chunks(sf_dir: str):
@@ -301,4 +310,120 @@ def kg_mentions(sf_dir: str):
     return res.chunks.map_batches(
         make_mentions_batch_fn(KG_CFG.min_confidence, KG_CFG.entity_types),
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics (SURVEY.md §2.9 / §2.6)
+
+
+def kg_stats(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
+    n_chunks = res.chunks.count()
+    return ga.graph_stats(res.entities, res.edges, n_docs, n_chunks)
+
+
+def kg_pagerank(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.pagerank(res.entities, res.edges)
+
+
+def kg_components(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.connected_components(res.entities, res.edges)
+
+
+def kg_common_entities(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.common_entities(res.entities)
+
+
+def kg_semantic_neighbors(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.semantic_neighbors(res.entities)
+
+
+def kg_cooccur_edges(sf_dir: str):
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.doc_cooccurrence_edges(res.extraction)
+
+
+# ---------------------------------------------------------------------------
+# extended operator surfaces (M4, M10, A2, A4)
+
+
+def kg_enriched_chunks(sf_dir: str):
+    """M4 chunk enrichment: TF-IDF keywords, extractive summary, chapter."""
+    from .stages.enrich import enrich_chunks
+
+    res = _kg(sf_dir)
+    chunks = res.chunks.materialize()
+    n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
+    return enrich_chunks(chunks, total_docs=n_docs)
+
+
+def kg_atomic_facts(sf_dir: str):
+    """M10/A5 atomic (subj, pred, obj) facts with temporal markers."""
+    from .stages.atomic_facts import facts_batch
+
+    res = _kg(sf_dir)
+    return res.chunks.map_batches(facts_batch, batch_format="pyarrow")
+
+
+def kg_gleaning_extraction(sf_dir: str):
+    """A2 gleaning extractor (deterministic MockLLM) over the chunk table —
+    emits the same tagged extraction schema as the pattern path."""
+    from .stages.llm_extract import GleaningExtractor
+
+    res = _kg(sf_dir)
+    out = res.chunks.map_batches(
+        GleaningExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["row_kind", "doc_id", "entity_id", "name",
+                               "entity_type", "src_id", "dst_id", "rel_type"])
+
+
+def kg_validated_facts(sf_dir: str):
+    """A4 triple-reflection validation over atomic facts (keep iff the
+    context explicitly supports the triple)."""
+    import pyarrow as pa
+
+    from .stages.atomic_facts import extract_facts
+    from .stages.validate import TripleValidationStage
+
+    def facts_with_context(batch: pa.Table) -> pa.Table:
+        out = {"chunk_id": [], "subj": [], "pred": [], "obj": [],
+               "context_text": []}
+        for chunk_id, text in zip(batch.column("chunk_id").to_pylist(),
+                                  batch.column("content").to_pylist()):
+            for f in extract_facts(text):
+                out["chunk_id"].append(chunk_id)
+                out["subj"].append(f["subj"])
+                out["pred"].append(f["pred"].upper().replace(" ", "_"))
+                out["obj"].append(f["obj"])
+                out["context_text"].append(text)
+        return pa.Table.from_pydict(out)
+
+    res = _kg(sf_dir)
+    candidates = res.chunks.map_batches(facts_with_context, batch_format="pyarrow")
+    validated = candidates.map_batches(
+        TripleValidationStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return validated.select_columns(
+        ["chunk_id", "subj", "pred", "obj", "is_valid", "validation_confidence"]
     )

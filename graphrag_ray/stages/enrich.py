@@ -1,0 +1,179 @@
+"""Chunk enrichment (M4): TF-IDF keywords, extractive summary, chapter
+detection.
+
+Reference semantics: text/keyword_extraction.rs:37-140 (tokenize → TF =
+count/total → IDF = ln(N/df) clipped ≥ 0, default df 1 → top-k),
+text/extractive_summarizer.rs:100-160 (weighted position/length/word-freq/
+proper-noun/numeric sentence scoring), text/chunk_enricher.rs:92-100
+(heading path → chapter).
+
+Ray-Data shape: corpus document frequencies are the G10 aggregate (flat_map
+tokens → groupby count) broadcast into a stateful enricher actor pool —
+the classic small-side broadcast, computed once, read once per actor.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Sum
+
+# text/keyword_extraction.rs:118-137
+STOPWORDS = frozenset(
+    """the be to of and a in that have i it for not on with he as you do at
+    this but his by from they we say her she or an will my one all would
+    there their what so up out if about who get which go me when make can
+    like time no just him know take people into year your good some could
+    them see other than then now look only come its over think also back
+    after use two how our work first well way even new want because any
+    these give day most us is was are been has had were said did""".split()
+)
+
+_CHAPTER_RE = re.compile(r"(?m)^\s*(#+\s+.+|Chapter\s+\S+.*|CHAPTER\s+\S+.*)\s*$")
+
+
+def tokenize_keywords(text: str) -> list[str]:
+    """keyword_extraction.rs:67-85."""
+    out = []
+    for word in text.split():
+        w = "".join(c for c in word if c.isalnum() or c in "-_").lower()
+        if w and len(w) > 2 and w not in STOPWORDS and not w.isdigit():
+            out.append(w)
+    return out
+
+
+def document_frequencies(docs_or_chunks, text_column: str = "content"):
+    """Corpus DF table (G10): per-batch partial counts → groupby sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_column).to_pylist():
+            for w in set(tokenize_keywords(t or "")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        docs_or_chunks.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def extract_keywords(text: str, df: dict[str, int], total_docs: int,
+                     top_k: int = 5) -> list[str]:
+    """TF-IDF top-k (keyword_extraction.rs:37-116); ties broken by term."""
+    tokens = tokenize_keywords(text)
+    if not tokens:
+        return []
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    total = len(tokens)
+    scored = []
+    for term, cnt in counts.items():
+        idf = max(0.0, math.log(total_docs / df.get(term, 1)))
+        scored.append((cnt / total * idf, term))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _s, t in scored[:top_k]]
+
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def extractive_summary(text: str, max_sentences: int = 2) -> str:
+    """Weighted sentence scoring (extractive_summarizer.rs:100-160);
+    selected sentences keep original order."""
+    sentences = [s for s in _SENT_SPLIT_RE.split(text.strip()) if s.strip()]
+    if len(sentences) <= max_sentences:
+        return " ".join(sentences)
+    all_words = [w.lower().strip(".,!?;:") for s in sentences for w in s.split()]
+    freq: dict[str, int] = {}
+    for w in all_words:
+        if w and w not in STOPWORDS:
+            freq[w] = freq.get(w, 0) + 1
+    scores = []
+    n = len(sentences)
+    for i, s in enumerate(sentences):
+        if i == 0:
+            pos = 2.0
+        elif i == n - 1:
+            pos = 1.5
+        else:
+            pos = 1.0 - (i / n) * 0.5
+        words = s.split()
+        wc = len(words)
+        if wc < 5:
+            length = 0.3
+        elif wc > 40:
+            length = 0.5
+        elif 10 <= wc <= 25:
+            length = 1.0
+        else:
+            length = 0.7
+        content = [w.lower().strip(".,!?;:") for w in words]
+        wf = sum(freq.get(w, 0) for w in content if w not in STOPWORDS)
+        wf_norm = min(1.0, wf / max(1, len(content)) / 3.0)
+        proper = sum(1 for w in words if w[:1].isupper()) / max(1, wc)
+        numeric = 1.0 if any(any(c.isdigit() for c in w) for w in words) else 0.0
+        score = pos * 0.3 + length * 0.2 + wf_norm * 0.3 + proper * 0.1 + numeric * 0.1
+        scores.append((score, i, s))
+    top = sorted(scores, key=lambda x: (-x[0], x[1]))[:max_sentences]
+    top.sort(key=lambda x: x[1])
+    return " ".join(s for _sc, _i, s in top)
+
+
+def detect_chapter(text: str) -> str | None:
+    """First markdown heading / 'Chapter N' line (chunk_enricher.rs:92-100)."""
+    m = _CHAPTER_RE.search(text)
+    return m.group(1).strip() if m else None
+
+
+class ChunkEnricher:
+    """Actor-pool stage: chunks → chunk_id, keywords, summary, chapter.
+    The corpus DF dict is broadcast and read once per actor."""
+
+    def __init__(self, df_ref, total_docs: int, top_k: int = 5,
+                 max_sentences: int = 2):
+        self.df: dict[str, int] = ray.get(df_ref)
+        self.total_docs = max(1, total_docs)
+        self.top_k = top_k
+        self.max_sentences = max_sentences
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        keywords = [extract_keywords(t, self.df, self.total_docs, self.top_k)
+                    for t in contents]
+        summaries = [extractive_summary(t, self.max_sentences) for t in contents]
+        chapters = [detect_chapter(t) for t in contents]
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "keywords": pa.array(keywords, pa.list_(pa.string())),
+                "summary": pa.array(summaries, pa.string()),
+                "chapter": pa.array(chapters, pa.string()),
+            }
+        )
+
+
+def enrich_chunks(chunks_ds, total_docs: int, top_k: int = 5,
+                  max_sentences: int = 2):
+    """M4 pipeline: DF aggregate → broadcast → enrich actor pool."""
+    df_tbl = document_frequencies(chunks_ds).to_pandas()
+    df_dict = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+    ref = ray.put(df_dict)
+    return chunks_ds.map_batches(
+        ChunkEnricher,
+        fn_constructor_kwargs={"df_ref": ref, "total_docs": total_docs,
+                               "top_k": top_k, "max_sentences": max_sentences},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -143,17 +143,21 @@ class ChunkExtract:
         entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
         extract_rels: bool = True,
         relationship_confidence: float = 0.5,
-        max_contexts: int = 64,
+        max_contexts: int = 8,
+        chunking_strategy: str = "legacy",
+        min_chunk_size: int = 50,
     ):
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
+        self.chunking_strategy = chunking_strategy
+        self.min_chunk_size = min_chunk_size
         self.extractor = PatternExtractor(
             min_confidence, entity_types, extract_rels,
             relationship_confidence, max_contexts,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.chunking import chunk_text
+        from ..functions.chunking import chunk_text, chunk_text_hierarchical
 
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
@@ -162,7 +166,12 @@ class ChunkExtract:
         contents: list[str] = []
         for doc_id, spans in zip(doc_ids, spans_col):
             text = "".join(s["text"] for s in spans if s["kind"] == "text")
-            for idx, start, end in chunk_text(text, self.chunk_size, self.chunk_overlap):
+            if self.chunking_strategy == "hierarchical":
+                spans_iter = chunk_text_hierarchical(
+                    text, self.chunk_size, self.chunk_overlap, self.min_chunk_size)
+            else:
+                spans_iter = chunk_text(text, self.chunk_size, self.chunk_overlap)
+            for idx, start, end in spans_iter:
                 chunk_ids.append(f"{doc_id}_{idx}")
                 chunk_docs.append(doc_id)
                 contents.append(text[start:end])

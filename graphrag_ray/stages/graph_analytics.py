@@ -1,0 +1,250 @@
+"""Post-materialization graph analytics (SURVEY.md §2.9, §2.6).
+
+The canonical entity graph is tiny relative to the corpus, so the iterative
+algorithms (PageRank power iteration, connected components) run in one Ray
+task over the collected node/edge tables — the same disposition as Leiden
+(stages/community.py). Statistics are Dataset aggregations.
+
+Semantics:
+- PageRank: damping 0.85, ≤100 iterations, tolerance 1e-6, personalized
+  reset vector optional (graph/pagerank.rs:19-43, 236-243).
+- Connected components / degree centrality: graph/analytics.rs.
+- Graph statistics: entity/type histogram + per-chunk density
+  (graph/mod.rs:330-352).
+- Top-k common entities (most chunks/mentions): bidirectional index
+  get_common_entities (entity/bidirectional_index.rs:315-335) — the one
+  global sort+limit, tiny output.
+- Top-k semantic neighbors per entity (T1): cosine over entity-name hash
+  embeddings, truncate max_connections=10, threshold 0.8
+  (graph/mod.rs:244-289, config/mod.rs:1302-1305).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+@ray.remote
+def _pagerank_task(nodes, edges, damping, max_iterations, tolerance, personalization):
+    order = sorted(nodes)
+    idx = {n: i for i, n in enumerate(order)}
+    n = len(order)
+    if n == 0:
+        return pd.DataFrame({"entity_id": [], "score": []})
+    # column-stochastic adjacency (undirected edges counted both ways,
+    # matching the reference's undirected entity graph)
+    out_deg = np.zeros(n)
+    pairs = []
+    for a, b in edges:
+        if a in idx and b in idx and a != b:
+            pairs.append((idx[a], idx[b]))
+            pairs.append((idx[b], idx[a]))
+    for s, _t in pairs:
+        out_deg[s] += 1
+    reset = np.full(n, 1.0 / n)
+    if personalization:
+        reset = np.zeros(n)
+        for node, w in personalization.items():
+            if node in idx:
+                reset[idx[node]] = w
+        s = reset.sum()
+        reset = reset / s if s > 0 else np.full(n, 1.0 / n)
+    scores = np.full(n, 1.0 / n)
+    for _ in range(max_iterations):
+        new = np.zeros(n)
+        for s, t in pairs:
+            if out_deg[s] > 0:
+                new[t] += scores[s] / out_deg[s]
+        # dangling mass redistributed via reset vector
+        dangling = scores[out_deg == 0].sum()
+        new = (1.0 - damping) * reset + damping * (new + dangling * reset)
+        if np.abs(new - scores).sum() < tolerance:
+            scores = new
+            break
+        scores = new
+    return pd.DataFrame({"entity_id": order, "score": scores})
+
+
+def pagerank(
+    entities_ds, edges_ds,
+    damping: float = 0.85, max_iterations: int = 100, tolerance: float = 1e-6,
+    personalization: dict[str, float] | None = None,
+):
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    df = ray.get(_pagerank_task.remote(nodes, edges, damping, max_iterations,
+                                       tolerance, personalization))
+    return ray.data.from_pandas(df)
+
+
+@ray.remote
+def _components_task(nodes, edges):
+    order = sorted(nodes)
+    parent = {n: n for n in order}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # deterministic union: smaller id becomes the root
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    degree: dict[str, int] = {n: 0 for n in order}
+    for a, b in edges:
+        if a in degree and b in degree and a != b:
+            degree[a] += 1
+            degree[b] += 1
+    return pd.DataFrame(
+        {
+            "entity_id": order,
+            "component": [find(n) for n in order],
+            "degree": [degree[n] for n in order],
+        }
+    )
+
+
+def connected_components(entities_ds, edges_ds):
+    """Union-find components + degree centrality (graph/analytics.rs)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(ray.get(_components_task.remote(nodes, edges)))
+
+
+def graph_stats(entities_ds, edges_ds, n_docs: int, n_chunks: int):
+    """GraphStatistics parity (graph/mod.rs:330-352) + edge metrics."""
+    ent = entities_ds.select_columns(["entity_type"]).to_pandas()
+    n_entities = len(ent)
+    n_edges = edges_ds.count()
+    by_type = ent["entity_type"].value_counts().sort_index()
+    rows = [
+        {"stat": "entity_count", "value": float(n_entities)},
+        {"stat": "relationship_count", "value": float(n_edges)},
+        {"stat": "document_count", "value": float(n_docs)},
+        {"stat": "chunk_count", "value": float(n_chunks)},
+        {"stat": "average_entities_per_chunk",
+         "value": float(n_entities / n_chunks) if n_chunks else 0.0},
+        {"stat": "density",
+         "value": float(n_edges / (n_entities * (n_entities - 1)))
+         if n_entities > 1 else 0.0},
+    ]
+    rows.extend(
+        {"stat": f"entity_type:{t}", "value": float(c)} for t, c in by_type.items()
+    )
+    return pd.DataFrame(rows)
+
+
+def common_entities(entities_ds, k: int = 20):
+    """T4: entities by mention count desc (tiny global sort+limit)."""
+    df = entities_ds.select_columns(
+        ["canonical_id", "canonical_name", "entity_type", "mention_count"]
+    ).to_pandas()
+    df = df.sort_values(["mention_count", "canonical_id"],
+                        ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def semantic_neighbors(entities_ds, max_connections: int = 10,
+                       similarity_threshold: float = 0.8, dim: int = 64):
+    """T1: top-k cosine neighbors per entity over name hash-embeddings
+    (graph/mod.rs:244-289) — per-key top-k, never a global sort."""
+    from .embed import HashEmbedder
+
+    df = entities_ds.select_columns(["canonical_id", "canonical_name"]).to_pandas()
+    emb = HashEmbedder(dim=dim)
+    mat = np.stack([emb.embed_text(n) for n in df["canonical_name"]]) \
+        if len(df) else np.zeros((0, dim), dtype=np.float32)
+    ids = df["canonical_id"].tolist()
+    out = {"entity_id": [], "neighbor_id": [], "similarity": []}
+    if len(df):
+        sims = mat @ mat.T  # rows are unit vectors
+        for i in range(len(ids)):
+            row = sims[i].copy()
+            row[i] = -1.0
+            cand = np.argsort(-row, kind="stable")[:max_connections]
+            for j in cand:
+                if row[j] > similarity_threshold:
+                    out["entity_id"].append(ids[i])
+                    out["neighbor_id"].append(ids[j])
+                    out["similarity"].append(float(row[j]))
+    return pd.DataFrame(out)
+
+
+def doc_cooccurrence_edges(extraction_ds, max_pairs_per_doc: int = 2000,
+                           num_buckets: int = 64):
+    """G8: per-doc entity pairs → 'co_occurs' edges conf 0.7
+    (corpus/knowledge_graph.rs:192-240), pair count capped per doc to bound
+    the quadratic blowup.
+
+    A doc's entity rows may straddle block boundaries, so rows are first
+    co-located by hash(doc_id) bucket (ONE small shuffle of entity rows),
+    then pairs are formed per complete doc inside the group and summed."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        docs = batch.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(
+                    [zlib.crc32(d.encode()) % num_buckets for d in docs], pa.int32()
+                ),
+                "doc_id": batch.column("doc_id"),
+                "entity_id": batch.column("entity_id"),
+            }
+        )
+
+    def pairs_in_bucket(batch: pa.Table) -> pa.Table:
+        by_doc: dict[str, set[str]] = {}
+        for doc, eid in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("entity_id").to_pylist()):
+            by_doc.setdefault(doc, set()).add(eid)
+        acc: dict[tuple[str, str], int] = {}
+        for _doc, ent_set in by_doc.items():
+            ents = sorted(ent_set)
+            count = 0
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    key = (ents[i], ents[j])
+                    acc[key] = acc.get(key, 0) + 1
+                    count += 1
+                    if count >= max_pairs_per_doc:
+                        break
+                if count >= max_pairs_per_doc:
+                    break
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array([k[0] for k in acc], pa.string()),
+                "dst": pa.array([k[1] for k in acc], pa.string()),
+                "n_docs": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        extraction_ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.add_column("rel_type", lambda df: "co_occurs", batch_format="pandas") \
+              .add_column("confidence", lambda df: 0.7, batch_format="pandas")

@@ -1,0 +1,259 @@
+"""Tests for the extended operator set: hierarchical chunker, enricher,
+gleaning/mock-LLM, atomic facts, validation, semantic merge, workspace,
+importer, incremental update."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from graphrag_ray.config import PipelineConfig
+from graphrag_ray.functions.chunking import chunk_text_hierarchical
+from graphrag_ray.stages.atomic_facts import extract_facts, extract_timestamp, facts_batch
+from graphrag_ray.stages.enrich import (
+    detect_chapter,
+    extract_keywords,
+    extractive_summary,
+    tokenize_keywords,
+)
+from graphrag_ray.stages.llm_extract import (
+    GleaningExtractor,
+    MockLLM,
+    dedup_relationships,
+    merge_entity_rounds,
+)
+from graphrag_ray.stages.validate import (
+    MockTripleValidator,
+    TripleValidationStage,
+    semantic_merge_candidates,
+)
+
+
+# --- hierarchical chunker (M2)
+
+def test_hierarchical_chunker_prefers_paragraphs():
+    text = ("para one is right here with sufficient text to pass the minimum\n\n"
+            "para two follows with more content than the minimum chunk size ok")
+    chunks = chunk_text_hierarchical(text, 80, 10, min_chunk_size=10)
+    assert chunks[0][2] <= text.index("para two") + 1  # cut at/before para 2
+    # boundary lands after the separator
+    first = text[chunks[0][1]:chunks[0][2]]
+    assert first.endswith("\n\n") or first.endswith(" ")
+
+
+def test_hierarchical_min_size_filter():
+    assert chunk_text_hierarchical("tiny", 100, 10, min_chunk_size=50) == []
+
+
+def test_hierarchical_forward_progress():
+    text = "x" * 5000  # no separators at all
+    chunks = chunk_text_hierarchical(text, 100, 90, min_chunk_size=1)
+    starts = [s for _, s, _ in chunks]
+    assert starts == sorted(set(starts))
+    assert len(chunks) > 1
+
+
+# --- enricher (M4)
+
+def test_tokenize_keywords_filters():
+    toks = tokenize_keywords("The Alpha-3 system ran 42 times; the beta run")
+    assert "alpha-3" in toks and "system" in toks and "run" in toks
+    assert "the" not in toks and "42" not in toks
+
+
+def test_extract_keywords_tfidf_ordering():
+    df = {"common": 100, "rare": 1}
+    kws = extract_keywords("rare rare common word", df, total_docs=100, top_k=2)
+    assert kws[0] == "rare"
+
+
+def test_extractive_summary_keeps_order_and_picks_first():
+    text = ("First sentence introduces everything important here. "
+            "Second one rambles on. Third mentions Alice Harmon and 42 facts. "
+            "Fourth is filler words only.")
+    out = extractive_summary(text, max_sentences=2)
+    assert out.startswith("First sentence")
+    assert out.index("First") < len(out)
+
+
+def test_detect_chapter():
+    assert detect_chapter("# Chapter 1\nbody") == "# Chapter 1"
+    assert detect_chapter("Chapter 12: The End\nmore") == "Chapter 12: The End"
+    assert detect_chapter("no heading here") is None
+
+
+# --- gleaning / mock LLM (A1/A2)
+
+def test_mock_llm_answers_json():
+    import json
+
+    llm = MockLLM()
+    out = llm.complete("prompt stuff\nText: Alice Harmon works for Acme Corp in Tokyo.\nOutput:\n")
+    data = json.loads(out)
+    names = {e["name"] for e in data["entities"]}
+    assert "Alice Harmon" in names
+    assert any(r["description"] == "WORKS_FOR" for r in data["relationships"])
+
+
+def test_merge_entity_rounds_longer_description_wins():
+    a = [{"name": "Alice", "type": "PERSON", "description": "short"}]
+    b = [{"name": "alice", "type": "PERSON", "description": "much longer text"}]
+    merged = merge_entity_rounds(a, b)
+    assert len(merged) == 1
+    assert merged[0]["description"] == "much longer text"
+
+
+def test_dedup_relationships_first_wins():
+    rels = [
+        {"source": "A", "target": "B", "description": "KNOWS", "strength": 0.8},
+        {"source": "A", "target": "B", "description": "KNOWS", "strength": 0.1},
+        {"source": "A", "target": "B", "description": "LIKES", "strength": 0.5},
+    ]
+    out = dedup_relationships(rels)
+    assert len(out) == 2
+    assert out[0]["strength"] == 0.8
+
+
+def test_gleaning_extractor_stage(ray_session):
+    chunks = pa.Table.from_pydict({
+        "chunk_id": ["c1"],
+        "doc_id": ["d1"],
+        "content": ["Alice Harmon works for Acme Corp in Tokyo."],
+    })
+    stage = GleaningExtractor()
+    out = stage(chunks)
+    kinds = set(out.column("row_kind").to_pylist())
+    assert kinds == {"entity", "edge"}
+
+
+def test_gleaning_handles_malformed_json():
+    stage = GleaningExtractor(llm=MockLLM(malformed_every=1))
+    ents, rels = stage.extract_chunk("Alice Harmon met Bob Tanner.")
+    # truncated JSON is repaired or skipped without crashing
+    assert isinstance(ents, list) and isinstance(rels, list)
+
+
+# --- atomic facts (M10)
+
+def test_extract_timestamp():
+    ysec = 365 * 24 * 3600
+    assert extract_timestamp("in 1876") == (1876 - 1970) * ysec
+    assert extract_timestamp("380 BC") == -380 * ysec
+    assert extract_timestamp("during summer") is None
+    assert extract_timestamp(None) is None
+
+
+def test_extract_facts_shapes():
+    facts = extract_facts("Alice Harmon works for Acme Corp. Bob Tanner lives in Tokyo.")
+    triples = {(f["subj"], f["pred"], f["obj"]) for f in facts}
+    assert ("Alice Harmon", "works for", "Acme Corp") in triples
+    assert ("Bob Tanner", "lives in", "Tokyo") in triples
+
+
+def test_facts_batch_uppercases_predicate():
+    batch = pa.Table.from_pydict({
+        "chunk_id": ["c1"], "content": ["Alice Harmon works for Acme Corp in 1876."],
+    })
+    out = facts_batch(batch)
+    assert "WORKS_FOR" in out.column("pred").to_pylist()
+    ts = out.column("timestamp").to_pylist()
+    assert ts[0] == (1876 - 1970) * 365 * 24 * 3600
+
+
+# --- validation (A4) + semantic merge (A8)
+
+def test_triple_validation_keeps_supported():
+    stage = TripleValidationStage()
+    batch = pa.Table.from_pydict({
+        "subj": ["Alice", "Ghost"],
+        "pred": ["KNOWS", "KNOWS"],
+        "obj": ["Bob", "Bob"],
+        "context_text": ["Alice met Bob.", "Bob was alone."],
+    })
+    out = stage(batch)
+    assert out.column("subj").to_pylist() == ["Alice"]
+
+
+def test_validator_semantics():
+    v = MockTripleValidator()
+    assert v.validate("Alice", "KNOWS", "Bob", "Alice met Bob")[0]
+    assert not v.validate("Alice", "KNOWS", "Bob", "nothing here")[0]
+
+
+def test_semantic_merge_candidates():
+    ents = [
+        {"canonical_id": "P_a", "name": "Alice Harmon", "entity_type": "PERSON"},
+        {"canonical_id": "P_b", "name": "Alice Harmonn", "entity_type": "PERSON"},
+        {"canonical_id": "P_c", "name": "Zed", "entity_type": "PERSON"},
+        {"canonical_id": "L_d", "name": "Alice Harmon", "entity_type": "LOCATION"},
+    ]
+    merges = dict(semantic_merge_candidates(ents))
+    assert merges == {"P_a": "P_b"} or merges == {"P_b": "P_a"}
+
+
+# --- workspace (S3/S4/S7)
+
+def test_workspace_roundtrip(ray_session, tmp_path):
+    from graphrag_ray.sources.workspace import (load_workspace, save_workspace,
+                                                workspace_exists)
+
+    path = str(tmp_path / "ws")
+    ents = ray.data.from_pandas(pd.DataFrame({"canonical_id": ["A"], "name": ["a"]}))
+    trip = ray.data.from_pandas(pd.DataFrame({"subj": ["a"], "pred": ["R"], "obj": ["b"]}))
+    assert not workspace_exists(path)
+    meta = save_workspace(path, entities=ents, triples=trip)
+    assert meta["tables"] == {"entities": 1, "triples": 1}
+    assert workspace_exists(path)
+    back = load_workspace(path)
+    assert back["entities"].count() == 1
+    assert back["triples"].take_all()[0]["pred"] == "R"
+
+
+# --- importer (S2)
+
+def test_import_entities_csv(ray_session, tmp_path):
+    from graphrag_ray.sources.importer import import_entities
+
+    p = tmp_path / "ents.csv"
+    p.write_text("name,type,confidence\nAlice Harmon,PERSON,0.9\n,PERSON,0.5\nBob,PERSON,bad\n")
+    good, errors = import_entities(str(p), max_errors=10)
+    rows = good.take_all()
+    assert {r["entity_id"] for r in rows} == {"PERSON_aliceharmon"}
+    errs = errors.take_all()
+    assert len(errs) == 2
+
+
+def test_import_error_budget(ray_session, tmp_path):
+    from graphrag_ray.sources.importer import import_entities
+
+    p = tmp_path / "bad.csv"
+    p.write_text("name,type\n" + "\n".join("," for _ in range(5)) + "\n")
+    with pytest.raises(ValueError):
+        import_entities(str(p), max_errors=1)
+
+
+# --- incremental (§2.10)
+
+def test_incremental_matches_full_rebuild(ray_session):
+    from graphrag_ray.pipelines.incremental import (extraction_for_docs,
+                                                    incremental_update)
+    from graphrag_ray.pipelines.kg import build_kg
+    from graphrag_ray.synth import synth_documents_table
+
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=50)
+    all_docs = synth_documents_table(30)
+    old_docs = ray.data.from_arrow(all_docs.slice(0, 20))
+    new_docs = ray.data.from_arrow(all_docs.slice(20, 10))
+
+    prev_extraction = extraction_for_docs(old_docs, cfg).materialize()
+    inc = incremental_update(prev_extraction, new_docs, cfg)
+    full = build_kg(ray.data.from_arrow(all_docs), cfg)
+
+    def tset(res):
+        return {(r["subj"], r["pred"], r["obj"], r["n_occurrences"])
+                for r in res.triples.take_all()}
+
+    assert tset(inc) == tset(full)
