@@ -1,0 +1,115 @@
+"""Tests for layout parsers (S8), response cache (A7), and the job
+entrypoint (ray job submit surface)."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from graphrag_ray.stages.layout import detect_format, parse_sections, sections_batch
+from graphrag_ray.state.cache import CachedLLM, ResponseCache, cache_key
+
+
+def test_detect_format():
+    assert detect_format("# Title\nbody") == "markdown"
+    assert detect_format("<html><h1>T</h1></html>") == "html"
+    assert detect_format("plain old text") == "plaintext"
+
+
+def test_parse_markdown_sections():
+    secs = parse_sections("# One\ntext\n## Two\nmore", "markdown")
+    assert [(s["level"], s["title"]) for s in secs] == [(1, "One"), (2, "Two")]
+
+
+def test_parse_html_sections():
+    secs = parse_sections("<h1>Main <b>T</b></h1><p>x</p><h2>Sub</h2>", "html")
+    assert [(s["level"], s["title"]) for s in secs] == [(1, "Main T"), (2, "Sub")]
+
+
+def test_parse_plaintext_chapters():
+    secs = parse_sections("Chapter 1: Start\nbody text\nCHAPTER TWO\nmore", "plaintext")
+    titles = [s["title"] for s in secs]
+    assert "Chapter 1: Start" in titles
+    assert "CHAPTER TWO" in titles
+
+
+def test_sections_batch_flat_and_spans():
+    flat = pa.Table.from_pydict({"doc_id": [1], "text": ["# A\nbody"]})
+    out = sections_batch(flat)
+    assert out.num_rows == 1 and out.column("title")[0].as_py() == "A"
+
+    spans_tbl = pa.Table.from_pydict({
+        "doc_id": ["d1"],
+        "spans": [[{"kind": "text", "text": "# B\nbody", "media_ref": "", "offset": 0}]],
+    })
+    out2 = sections_batch(spans_tbl)
+    assert out2.column("title")[0].as_py() == "B"
+
+
+# --- response cache (A7)
+
+class CountingLLM:
+    def __init__(self):
+        self.calls = 0
+
+    def complete(self, prompt):
+        self.calls += 1
+        return f"resp:{prompt}"
+
+
+def test_cache_hits_memory():
+    inner = CountingLLM()
+    llm = CachedLLM(inner)
+    assert llm.complete("p1") == "resp:p1"
+    assert llm.complete("p1") == "resp:p1"
+    assert inner.calls == 1
+    assert llm.cache.hits == 1 and llm.cache.misses == 1
+
+
+def test_cache_disk_tier(tmp_path):
+    inner = CountingLLM()
+    cache = ResponseCache(capacity=2, disk_dir=str(tmp_path))
+    llm = CachedLLM(inner, cache=cache)
+    llm.complete("p1")
+    # a fresh memory tier over the same disk dir replays without the model
+    cache2 = ResponseCache(capacity=2, disk_dir=str(tmp_path))
+    inner2 = CountingLLM()
+    llm2 = CachedLLM(inner2, cache=cache2)
+    assert llm2.complete("p1") == "resp:p1"
+    assert inner2.calls == 0
+
+
+def test_cache_lru_eviction():
+    cache = ResponseCache(capacity=2)
+    cache.put("m", "a", "1")
+    cache.put("m", "b", "2")
+    cache.put("m", "c", "3")
+    assert cache.get("m", "a") is None
+    assert cache.get("m", "c") == "3"
+
+
+def test_cache_key_stable():
+    assert cache_key("m", "p") == cache_key("m", "p")
+    assert cache_key("m", "p") != cache_key("m2", "p")
+
+
+# --- job entrypoint
+
+def test_job_entrypoint_end_to_end(tmp_path):
+    from graphrag_ray.synth import synth_documents_table
+
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(synth_documents_table(15), str(inp))
+    out = subprocess.run(
+        [sys.executable, "-m", "graphrag_ray.job",
+         "--input", str(inp), "--output", str(tmp_path / "out"),
+         "--run-id", "t", "--chunk-size", "256", "--chunk-overlap", "50",
+         "--no-communities"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["triple_count"] > 0
+    assert set(report["tables_written"]) == {"edges", "entities", "triples"}
+    assert (tmp_path / "out" / "t" / "workspace.json").exists()
