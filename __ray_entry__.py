@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_gleaning_extraction": q.kg_gleaning_extraction,
         "kg_validated_facts": q.kg_validated_facts,
         "media_features": q.media_features,
+        # --- stream-shaped event operators (SQL-oracled)
+        "events_tumbling": q.events_tumbling,
+        "events_sessionize": q.events_sessionize,
+        "events_type_stats": q.events_type_stats,
     }
 
 
@@ -157,6 +161,38 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.45
+        """,
+        "events_tumbling": """
+            SELECT user_id::BIGINT AS user_id,
+                   (epoch_us(ts) // 21600000000)::BIGINT AS window_id,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+            m AS (SELECT user_id, ts_us, value,
+                    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                            > 7200000000
+                         THEN 1 ELSE 0 END AS is_start
+                  FROM e),
+            s AS (SELECT user_id, ts_us, value,
+                    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                  FROM m)
+            SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(ts_us)::BIGINT AS start_ts, max(ts_us)::BIGINT AS end_ts,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
         """,
         "ann_topk": """
             SELECT vec_id::BIGINT AS vec_id,

@@ -427,3 +427,49 @@ def kg_validated_facts(sf_dir: str):
     return validated.select_columns(
         ["chunk_id", "subj", "pred", "obj", "is_valid", "validation_confidence"]
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped event operators (windowed aggregate / sessionization)
+
+
+def _round_col(ds, col: str, digits: int = 4):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def do(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(float)
+        rounded = np.floor(np.abs(x) * 10 ** digits + 0.5) / 10 ** digits * np.sign(x)
+        i = batch.column_names.index(col)
+        return batch.set_column(i, col, pa.array(rounded, pa.float64()))
+
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
+def events_tumbling(sf_dir: str):
+    from .stages.events import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    return _round_col(tumbling_window_agg(ds, window_hours=6), "sum_value")
+
+
+def events_sessionize(sf_dir: str):
+    from .stages.events import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    out = sessionize(ds, gap_minutes=120).select_columns(
+        ["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]
+    )
+    return _round_col(out, "sum_value")
+
+
+def events_type_stats(sf_dir: str):
+    from .stages.events import event_type_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return _round_col(event_type_stats(ds), "sum_value")

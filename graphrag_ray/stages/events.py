@@ -1,0 +1,101 @@
+"""Stream-shaped custom operators over the events log (driver brief:
+windowed aggregates / sessionization are the canonical "operator Ray Data
+lacks" examples — implemented as map_batches + bucketed groupby
+compositions, per the documented partitioning assumption).
+
+Ray Data has no event-time windows; the events table is treated as an
+ordered, partitioned log: tumbling windows reduce per (user, window) via a
+per-batch combiner + small groupby; sessions require all of a user's events
+together and in ts order, so rows co-locate by hash(user) bucket and each
+group sessionizes its users with vectorized pandas. Both have exact DuckDB
+oracles (__ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+HOUR_US = 3_600_000_000  # microseconds
+
+
+def tumbling_window_agg(events_ds, window_hours: int = 6):
+    """Per (user_id, tumbling window): n events, sum/min/max value.
+    Combiner-first: per-batch partial rows, then a small groupby-aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        values = batch.column("value").to_numpy(zero_copy_only=False)
+        window = (ts // (window_hours * HOUR_US)).astype(np.int64)
+        df = pd.DataFrame({"user_id": users, "window_id": window, "value": values})
+        g = df.groupby(["user_id", "window_id"], sort=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "window_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+
+
+def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16):
+    """Session assignment (gap > gap_minutes starts a new session) →
+    per-session rows (user_id, session_idx, n_events, start/end ts).
+
+    Partitioning assumption (documented per the brief): all events of one
+    user fit in one group — rows are co-located by hash(user_id) bucket and
+    each bucket's users are sessionized independently with sorted pandas."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array((users % num_buckets).astype(np.int32)),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    def sessions_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > gap_us
+        session_start = (new_user | gap).astype(int)
+        df["session_idx"] = session_start.groupby(df["user_id"]).cumsum() - 1
+        g = df.groupby(["user_id", "session_idx"], sort=True).agg(
+            n_events=("ts", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        return g
+
+    return (
+        events_ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(sessions_in_bucket, batch_format="pandas")
+    )
+
+
+def event_type_stats(events_ds):
+    """Per event_type counts + value sum (simple wide aggregate)."""
+    return events_ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
