@@ -57,6 +57,46 @@ def _find_word_boundary(text: str, start: int, preferred_end: int) -> int | None
 
 HIERARCHICAL_SEPARATORS = ("\n\n", "\n", ". ", "! ", "? ", "; ", ": ", " ")
 
+_ABBREVIATIONS = ("dr", "mr", "mrs", "ms", "prof", "jr", "sr", "inc", "corp",
+                  "ltd", "co", "etc", "vs", "e.g", "i.e", "cf", "pp")
+
+
+def is_likely_abbreviation(text: str, period_pos: int) -> bool:
+    """Abbreviation/initial detection before a period
+    (text/chunking.rs:203-237): known abbreviation word immediately before
+    the period, or a single uppercase initial at position 1."""
+    if period_pos == 0:
+        return False
+    before = text[:period_pos]
+    word_start = before.rfind(" ")
+    if word_start != -1:
+        return before[word_start + 1:].lower() in _ABBREVIATIONS
+    if period_pos == 1 and before[:1].isupper():
+        return True
+    return False
+
+
+def find_sentence_boundary_smart(text: str, start: int, preferred_end: int
+                                 ) -> int | None:
+    """Abbreviation-aware sentence boundary (text/chunking.rs:155-199):
+    searches the last 300 chars of the window, requires the ending to be
+    followed by space/newline (or window end), and skips boundaries that
+    follow a likely abbreviation — 'Dr.' never ends a sentence."""
+    if start >= preferred_end:
+        return None
+    window = text[start:preferred_end]
+    search_start = max(0, len(window) - 300)
+    search = window[search_start:]
+    last_boundary = None
+    for i, ch in enumerate(search):
+        if ch in _SENTENCE_ENDINGS:
+            next_pos = i + 1
+            if next_pos >= len(search):
+                last_boundary = start + search_start + next_pos
+            elif search[next_pos] in (" ", "\n") and not is_likely_abbreviation(search, i):
+                last_boundary = start + search_start + next_pos
+    return last_boundary
+
 
 def _word_boundary_backward(text: str, pos: int) -> int:
     """Nearest word boundary going backward (text/chunking.rs:128-152)."""

@@ -86,12 +86,18 @@ COMMON_WORDS = frozenset(
 
 @dataclass
 class ExtractedEntity:
-    """One entity occurrence set within a chunk."""
+    """One entity occurrence set within a chunk.
+
+    ``n_mentions`` is always populated; ``mentions`` offsets are only
+    materialized when extraction runs ``with_offsets=True`` (the hot KG
+    path counts occurrences with C-level ``str.count`` instead of the
+    find-loop — same non-overlapping semantics, entity/mod.rs:613-625)."""
 
     entity_id: str
     name: str
     entity_type: str
     confidence: float
+    n_mentions: int = 0
     mentions: list[tuple[int, int]] = field(default_factory=list)  # (start, end)
 
 
@@ -165,14 +171,25 @@ def _entity_id(name: str, entity_type: str) -> str:
     return f"{entity_type}_{normalize_name(name)}"
 
 
-def _make_entity(name: str, entity_type: str, confidence: float, text: str) -> ExtractedEntity:
+def _make_entity(name: str, entity_type: str, confidence: float, text: str,
+                 with_offsets: bool = True) -> ExtractedEntity:
     """entity/mod.rs:602-631."""
+    if with_offsets:
+        mentions = _find_mentions(text, name)
+        return ExtractedEntity(
+            entity_id=_entity_id(name, entity_type),
+            name=name,
+            entity_type=entity_type,
+            confidence=confidence,
+            n_mentions=len(mentions),
+            mentions=mentions,
+        )
     return ExtractedEntity(
         entity_id=_entity_id(name, entity_type),
         name=name,
         entity_type=entity_type,
         confidence=confidence,
-        mentions=_find_mentions(text, name),
+        n_mentions=text.count(name),
     )
 
 
@@ -180,7 +197,7 @@ _KNOWN_LOWER = tuple(tuple(w.lower() for w in n.split()) for n in KNOWN_PERSON_N
 _KNOWN_FIRST = frozenset(w[0] for w in _KNOWN_LOWER)
 
 
-def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def _extract_persons(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """Four-phase PERSON extraction (entity/mod.rs:176-499).
 
     Per-chunk token attributes (cleaned form, capitalization, lowercase)
@@ -202,7 +219,7 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
             k = len(name_lower)
             if i + k <= n and all(lower[i + j] == name_lower[j] for j in range(k)):
                 if 0.95 >= min_confidence:
-                    out.append(_make_entity(name, "PERSON", 0.95, text))
+                    out.append(_make_entity(name, "PERSON", 0.95, text, with_offsets))
                 processed.update(range(i, i + k))
                 break
 
@@ -220,7 +237,7 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
                         processed.add(i + 2)
                         name = f"{next_word} {third}"
                 if 0.9 >= min_confidence:
-                    out.append(_make_entity(name, "PERSON", 0.9, text))
+                    out.append(_make_entity(name, "PERSON", 0.9, text, with_offsets))
                 processed.add(i)
                 processed.add(i + 1)
 
@@ -240,7 +257,7 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
             if _is_likely_person_name(name):
                 confidence = calculate_confidence(name, "PERSON")
                 if confidence >= min_confidence:
-                    out.append(_make_entity(name, "PERSON", confidence, text))
+                    out.append(_make_entity(name, "PERSON", confidence, text, with_offsets))
                 processed.add(i)
                 processed.add(i + 1)
 
@@ -254,11 +271,11 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
         if cap[i] and _is_likely_person_word(word):
             confidence = calculate_confidence(word, "PERSON")
             if confidence >= min_confidence:
-                out.append(_make_entity(word, "PERSON", confidence, text))
+                out.append(_make_entity(word, "PERSON", confidence, text, with_offsets))
     return out
 
 
-def _extract_organizations(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def _extract_organizations(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """ORG suffix/prefix scan — note: only the FIRST occurrence of each
     suffix/prefix is considered (entity/mod.rs:501-566 uses ``text.find``)."""
     out: list[ExtractedEntity] = []
@@ -271,7 +288,7 @@ def _extract_organizations(text: str, min_confidence: float) -> list[ExtractedEn
             if name and _is_likely_organization(name):
                 confidence = calculate_confidence(name, "ORGANIZATION")
                 if confidence >= min_confidence:
-                    out.append(_make_entity(name, "ORGANIZATION", confidence, text))
+                    out.append(_make_entity(name, "ORGANIZATION", confidence, text, with_offsets))
     for prefix in ORG_PREFIXES:
         pos = text.find(prefix)
         if pos != -1:
@@ -281,52 +298,52 @@ def _extract_organizations(text: str, min_confidence: float) -> list[ExtractedEn
             if name and len(name) > len(prefix):
                 confidence = calculate_confidence(name, "ORGANIZATION")
                 if confidence >= min_confidence:
-                    out.append(_make_entity(name, "ORGANIZATION", confidence, text))
+                    out.append(_make_entity(name, "ORGANIZATION", confidence, text, with_offsets))
     return out
 
 
-def _extract_locations(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def _extract_locations(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """Known-location containment scan (entity/mod.rs:569-600)."""
     out = []
     for location in KNOWN_LOCATIONS:
         if location in text:
             confidence = calculate_confidence(location, "LOCATION")
             if confidence >= min_confidence:
-                out.append(_make_entity(location, "LOCATION", confidence, text))
+                out.append(_make_entity(location, "LOCATION", confidence, text, with_offsets))
     return out
 
 
-def _extract_events(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def _extract_events(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """entity/mod.rs:985-1019."""
     lowered = text.lower()
     return [
-        _make_entity(w, "EVENT", 0.7, text)
+        _make_entity(w, "EVENT", 0.7, text, with_offsets)
         for w in EVENT_WORDS
         if w in lowered and 0.7 >= min_confidence
     ]
 
 
-def _extract_objects(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def _extract_objects(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """entity/mod.rs:1022-1057."""
     lowered = text.lower()
     return [
-        _make_entity(w, "OBJECT", 0.65, text)
+        _make_entity(w, "OBJECT", 0.65, text, with_offsets)
         for w in OBJECT_WORDS
         if w in lowered and 0.65 >= min_confidence
     ]
 
 
-def _extract_concepts(text: str, min_confidence: float, entity_type: str) -> list[ExtractedEntity]:
+def _extract_concepts(text: str, min_confidence: float, entity_type: str, with_offsets: bool = True) -> list[ExtractedEntity]:
     """entity/mod.rs:917-982."""
     out = []
     for raw in text.split():
         cw = clean_word(raw)
         if any(ind in cw for ind in CONCEPT_INDICATORS) and 0.75 >= min_confidence:
-            out.append(_make_entity(cw, entity_type, 0.75, text))
+            out.append(_make_entity(cw, entity_type, 0.75, text, with_offsets))
         if is_capitalized(raw) and len(raw) > 4:
             cw2 = clean_word(raw)
             if cw2.lower() not in COMMON_WORDS and 0.6 >= min_confidence:
-                out.append(_make_entity(cw2, entity_type, 0.6, text))
+                out.append(_make_entity(cw2, entity_type, 0.6, text, with_offsets))
     return out
 
 
@@ -347,6 +364,7 @@ def extract_entities(
     text: str,
     min_confidence: float = 0.7,
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
+    with_offsets: bool = True,
 ) -> list[ExtractedEntity]:
     """Per-chunk extraction pipeline (entity/mod.rs:114-173):
     type dispatch → per-chunk (name,type) dedup (merge mentions, max
@@ -355,11 +373,9 @@ def extract_entities(
     for etype in entity_types:
         fn = _TYPE_DISPATCH.get(etype)
         if fn is not None:
-            entities.extend(fn(text, min_confidence))
-        elif etype in ("CONCEPT", "THEORY", "THEME", "ARGUMENT", "IDEA"):
-            entities.extend(_extract_concepts(text, min_confidence, etype))
+            entities.extend(fn(text, min_confidence, with_offsets))
         else:
-            entities.extend(_extract_concepts(text, min_confidence, etype))
+            entities.extend(_extract_concepts(text, min_confidence, etype, with_offsets))
 
     # dedup by (name, type), merging mentions and keeping max confidence
     # (entity/mod.rs:788-809); Python dict preserves first-seen order, which
@@ -372,6 +388,7 @@ def extract_entities(
             unique[key] = ent
         else:
             existing.mentions.extend(ent.mentions)
+            existing.n_mentions += ent.n_mentions
             if ent.confidence > existing.confidence:
                 existing.confidence = ent.confidence
     return [e for e in unique.values() if e.confidence >= min_confidence]

@@ -50,7 +50,7 @@ def run_oracle(documents: list[tuple[str, str]], cfg: PipelineConfig = DEFAULT_C
                 res.entity_rows.append(
                     {"doc_id": doc_id, "chunk_id": chunk_id, "entity_id": e.entity_id,
                      "name": e.name, "entity_type": e.entity_type,
-                     "confidence": e.confidence, "n_mentions": len(e.mentions)}
+                     "confidence": e.confidence, "n_mentions": e.n_mentions}
                 )
             if cfg.extract_relationships and len(ents) >= 2:
                 for src, dst, rel in extract_relationships(ents, content):

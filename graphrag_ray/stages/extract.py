@@ -63,16 +63,17 @@ class PatternExtractor:
         edge_acc: dict[tuple[str, str, str], list] = {}  # (src,dst,rel) -> [n,contexts]
 
         for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, contents):
-            ents = extract_entities(text, self.min_confidence, self.entity_types)
+            ents = extract_entities(text, self.min_confidence, self.entity_types,
+                                     with_offsets=False)
             for ent in ents:
                 key = (doc_id, ent.name, ent.entity_type)
                 slot = ent_acc.get(key)
                 if slot is None:
-                    ent_acc[key] = [ent.entity_id, ent.confidence, 1, len(ent.mentions)]
+                    ent_acc[key] = [ent.entity_id, ent.confidence, 1, ent.n_mentions]
                 else:
                     slot[1] = max(slot[1], ent.confidence)
                     slot[2] += 1
-                    slot[3] += len(ent.mentions)
+                    slot[3] += ent.n_mentions
             if self.extract_rels and len(ents) >= 2:
                 for src, dst, rel in extract_relationships(ents, text):
                     ekey = (src, dst, rel)

@@ -52,3 +52,22 @@ def test_monotone_and_deterministic():
     assert a == b
     ends = [e for _, _, e in a]
     assert ends == sorted(ends)
+
+
+def test_abbreviation_detection():
+    from graphrag_ray.functions.chunking import (find_sentence_boundary_smart,
+                                                 is_likely_abbreviation)
+
+    text = "We met Dr. Smith today. He was fine and then some more text"
+    # the period after "Dr" is flagged as abbreviation
+    assert is_likely_abbreviation(text, text.index("Dr.") + 2)
+    # ...so the smart boundary lands after "today.", not after "Dr."
+    b = find_sentence_boundary_smart(text, 0, len(text))
+    assert text[:b].endswith("today. ") or text[:b].endswith("today.")
+
+
+def test_single_initial_is_abbreviation():
+    from graphrag_ray.functions.chunking import is_likely_abbreviation
+
+    assert is_likely_abbreviation("J. Smith", 1)
+    assert not is_likely_abbreviation("x. Smith", 1)
