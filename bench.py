@@ -26,7 +26,7 @@ import subprocess
 import sys
 import time
 
-FACTOR = int(os.environ.get("GRAFT_SYNTH_FACTOR", "128"))
+FACTOR = int(os.environ.get("GRAFT_SYNTH_FACTOR", "256"))
 
 
 def ensure_corpus(sf_dir: str) -> str:
@@ -129,8 +129,12 @@ def run_bench() -> dict:
     return result
 
 
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 (N→4N proxy)."""
+    """Same job, fresh processes, num_cpus=N then 4N (cluster-size proxy)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -140,16 +144,16 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(SCALE_LO), run(SCALE_HI)
     tput_lo = lo["triples_per_sec"]
     tput_hi = hi["triples_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (SCALE_HI / SCALE_LO)
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "triples_per_sec_8": tput_lo,
-        "triples_per_sec_32": tput_hi,
+        "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}_cpus",
+        f"sec_{SCALE_LO}": lo["value"],
+        f"sec_{SCALE_HI}": hi["value"],
+        f"triples_per_sec_{SCALE_LO}": tput_lo,
+        f"triples_per_sec_{SCALE_HI}": tput_hi,
         "speedup": round(tput_hi / tput_lo, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],

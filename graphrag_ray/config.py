@@ -60,7 +60,7 @@ class PipelineConfig:
     # documents per fused chunk+extract UDF call; also the docs-per-task
     # granularity of the hot stage (bigger → better combiner compression,
     # smaller → more parallelism)
-    extract_batch_size: int = 16
+    extract_batch_size: int = 48
     extract_concurrency: int | None = None  # None → let Ray elastically size
 
     # --- checkpointing
