@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
+        "ann_ivf_topk": q.ann_ivf_topk,          # rows-only (approximate)
         # --- KG construction (rows-only; parity gated by tests/)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,

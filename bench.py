@@ -26,7 +26,21 @@ import subprocess
 import sys
 import time
 
+# Honest CPU accounting for the scaling measurement: without this, pyarrow
+# compute/IO pools and OMP threads use ALL machine cores regardless of
+# ray.init(num_cpus=N), silently inflating the low-N baseline. Must be set
+# before ray.init so worker processes inherit it.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("ARROW_IO_THREADS", "2")
+
 FACTOR = int(os.environ.get("GRAFT_SYNTH_FACTOR", "256"))
+
+
+def _pin_driver_threads() -> None:
+    import pyarrow as pa
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
 
 
 def ensure_corpus(sf_dir: str) -> str:
@@ -52,6 +66,7 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    _pin_driver_threads()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")

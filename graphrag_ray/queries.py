@@ -473,3 +473,16 @@ def events_type_stats(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return _round_col(event_type_stats(ds), "sum_value")
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10):
+    """IVF-bucketed approximate top-k: seeded k-means coarse quantizer
+    trained on a sample, query probes its nprobe nearest cells."""
+    q = _query_vector(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sample = np.array(tbl["embedding"].to_pylist()[:1024], dtype=np.float32)
+    centroids = ann.train_ivf_centroids(sample)
+    partials = _embeddings(sf_dir).map_batches(
+        ann.make_ivf_topk_partial_fn(q, k, centroids), batch_format="pyarrow"
+    )
+    return ann.finalize_topk(partials, k)

@@ -158,3 +158,63 @@ def make_lsh_topk_partial_fn(query: np.ndarray, k: int, dim: int, radius: int = 
         )
 
     return lsh_partial
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the other scale path
+
+IVF_SEED = 11
+
+
+def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
+                        iterations: int = 10) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample (the IVF coarse
+    quantizer). Deterministic: fixed seed, fixed iteration count."""
+    rng = np.random.RandomState(IVF_SEED)
+    n = len(sample)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    k = min(n_centroids, n)
+    centroids = sample[rng.choice(n, size=k, replace=False)].astype(np.float32)
+    for _ in range(iterations):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def make_ivf_topk_partial_fn(query: np.ndarray, k: int,
+                             centroids: np.ndarray, nprobe: int = 4):
+    """Score only rows assigned to the query's ``nprobe`` nearest
+    centroids — per-batch candidate pruning, exact cosine on survivors."""
+    q = query.astype(np.float32)
+    qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd, kind="stable")[:nprobe].tolist())
+
+    def ivf_partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        empty = pa.Table.from_pydict(
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+        if len(mat) == 0 or len(centroids) == 0:
+            return empty
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        mask = np.isin(assign, list(probe))
+        if not mask.any():
+            return empty
+        sub, sub_ids = mat[mask], vec_ids[mask]
+        sims = _sql_round4(cosine_sims(sub, q).astype(np.float64))
+        order = np.lexsort((sub_ids, -sims))[:k]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(sub_ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return ivf_partial
