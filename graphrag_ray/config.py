@@ -38,6 +38,11 @@ class PipelineConfig:
     # hot-key skew: number of salt partitions for the two-phase
     # canonicalization aggregate (0/1 disables the salted intermediate)
     salt_partitions: int = 8
+    # 'tree' = sort-free hierarchical combine ending in a single finalize
+    # task (right while distinct entity keys fit one task's memory);
+    # 'salted_groupby' = keyed (bucket, salt) exchange — the path for
+    # key spaces beyond single-task scale
+    canonical_merge: str = "tree"
 
     # --- edges
     max_contexts_per_edge: int = 8  # provenance sample cap per edge

@@ -129,24 +129,33 @@ def build_kg(
             batch_format="pyarrow",
             batch_size=None,  # full-block batches: per-batch combiner
         )
-        # sort-free pre-combine (repartition = block concat, no keyed
-        # shuffle): collapses per-batch partials per (key, salt) so the
-        # salted exchange below moves a few thousand rows, not one row per
-        # input block per key
-        partials = partials.repartition(32).map_batches(
+        finalize = make_finalize_bucket_fn(cfg.fuzzy_threshold,
+                                           cfg.max_edit_distance,
+                                           cfg.use_phonetic)
+        if cfg.canonical_merge == "salted_groupby":
+            # keyed exchange with fan-in per hot key bounded by the salt
+            # (explicit skew handling); the path for key spaces beyond
+            # single-task scale
+            if cfg.salt_partitions > 1:
+                partials = partials.groupby(["bucket", "salt"]).map_groups(
+                    make_salted_merge_fn(), batch_format="pyarrow"
+                )
+            return partials.groupby("bucket").map_groups(
+                finalize, batch_format="pyarrow"
+            )
+        # sort-free hierarchical combine (repartition = block concat, no
+        # keyed shuffle; Ray's AllToAll reduce phases showed single-task
+        # serial tails): per-block combine per (key, salt), fan in 8 → 1,
+        # then one finalize task grouping blocking keys internally
+        combined = partials.map_batches(
             make_salted_merge_fn(), batch_format="pyarrow", batch_size=None
         )
-        if cfg.salt_partitions > 1:
-            # the salted groupby-aggregate: fan-in per hot key bounded by
-            # salt_partitions (explicit hot-entity skew handling)
-            partials = partials.groupby(["bucket", "salt"]).map_groups(
-                make_salted_merge_fn(), batch_format="pyarrow"
+        for n in (8, 1):
+            combined = combined.repartition(n).map_batches(
+                make_salted_merge_fn(), batch_format="pyarrow", batch_size=None
             )
-        return partials.repartition(8).groupby("bucket").map_groups(
-            make_finalize_bucket_fn(cfg.fuzzy_threshold, cfg.max_edit_distance,
-                                    cfg.use_phonetic),
-            batch_format="pyarrow",
-        )
+        return combined.map_batches(finalize, batch_format="pyarrow",
+                                    batch_size=None)
 
     if cfg.checkpoint:
         canonical_full = ckpt.load_or_compute("canonical", compute_canonical,

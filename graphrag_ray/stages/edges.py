@@ -147,7 +147,7 @@ class EdgeRewriter:
         )
 
 
-def tree_merge_edges(ds, levels=(64, 8, 1)):
+def tree_merge_edges(ds, levels=(8, 1)):
     """Sort-free reduce tree: repartition (block concatenation, no keyed
     shuffle) + vectorized associative merge per partition, fanning in to a
     final merge. For corpora where the *distinct*-edge set itself outgrows

@@ -257,3 +257,28 @@ def test_incremental_matches_full_rebuild(ray_session):
                 for r in res.triples.take_all()}
 
     assert tset(inc) == tset(full)
+
+
+# --- RAPTOR summary tree (A10)
+
+def test_summary_tree(ray_session):
+    import ray as _ray
+
+    import pyarrow as pa
+
+    from graphrag_ray.stages.raptor import build_summary_tree
+
+    chunks = _ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": [f"d{i//3}" for i in range(12)],
+        "chunk_idx": [i % 3 for i in range(12)],
+        "content": [f"Sentence number {i} talks about Alice Harmon. More text follows here."
+                    for i in range(12)],
+    }))
+    tree = build_summary_tree(chunks, merge_size=5)
+    lvl0 = tree[tree["level"] == 0]
+    assert len(lvl0) == 12
+    top = tree[tree["level"] == tree["level"].max()]
+    assert len(top) == 1  # single root
+    # 12 -> 3 -> 1 with merge_size 5
+    assert set(tree["level"]) == {0, 1, 2}
+    assert all(tree["summary"].str.len() > 0)
