@@ -144,8 +144,13 @@ def run_bench() -> dict:
     return result
 
 
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+# Default N→4N pair: 2→8. A pure-CPU control (multiprocessing busy-loop)
+# shows this VM saturates beyond ~12 concurrent CPUs (efficiency ceiling
+# 0.76 at 16, 0.66 at 32 even for embarrassingly parallel work), so 2→8 is
+# the regime where num_cpus=N honestly models N nodes; the 8→32 pair is
+# reported alongside the measured hardware ceiling in BASELINE.md.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 
 
 def run_scaling() -> dict:

@@ -63,8 +63,8 @@ def build_kg_from_extraction(extraction: "ray.data.Dataset", cfg: PipelineConfig
                                        make_finalize_bucket_fn,
                                        make_partial_aggregate_fn,
                                        make_salted_merge_fn)
-    from ..stages.edges import (EdgeRewriter, finalize_edges,
-                                make_alias_broadcast, merge_edges,
+    from ..stages.edges import (finalize_edges, make_alias_broadcast,
+                                make_edge_rewrite_fn, merge_edges,
                                 tree_merge_edges, triples_projection)
 
     t0 = time.perf_counter()
@@ -93,13 +93,9 @@ def build_kg_from_extraction(extraction: "ray.data.Dataset", cfg: PipelineConfig
                                    alias_tbl["canonical_name"])
     }
     alias_ref = ray.put(make_alias_broadcast(alias_dict))
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     rewritten = extraction.map_batches(
-        EdgeRewriter,
-        fn_constructor_kwargs={"alias_ref": alias_ref,
-                               "max_contexts": cfg.max_contexts_per_edge},
+        make_edge_rewrite_fn(alias_ref, max_contexts=cfg.max_contexts_per_edge),
         batch_format="pyarrow", batch_size=None,
-        concurrency=(1, max(4, n_cpus)), num_cpus=1,
     )
     edges_full = (rewritten.groupby("bucket").map_groups(merge_edges, batch_format="pyarrow")
                   if cfg.edge_merge == "groupby" else

