@@ -6,16 +6,17 @@ spans corpus (the north-rule input shape) → chunk → extract → canonicalize
 → edges → triples → communities. Input corpus is synthesized
 deterministically ONCE (untimed prep, cached under /tmp keyed by sf+factor)
 from $GRAFT_SF_DIR's documents table with GRAFT_SYNTH_FACTOR× sentences per
-doc (default 128 → ~25 KB text/doc, realistic document sizes), then the
+doc (default 256 → ~50 KB text/doc, realistic document sizes), then the
 timed pipeline reads it like any production spans table.
 
 Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "triples_per_sec": ..., ...}
 
---scaling: runs the plain bench twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs plus scaling
-efficiency (sandbox proxy for N→4N nodes, per BASELINE.md).
+--scaling: runs the plain bench twice in fresh processes at num_cpus=N and
+4N (default 2 and 8 — see SCALE_LO comment) on the same input and reports
+both throughputs plus scaling efficiency (sandbox proxy for N→4N nodes,
+per BASELINE.md).
 """
 
 from __future__ import annotations
