@@ -153,9 +153,8 @@ def build_kg(
         # config when the key space outgrows one process.
         import pyarrow as _pa
 
-        blocks = ray.get(partials.to_arrow_refs())
-        full = _pa.concat_tables([b for b in blocks if b.num_rows],
-                                 promote_options="default") if blocks else None
+        blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+        full = _pa.concat_tables(blocks, promote_options="default") if blocks else None
         if full is None or full.num_rows == 0:
             from ..stages.canonicalize import CANONICAL_FULL_SCHEMA
 
@@ -172,12 +171,17 @@ def build_kg(
     # --- broadcast alias→canonical map (J2)
     alias_rows = canonical_full.map_batches(explode_alias_map, batch_format="pyarrow")
     alias_tbl = alias_rows.to_pandas()
-    alias_dict = {
-        eid: (cid, cname)
-        for eid, cid, cname in zip(
-            alias_tbl["entity_id"], alias_tbl["canonical_id"], alias_tbl["canonical_name"]
-        )
-    }
+    alias_dict = (
+        {
+            eid: (cid, cname)
+            for eid, cid, cname in zip(
+                alias_tbl["entity_id"], alias_tbl["canonical_id"],
+                alias_tbl["canonical_name"]
+            )
+        }
+        if len(alias_tbl)
+        else {}
+    )
     alias_ref = ray.put(make_alias_broadcast(alias_dict))
     mark("alias_broadcast")
 

@@ -60,3 +60,32 @@ def load_workspace(path: str) -> dict:
 def workspace_exists(path: str) -> bool:
     """Resume probe (lifecycle.rs:64-110 load-if-exists semantics)."""
     return os.path.exists(os.path.join(path, "workspace.json"))
+
+
+def save_graph_json(path: str, entities_ds, edges_ds, metadata: dict | None = None) -> None:
+    """S6: whole-graph JSON snapshot with a metadata header
+    (core/mod.rs:498-770) — a small-scale debug sink, not the scale path."""
+    import json as _json
+
+    snapshot = {
+        "metadata": {"format": "graphrag_ray-graph-v1", **(metadata or {})},
+        "entities": entities_ds.take_all(),
+        "edges": edges_ds.take_all(),
+    }
+    with open(path, "w") as f:
+        _json.dump(snapshot, f, default=str)
+
+
+def load_graph_json(path: str) -> dict:
+    import json as _json
+
+    with open(path) as f:
+        snap = _json.load(f)
+    import ray as _ray
+
+    out = {"metadata": snap.get("metadata", {})}
+    if snap.get("entities"):
+        out["entities"] = _ray.data.from_items(snap["entities"])
+    if snap.get("edges"):
+        out["edges"] = _ray.data.from_items(snap["edges"])
+    return out
