@@ -435,7 +435,6 @@ def kg_validated_facts(sf_dir: str):
 
 def _round_col(ds, col: str, digits: int = 4):
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def do(batch: pa.Table) -> pa.Table:
         import numpy as np
