@@ -148,19 +148,63 @@ def _summaries(
     return out
 
 
+def _contract(partition: dict[str, int], edges: list[tuple[str, str]]
+              ) -> tuple[list[str], list[tuple[str, str]]]:
+    """Contract each community into a supernode (id = 'c<id>'); inter-
+    community edges survive with multiplicity (the hierarchical Leiden
+    aggregation step)."""
+    nodes = sorted({f"c{c}" for c in partition.values()})
+    contracted = []
+    for a, b in edges:
+        ca, cb = partition.get(a), partition.get(b)
+        if ca is None or cb is None or ca == cb:
+            continue
+        contracted.append((f"c{ca}", f"c{cb}"))
+    return nodes, contracted
+
+
 @ray.remote
-def _detect_task(nodes, edges, meta, resolution, max_iterations, max_length):
-    partition = _leiden_partition(nodes, edges, resolution, max_iterations)
-    communities = pd.DataFrame(
-        {
-            "level": 0,
-            "community_id": [partition[n] for n in sorted(partition)],
-            "entity_id": sorted(partition),
-        }
-    )
+def _detect_task(nodes, edges, meta, resolution, max_iterations, max_length,
+                 max_levels):
+    """Hierarchical detection: level 0 on the entity graph, then contract
+    communities into supernodes and repeat until the partition stops
+    changing or max_levels is reached (north-star hierarchical summaries;
+    the reference structures HierarchicalCommunities the same way,
+    graph/leiden.rs:40-55, filling level 0)."""
+    comm_rows = []
+    summary_rows = []
+    cur_nodes, cur_edges, cur_meta = nodes, edges, dict(meta)
+    # entity → community chain so deeper levels still map back to entities
+    entity_to_comm = {n: n for n in nodes}
+    for level in range(max_levels):
+        partition = _leiden_partition(cur_nodes, cur_edges, resolution,
+                                      max_iterations)
+        entity_to_comm = {e: partition[c] for e, c in entity_to_comm.items()
+                          if c in partition}
+        for entity_id in sorted(entity_to_comm):
+            comm_rows.append({"level": level, "community_id":
+                              entity_to_comm[entity_id], "entity_id": entity_id})
+        level_meta = {}
+        by_comm: dict[int, list[str]] = {}
+        for e, c in entity_to_comm.items():
+            by_comm.setdefault(c, []).append(e)
+        ent_partition = dict(entity_to_comm)
+        summary_rows.extend(_summaries(ent_partition, meta, level, max_length))
+        n_comms = len(set(partition.values()))
+        if n_comms >= len(cur_nodes) or n_comms <= 1:
+            break  # no further contraction possible
+        cur_nodes, cur_edges = _contract(partition, cur_edges)
+        entity_to_comm = {e: f"c{c}" for e, c in entity_to_comm.items()}
+        _ = level_meta
+    communities = pd.DataFrame(comm_rows, columns=["level", "community_id",
+                                                   "entity_id"])
+    if communities.empty:
+        communities = pd.DataFrame({"level": pd.Series(dtype="int32"),
+                                    "community_id": pd.Series(dtype="int64"),
+                                    "entity_id": pd.Series(dtype="str")})
     communities["level"] = communities["level"].astype("int32")
     communities["community_id"] = communities["community_id"].astype("int64")
-    summaries = pd.DataFrame(_summaries(partition, meta, 0, max_length))
+    summaries = pd.DataFrame(summary_rows)
     if summaries.empty:
         summaries = pd.DataFrame(
             {"level": pd.Series(dtype="int32"),
@@ -177,8 +221,10 @@ def detect_communities(
     resolution: float = 1.0,
     max_iterations: int = 100,
     summary_max_length: int = 2000,
+    max_levels: int = 3,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """Collect the (small) canonical graph and run Leiden in one Ray task."""
+    """Collect the (small) canonical graph and run hierarchical Leiden in
+    one Ray task (level 0 + contracted levels, ≤ max_levels)."""
     ent = entities_ds.select_columns(["canonical_id", "canonical_name", "entity_type"]).take_all()
     edg = edges_ds.select_columns(["src", "dst"]).take_all()
     nodes = [r["canonical_id"] for r in ent]
@@ -186,6 +232,6 @@ def detect_communities(
     edges = [(r["src"], r["dst"]) for r in edg]
     communities, summaries = ray.get(
         _detect_task.remote(nodes, edges, meta, resolution, max_iterations,
-                            summary_max_length)
+                            summary_max_length, max_levels)
     )
     return ray.data.from_pandas(communities), ray.data.from_pandas(summaries)

@@ -84,3 +84,36 @@ def test_detect_communities_datasets(ray_session):
     cdf = comms.to_pandas()
     assert set(cdf["entity_id"]) == {"A", "B", "C"}
     assert sums.count() >= 1
+
+
+def test_hierarchical_levels(ray_session):
+    import pandas as pd
+
+    # 4 triangles chained by single bridges: level 0 → 4 communities,
+    # level 1 contracts them further
+    nodes, edges = [], []
+    for g in range(4):
+        a, b, c = f"g{g}a", f"g{g}b", f"g{g}c"
+        nodes += [a, b, c]
+        edges += [(a, b), (b, c), (a, c)]
+    for g in range(3):
+        edges.append((f"g{g}c", f"g{g+1}a"))
+    ents = ray.data.from_pandas(pd.DataFrame({
+        "canonical_id": nodes,
+        "canonical_name": nodes,
+        "entity_type": ["PERSON"] * len(nodes),
+    }))
+    edf = ray.data.from_pandas(pd.DataFrame({
+        "src": [e[0] for e in edges], "dst": [e[1] for e in edges],
+    }))
+    comms, sums = detect_communities(ents, edf, max_levels=3)
+    cdf = comms.to_pandas()
+    assert set(cdf["level"]) >= {0, 1}
+    lvl0 = cdf[cdf["level"] == 0]
+    # level 0 finds the 4 triangles
+    assert lvl0.groupby("community_id")["entity_id"].count().tolist() == [3, 3, 3, 3]
+    # every entity appears at every level present
+    for lvl in set(cdf["level"]):
+        assert set(cdf[cdf["level"] == lvl]["entity_id"]) == set(nodes)
+    sdf = sums.to_pandas()
+    assert set(sdf["level"]) == set(cdf["level"])
