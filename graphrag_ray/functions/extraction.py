@@ -360,11 +360,46 @@ _TYPE_DISPATCH = {
 }
 
 
+def apply_pattern_filtering(
+    entities: list[ExtractedEntity],
+    allowed_patterns: tuple[str, ...] = (),
+    excluded_patterns: tuple[str, ...] = (),
+) -> list[ExtractedEntity]:
+    """M8 allow/deny regex filtering on entity names
+    (entity/mod.rs:882-915): with allow-patterns present an entity must
+    match at least one; any excluded-pattern match drops it."""
+    import re
+
+    if not allowed_patterns and not excluded_patterns:
+        return entities
+    allow = [re.compile(p) for p in allowed_patterns]
+    deny = [re.compile(p) for p in excluded_patterns]
+    out = []
+    for e in entities:
+        if allow and not any(p.search(e.name) for p in allow):
+            continue
+        if deny and any(p.search(e.name) for p in deny):
+            continue
+        out.append(e)
+    return out
+
+
+def quality_filter(entities: list[ExtractedEntity],
+                   min_confidence: float = 0.3,
+                   min_name_len: int = 2) -> list[ExtractedEntity]:
+    """M7 corpus-level quality gate (corpus/collection_processor.rs:293-306):
+    drop entities below the confidence floor or with names shorter than 2."""
+    return [e for e in entities
+            if e.confidence >= min_confidence and len(e.name) >= min_name_len]
+
+
 def extract_entities(
     text: str,
     min_confidence: float = 0.7,
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
     with_offsets: bool = True,
+    allowed_patterns: tuple[str, ...] = (),
+    excluded_patterns: tuple[str, ...] = (),
 ) -> list[ExtractedEntity]:
     """Per-chunk extraction pipeline (entity/mod.rs:114-173):
     type dispatch → per-chunk (name,type) dedup (merge mentions, max
@@ -376,6 +411,8 @@ def extract_entities(
             entities.extend(fn(text, min_confidence, with_offsets))
         else:
             entities.extend(_extract_concepts(text, min_confidence, etype, with_offsets))
+
+    entities = apply_pattern_filtering(entities, allowed_patterns, excluded_patterns)
 
     # dedup by (name, type), merging mentions and keeping max confidence
     # (entity/mod.rs:788-809); Python dict preserves first-seen order, which

@@ -127,3 +127,28 @@ def test_relationships_all_pairs():
     assert len(rels) == n * (n - 1) // 2
     triples = {(s, d, r) for s, d, r in rels}
     assert ("PERSON_aliceharmon", "ORGANIZATION_corp", "WORKS_FOR") in triples
+
+
+def test_pattern_filtering():
+    from graphrag_ray.functions.extraction import extract_entities
+
+    text = "Alice Harmon met Bob Tanner in Tokyo."
+    # deny: drop names containing 'Tanner'
+    ents = extract_entities(text, 0.7, excluded_patterns=("Tanner",))
+    names = {e.name for e in ents}
+    assert "Alice Harmon" in names and "Bob Tanner" not in names
+    # allow: only names matching 'Harmon'
+    ents2 = extract_entities(text, 0.7, allowed_patterns=("Harmon",))
+    assert {e.name for e in ents2} == {"Alice Harmon"}
+
+
+def test_quality_filter():
+    from graphrag_ray.functions.extraction import ExtractedEntity, quality_filter
+
+    ents = [
+        ExtractedEntity("P_ok", "Ok Name", "PERSON", 0.8, 1),
+        ExtractedEntity("P_low", "Low", "PERSON", 0.2, 1),
+        ExtractedEntity("P_tiny", "X", "PERSON", 0.9, 1),
+    ]
+    out = quality_filter(ents)
+    assert [e.entity_id for e in out] == ["P_ok"]
