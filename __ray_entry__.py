@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q.term_stats,
         "term_cooccur": q.term_cooccur,
         "top_terms": q.top_terms,
+        "doc_length_histogram": q.doc_length_histogram,
+        # --- join patterns (SQL-oracled)
+        "nation_region_join": q.nation_region_join,
+        "customer_order_counts": q.customer_order_counts,
         # --- dedup family
         "dedup_exact": q.dedup_exact,           # SQL-oracled
         "dedup_simhash": q.dedup_simhash,        # rows-only (signature table)
@@ -150,6 +154,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM (SELECT unnest({_TOKS}) AS term FROM documents)
             GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+        """,
+        "doc_length_histogram": """
+            SELECT (length(text) // 100)::BIGINT AS len_bucket,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "nation_region_join": """
+            SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "customer_order_counts": """
+            SELECT o.o_custkey, count(*)::BIGINT AS n, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -485,3 +485,50 @@ def ann_ivf_topk(sf_dir: str, k: int = 10):
         ann.make_ivf_topk_partial_fn(q, k, centroids), batch_format="pyarrow"
     )
     return ann.finalize_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# join-pattern operators over the relational tables (J-family, SQL-oracled)
+
+
+def nation_region_join(sf_dir: str):
+    """Broadcast join: nations (large side role) × regions (broadcast)."""
+    from .stages.joins import broadcast_join
+
+    nations = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    regions = pq.read_table(f"{sf_dir}/region.parquet")
+    return broadcast_join(nations, regions, key="n_regionkey",
+                          small_key="r_regionkey")
+
+
+def customer_order_counts(sf_dir: str):
+    """Bucketed count-join: order counts per customer + customer name."""
+    from .stages.joins import bucketed_count_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    customers = pq.read_table(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    out = bucketed_count_join(orders, "o_custkey", customers, "c_custkey",
+                              "c_name")
+    return out
+
+
+def doc_length_histogram(sf_dir: str):
+    """Bucketed doc-length histogram (100-char buckets)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lengths = [len(t or "") // 100 for t in batch.column("text").to_pylist()]
+        acc: dict[int, int] = {}
+        for b in lengths:
+            acc[b] = acc.get(b, 0) + 1
+        return pa.Table.from_pydict(
+            {"len_bucket": pa.array(list(acc.keys()), pa.int64()),
+             "n_docs": pa.array(list(acc.values()), pa.int64())}
+        )
+
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("len_bucket").aggregate(Sum("n_docs", alias_name="n_docs")))
