@@ -105,19 +105,25 @@ class CheckpointManager:
                     attempt = int(json.load(f).get("attempt", 0)) + 1
             except (OSError, json.JSONDecodeError, ValueError):
                 attempt = 1
+        import time
+
         tmp = d + f".tmp-{uuid.uuid4().hex[:8]}"
         shutil.rmtree(d, ignore_errors=True)
+        t0 = time.perf_counter()
         ds = compute()
         stamped = ds.map_batches(
             make_lineage_stamper(stage, attempt, key_column), batch_format="pyarrow"
         )
         stamped.write_parquet(tmp)
         os.replace(tmp, d)
+        elapsed = time.perf_counter() - t0
         n_rows = ray.data.read_parquet(d).count()
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(
                 {"stage": stage, "config_hash": self.config_hash,
-                 "rows": n_rows, "attempt": attempt},
+                 "rows": n_rows, "attempt": attempt,
+                 "elapsed_sec": round(elapsed, 3),
+                 "rows_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else None},
                 f,
             )
         with open(os.path.join(d, "_SUCCESS"), "w") as f:
