@@ -58,6 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
         "ann_ivf_topk": q.ann_ivf_topk,          # rows-only (approximate)
+        # --- kgx: KG pipeline over the md5-derived oracle corpus
+        #     (SQL-oracled end-to-end: extract → canonicalize → edges)
+        "kgx_doc_entities": q.kgx_doc_entities,
+        "kgx_entities": q.kgx_entities,
+        "kgx_alias_map": q.kgx_alias_map,
+        "kgx_edges": q.kgx_edges,
+        "kgx_triples": q.kgx_triples,
         # --- KG construction (rows-only; parity gated by tests/)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
@@ -86,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphrag_ray import kgx as _kgx_sql
+
     return {
         "doc_token_stats": f"""
             SELECT doc_id,
@@ -213,6 +222,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1
         """,
+        "kgx_doc_entities": _kgx_sql.kgx_doc_entities_sql(),
+        "kgx_entities": _kgx_sql.kgx_entities_sql(),
+        "kgx_alias_map": _kgx_sql.kgx_alias_map_sql(),
+        "kgx_edges": _kgx_sql.kgx_edges_sql(),
+        "kgx_triples": _kgx_sql.kgx_triples_sql(),
         "ann_topk": """
             SELECT vec_id::BIGINT AS vec_id,
                    round(list_cosine_similarity(embedding,

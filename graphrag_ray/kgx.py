@@ -1,0 +1,323 @@
+"""kgx: a SQL-reproducible KG-extraction oracle corpus.
+
+Round-1 verdict: the KG surfaces had no independent driver-checkable oracle
+(the pytest parity oracle shares ``functions/extraction.py`` with the
+pipeline). This module breaks that circularity:
+
+1. A deterministic entity-bearing corpus is derived from ``documents.doc_id``
+   via **md5 arithmetic only** (``int(md5(f"kgx:{doc}:{i}")[:8], 16)``), which
+   DuckDB reproduces bit-exactly (``('0x'||substr(md5(s),1,8))::BIGINT``).
+   Sentence templates + name pools are chosen so extraction semantics are
+   fully hand-derivable (one sentence per doc, one chunk per doc).
+2. The Ray side runs the REAL distributed pipeline (chunk → extract →
+   salted-groupby canonicalization → edge groupby dedup) over that corpus.
+3. The DuckDB oracle derives the EXPECTED entities/canonicals/edges/triples
+   from hand-written per-template expectation constants (`KGX_TEMPLATES`)
+   — it never calls the extraction code, so a transcription bug in the
+   pipeline cannot silently pass.
+
+Hand-derivation notes (validated by tests/test_kgx.py against the pure
+extractor, reference semantics entity/mod.rs:114-1108):
+
+- two-word slot values ("Alice Harmon", "Acme Corp", "New York") are
+  extracted as PERSON by phase 3 with confidence 0.8 (0.5 + 0.2 two-word
+  + 0.1 capitalized);
+- title templates extract the person via phase 2 at confidence 0.9;
+- the ORG suffix scan emits only the bare suffix word ("Corp"/"Inc"/"LLC";
+  reference entity/mod.rs:521-524 takes text[rfind(' ')+1 .. suffix_end]),
+  confidence 0.9; orgs whose suffix is not an ORG_INDICATOR (e.g. "Stark
+  Solutions") produce NO ORGANIZATION entity;
+- known locations are extracted as LOCATION with confidence 0.9; two-word
+  locations additionally as PERSON (phase 3);
+- relationships: all co-occurring entity pairs ordered by extraction order
+  (persons by sentence position, then ORG-suffix, then LOCATION), typed by
+  the per-template context keywords (entity/mod.rs:841-879) — the ``po``
+  ``pl`` ``ol`` ``pp`` fields below are the hand-derived types;
+- the pools are chosen collision-free: no two entity names in the same
+  fuzzy block (type, soundex(first token)) reach similarity 0.85, so
+  canonicalization reduces to exact (type, name) grouping with
+  doc_frequency = distinct docs, mention_count = appearances,
+  confidence = max (0.9 iff the entity ever appeared in a title template).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from .schemas import DOCUMENTS
+
+# ---------------------------------------------------------------------------
+# pools (soundex-block-collision-free; see tests/test_kgx.py)
+
+KGX_PERSONS = (
+    "Alice Harmon", "Bob Tanner", "Carol Mendez", "David Okafor",
+    "Elena Vasquez", "Frank Larson", "Grace Whitfield", "Henry Donovan",
+    "Irene Ferguson", "James Galloway", "Karen Hampton", "Louis Ingram",
+    "Maria Jamison", "Nathan Kessler", "Olivia Lockhart", "Peter Morrison",
+    "Quinn Norwood", "Robert Oakley", "Sarah Pemberton", "Thomas Quimby",
+)
+
+# (name, extracted ORGANIZATION entity name or None)
+KGX_ORGS = (
+    ("Acme Corp", "Corp"),
+    ("Hooli Inc", "Inc"),
+    ("Initech LLC", "LLC"),
+    ("Stark Solutions", None),  # "Solutions" is no ORG_INDICATOR → dropped
+)
+
+# (name, is_two_word → also extracted as PERSON via phase 3)
+KGX_LOCS = (
+    ("Tokyo", False), ("London", False), ("Berlin", False),
+    ("Boston", False), ("Chicago", False), ("New York", True),
+)
+
+KGX_TITLES = ("Dr.", "Prof.")
+
+# Hand-written expectations per template: sentence slot positions
+# (pos_* = 1-based sentence order, None = absent) and the four context
+# relation types (entity/mod.rs:841-879) derived from the template words.
+KGX_TEMPLATES = (
+    dict(text="{p} works for {o} in {l}.", pos_p=1, pos_p2=None, pos_o=2,
+         pos_l=3, titled=False, po="WORKS_FOR", pl="ASSOCIATED_WITH",
+         ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} founded {o} two years ago.", pos_p=1, pos_p2=None,
+         pos_o=2, pos_l=None, titled=False, po="LEADS",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} is employed by {o}.", pos_p=1, pos_p2=None, pos_o=2,
+         pos_l=None, titled=False, po="WORKS_FOR", pl="ASSOCIATED_WITH",
+         ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} was born in {l} long ago.", pos_p=1, pos_p2=None,
+         pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
+         pl="BORN_IN", ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} lives in {l} with family.", pos_p=1, pos_p2=None,
+         pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
+         pl="LOCATED_IN", ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} married {p2} last spring.", pos_p=1, pos_p2=2,
+         pos_o=None, pos_l=None, titled=False, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="MARRIED_TO"),
+    dict(text="{p} and {p2} are colleague researchers.", pos_p=1, pos_p2=2,
+         pos_o=None, pos_l=None, titled=False, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="COLLEAGUE_OF"),
+    dict(text="{o} is headquartered in {l}.", pos_p=None, pos_p2=None,
+         pos_o=1, pos_l=2, titled=False, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="HEADQUARTERED_IN", pp="KNOWS"),
+    dict(text="{t} {p} joined {o} recently.", pos_p=1, pos_p2=None,
+         pos_o=2, pos_l=None, titled=True, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+    dict(text="{p} visited {l} and then met {p2}.", pos_p=1, pos_p2=3,
+         pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+)
+
+
+def _h(doc_id: int, i: int) -> int:
+    """First 8 hex chars of md5 as an int — DuckDB-reproducible."""
+    return int(hashlib.md5(f"kgx:{doc_id}:{i}".encode()).hexdigest()[:8], 16)
+
+
+def kgx_choices(doc_id: int) -> dict:
+    tid = _h(doc_id, 0) % len(KGX_TEMPLATES)
+    p = _h(doc_id, 1) % len(KGX_PERSONS)
+    p2 = _h(doc_id, 2) % len(KGX_PERSONS)
+    if p2 == p:
+        p2 = (p2 + 1) % len(KGX_PERSONS)
+    return dict(
+        tid=tid,
+        p=p,
+        p2=p2,
+        o=_h(doc_id, 3) % len(KGX_ORGS),
+        l=_h(doc_id, 4) % len(KGX_LOCS),
+        t=_h(doc_id, 5) % len(KGX_TITLES),
+    )
+
+
+def kgx_sentence(doc_id: int) -> str:
+    c = kgx_choices(doc_id)
+    tpl = KGX_TEMPLATES[c["tid"]]
+    return tpl["text"].format(
+        p=KGX_PERSONS[c["p"]],
+        p2=KGX_PERSONS[c["p2"]],
+        o=KGX_ORGS[c["o"]][0],
+        l=KGX_LOCS[c["l"]][0],
+        t=KGX_TITLES[c["t"]],
+    )
+
+
+def kgx_spans_batch(batch: pa.Table) -> pa.Table:
+    """doc_id column → single-text-span documents (runs inside map_batches)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    out_ids, out_spans = [], []
+    for doc_id in doc_ids:
+        text = kgx_sentence(int(doc_id))
+        out_ids.append(str(int(doc_id)))
+        out_spans.append(
+            [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        )
+    return pa.Table.from_arrays(
+        [pa.array(out_ids, pa.string()),
+         pa.array(out_spans, type=DOCUMENTS.field("spans").type)],
+        schema=DOCUMENTS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (expectation constants rendered as VALUES tables)
+
+
+def _hx(i: int) -> str:
+    return f"('0x'||substr(md5('kgx:'||doc_id||':{i}'),1,8))::BIGINT"
+
+
+def _sql_str(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _corpus_cte() -> str:
+    np_, no, nl, nt = (len(KGX_PERSONS), len(KGX_ORGS), len(KGX_LOCS),
+                       len(KGX_TITLES))
+    persons = ",".join(f"({i},{_sql_str(n)})" for i, n in enumerate(KGX_PERSONS))
+    orgs = ",".join(f"({i},{_sql_str(n)},{_sql_str(s)})"
+                    for i, (n, s) in enumerate(KGX_ORGS))
+    locs = ",".join(f"({i},{_sql_str(n)},{str(tw).lower()})"
+                    for i, (n, tw) in enumerate(KGX_LOCS))
+    tmpl = ",".join(
+        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq})".format(
+            tid=i,
+            pp_=t["pos_p"] if t["pos_p"] is not None else "NULL",
+            p2=t["pos_p2"] if t["pos_p2"] is not None else "NULL",
+            po_=t["pos_o"] if t["pos_o"] is not None else "NULL",
+            pl_=t["pos_l"] if t["pos_l"] is not None else "NULL",
+            ti=str(t["titled"]).lower(),
+            po=_sql_str(t["po"]), pl=_sql_str(t["pl"]),
+            ol=_sql_str(t["ol"]), pq=_sql_str(t["pp"]),
+        )
+        for i, t in enumerate(KGX_TEMPLATES)
+    )
+    return f"""
+    choice AS (
+      SELECT doc_id,
+             {_hx(0)} % {len(KGX_TEMPLATES)} AS tid,
+             {_hx(1)} % {np_} AS p_idx,
+             {_hx(2)} % {np_} AS p2_raw,
+             {_hx(3)} % {no} AS o_idx,
+             {_hx(4)} % {nl} AS l_idx
+      FROM documents),
+    choice2 AS (
+      SELECT *, CASE WHEN p2_raw = p_idx THEN (p2_raw + 1) % {np_}
+                     ELSE p2_raw END AS p2_idx
+      FROM choice),
+    persons(idx, pname) AS (VALUES {persons}),
+    orgs(idx, oname, osfx) AS (VALUES {orgs}),
+    locs(idx, lname, ltwo) AS (VALUES {locs}),
+    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp)
+        AS (VALUES {tmpl}),
+    kgx_docs AS (
+      SELECT c.doc_id, t.pos_p, t.pos_p2, t.pos_o, t.pos_l, t.titled,
+             t.po, t.pl, t.ol, t.pp,
+             pa.pname AS p, pb.pname AS p2, o.oname AS o, o.osfx,
+             l.lname AS l, l.ltwo
+      FROM choice2 c
+      JOIN tmpl t USING (tid)
+      JOIN persons pa ON pa.idx = c.p_idx
+      JOIN persons pb ON pb.idx = c.p2_idx
+      JOIN orgs o ON o.idx = c.o_idx
+      JOIN locs l ON l.idx = c.l_idx),
+    ents_raw AS (
+      SELECT doc_id, p AS name, 'PERSON' AS entity_type,
+             CASE WHEN titled THEN 0.9 ELSE 0.8 END AS confidence,
+             pos_p AS ord, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_p IS NOT NULL
+      UNION ALL
+      SELECT doc_id, p2, 'PERSON', 0.8, pos_p2, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_p2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, o, 'PERSON', 0.8, pos_o, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_o IS NOT NULL
+      UNION ALL
+      SELECT doc_id, l, 'PERSON', 0.8, pos_l, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_l IS NOT NULL AND ltwo
+      UNION ALL
+      SELECT doc_id, osfx, 'ORGANIZATION', 0.9, 10, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_o IS NOT NULL AND osfx IS NOT NULL
+      UNION ALL
+      SELECT doc_id, l, 'LOCATION', 0.9, 20, po, pl, ol, pp
+        FROM kgx_docs WHERE pos_l IS NOT NULL),
+    canon AS (
+      SELECT entity_type || '_' || lower(replace(name, ' ', '')) AS canonical_id,
+             name AS canonical_name, entity_type,
+             count(DISTINCT doc_id)::BIGINT AS doc_frequency,
+             count(*)::BIGINT AS mention_count,
+             round(max(confidence), 4) AS confidence
+      FROM ents_raw GROUP BY 1, 2, 3),
+    typed_pairs AS (
+      SELECT a.doc_id,
+             a.entity_type || '_' || lower(replace(a.name, ' ', '')) AS src,
+             b.entity_type || '_' || lower(replace(b.name, ' ', '')) AS dst,
+             a.name AS src_name, b.name AS dst_name,
+             CASE
+               WHEN a.entity_type = 'PERSON' AND b.entity_type = 'PERSON'
+                 THEN a.pp
+               WHEN (a.entity_type = 'PERSON' AND b.entity_type = 'ORGANIZATION')
+                 OR (a.entity_type = 'ORGANIZATION' AND b.entity_type = 'PERSON')
+                 THEN a.po
+               WHEN (a.entity_type = 'PERSON' AND b.entity_type = 'LOCATION')
+                 OR (a.entity_type = 'LOCATION' AND b.entity_type = 'PERSON')
+                 THEN a.pl
+               WHEN (a.entity_type = 'ORGANIZATION' AND b.entity_type = 'LOCATION')
+                 OR (a.entity_type = 'LOCATION' AND b.entity_type = 'ORGANIZATION')
+                 THEN a.ol
+               ELSE 'RELATED_TO'
+             END AS rel_type
+      FROM ents_raw a JOIN ents_raw b
+        ON a.doc_id = b.doc_id AND a.ord < b.ord),
+    kgx_edge_agg AS (
+      SELECT src, dst, rel_type, src_name, dst_name,
+             count(*)::BIGINT AS n_occurrences
+      FROM typed_pairs GROUP BY 1, 2, 3, 4, 5)
+    """
+
+
+def kgx_doc_entities_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT doc_id, name, entity_type, round(confidence, 4) AS confidence,
+               1::BIGINT AS n_mentions
+        FROM ents_raw
+    """
+
+
+def kgx_entities_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT canonical_id, canonical_name, entity_type, doc_frequency,
+               mention_count, confidence
+        FROM canon
+    """
+
+
+def kgx_alias_map_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT canonical_id AS entity_id, canonical_id, canonical_name,
+               entity_type
+        FROM canon
+    """
+
+
+def kgx_edges_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT src, dst, rel_type, n_occurrences
+        FROM kgx_edge_agg
+    """
+
+
+def kgx_triples_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT src_name AS subj, rel_type AS pred, dst_name AS obj,
+               n_occurrences
+        FROM kgx_edge_agg
+    """

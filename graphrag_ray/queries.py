@@ -314,6 +314,99 @@ def kg_mentions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# kgx: SQL-oracled KG pipeline surfaces (md5-derived corpus, kgx.py)
+
+
+_KGX_CACHE: dict[str, object] = {}
+
+KGX_CFG = PipelineConfig(
+    chunk_size=2048,
+    chunk_overlap=0,
+    canonical_merge="salted_groupby",  # oracle the KEYED scale path
+    edge_merge="groupby",
+    salt_partitions=4,
+)
+
+
+def _kgx(sf_dir: str):
+    """KG build over the md5-derived oracle corpus (kgx.py) using the keyed
+    (salted groupby) canonicalization + edge shuffles — the driver's DuckDB
+    side derives the expected output independently from the hand-written
+    per-template expectation constants."""
+    res = _KGX_CACHE.get(sf_dir)
+    if res is None:
+        from . import kgx
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(kgx.kgx_spans_batch, batch_format="pyarrow")
+        res = _KGX_CACHE[sf_dir] = build_kg(docs, KGX_CFG)
+    return res
+
+
+def _round4(col_np):
+    x = np.asarray(col_np, dtype=np.float64)
+    return np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 * np.sign(x)
+
+
+def kgx_doc_entities(sf_dir: str):
+    """Per-doc extracted entities over the kgx corpus (extraction stream)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in batch.column("doc_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "name": batch.column("name"),
+                "entity_type": batch.column("entity_type"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+                "n_mentions": batch.column("n_mentions"),
+            }
+        )
+
+    return _kgx(sf_dir).extraction.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_entities(sf_dir: str):
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "canonical_id": batch.column("canonical_id"),
+                "canonical_name": batch.column("canonical_name"),
+                "entity_type": batch.column("entity_type"),
+                "doc_frequency": batch.column("doc_frequency"),
+                "mention_count": batch.column("mention_count"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return _kgx(sf_dir).entities.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_alias_map(sf_dir: str):
+    return _kgx(sf_dir).alias_map
+
+
+def kgx_edges(sf_dir: str):
+    return _kgx(sf_dir).edges.select_columns(
+        ["src", "dst", "rel_type", "n_occurrences"]
+    )
+
+
+def kgx_triples(sf_dir: str):
+    return _kgx(sf_dir).triples.select_columns(
+        ["subj", "pred", "obj", "n_occurrences"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # graph analytics (SURVEY.md §2.9 / §2.6)
 
 
