@@ -234,4 +234,90 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "dedup_minhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN array_length(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, array_length(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     array_length(list_intersect(a.s, b.s))::DOUBLE /
+                     array_length(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE array_length(a.s) > 0 OR array_length(b.s) > 0)
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv
+                  FROM w),
+            bits AS (
+              SELECT doc_id, i AS bit,
+                     sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id,
+                     (sum(CASE WHEN acc > 0 AND bit < 63
+                               THEN (1::BIGINT << bit) ELSE 0 END)
+                      + sum(CASE WHEN acc > 0 AND bit = 63
+                                 THEN -9223372036854775808::HUGEINT
+                                 ELSE 0 END))::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+        """,
     }
+
+
+def _ann_lsh_sql() -> str:
+    """LSH top-k oracle: the hyperplane constants are data-independent
+    (seeded RandomState(7), dim 64) and inlined as exact doubles of the
+    float32 planes; signature/Hamming filtering is recomputed independently
+    in SQL (sign margins are >6e-5 on the testdata — float32-safe)."""
+    import numpy as np  # noqa: PLC0415
+
+    from graphrag_ray.stages.ann import _planes
+
+    planes = _planes(64)
+    rows = ",".join(
+        f"({r}, [{','.join(repr(float(v)) for v in planes[r])}]::DOUBLE[])"
+        for r in range(planes.shape[0])
+    )
+    assert np.isfinite(planes).all()
+    return f"""
+        WITH planes(r, p) AS (VALUES {rows}),
+        sigs AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) > 0
+                          THEN (1::BIGINT << pl.r) ELSE 0 END)::BIGINT AS sig
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id),
+        qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT s.vec_id FROM sigs s, qsig
+          WHERE bit_count(xor(s.sig, qsig.sig)) <= 2)
+        SELECT e.vec_id::BIGINT AS vec_id,
+               round(list_cosine_similarity(e.embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE,
+                   4) AS sim
+        FROM embeddings e JOIN cand USING (vec_id)
+        ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """

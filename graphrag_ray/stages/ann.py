@@ -72,37 +72,65 @@ def finalize_topk(ds, k: int):
     ).reset_index(drop=True)
 
 
-def make_near_dup_fn(all_mat: np.ndarray, all_ids: np.ndarray, threshold: float):
-    """Per-batch rows × broadcast full matrix → pairs (a < b) with
-    rounded cosine ≥ threshold."""
-    norms_all = np.sqrt((all_mat * all_mat).sum(axis=1))
+_NEAR_DUP_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
+)
 
-    def near_dup(batch: pa.Table) -> pa.Table:
-        mat = _to_matrix(batch.column("embedding"))
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        out_a, out_b, out_s = [], [], []
-        if len(mat):
-            norms_b = np.sqrt((mat * mat).sum(axis=1))
-            sims = mat @ all_mat.T
-            denom = norms_b[:, None] * norms_all[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, sims / denom, np.float32(0.0))
-            sims = _sql_round4(sims.astype(np.float64))
-            for i in range(len(ids)):
-                mask = (sims[i] >= threshold) & (all_ids > ids[i])
-                for j in np.nonzero(mask)[0]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(all_ids[j]))
-                    out_s.append(float(sims[i, j]))
-        return pa.Table.from_pydict(
-            {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
 
-    return near_dup
+def _cross_sims(mat_a: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
+    """float32 cosine matrix (oracle-compatible), rounded to 4 digits."""
+    na = np.sqrt((mat_a * mat_a).sum(axis=1))
+    nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+    sims = mat_a @ mat_b.T
+    denom = na[:, None] * nb[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, sims / denom, np.float32(0.0))
+    return _sql_round4(sims.astype(np.float64))
+
+
+def make_block_pair_near_dup_fn(block_refs: list, threshold: float):
+    """Distributed blocked all-pairs near-dup: the input is a Dataset of
+    (i, j) block-index pairs (i ≤ j); each task resolves exactly TWO Arrow
+    blocks from the object store (near-zero-copy), computes the cross
+    cosine matrix and emits qualifying pairs via ``np.nonzero`` — no
+    Python row loops, no full-matrix broadcast, per-task memory bounded by
+    two blocks. Exact all-pairs is inherently O(N²) compute; this is its
+    memory-safe distributed shape (the approximate scale path is the LSH /
+    IVF bucketing in this module)."""
+    import ray
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            tbl_i = ray.get(block_refs[i])
+            tbl_j = tbl_i if j == i else ray.get(block_refs[j])
+            mat_i = _to_matrix(tbl_i.column("embedding"))
+            mat_j = mat_i if j == i else _to_matrix(tbl_j.column("embedding"))
+            ids_i = np.asarray(tbl_i.column("vec_id").to_pylist(), dtype=np.int64)
+            ids_j = ids_i if j == i else np.asarray(
+                tbl_j.column("vec_id").to_pylist(), dtype=np.int64)
+            if not len(mat_i) or not len(mat_j):
+                continue
+            sims = _cross_sims(mat_i, mat_j)
+            mask = sims >= threshold
+            # orient every pair (a < b); i == j keeps the strict upper set,
+            # cross blocks emit each unordered pair once (blocks disjoint)
+            mask &= ids_i[:, None] != ids_j[None, :]
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            a = ids_i[ii]
+            b = ids_j[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            keep = a < b if i == j else np.ones(len(a), dtype=bool)
+            out.append(pa.Table.from_pydict(
+                {"vec_a": pa.array(lo[keep]), "vec_b": pa.array(hi[keep]),
+                 "sim": pa.array(sims[ii, jj][keep], pa.float64())},
+                schema=_NEAR_DUP_SCHEMA))
+        return (pa.concat_tables(out) if out
+                else _NEAR_DUP_SCHEMA.empty_table())
+
+    return block_pair
 
 
 # ---------------------------------------------------------------------------

@@ -164,37 +164,79 @@ def candidate_pairs_from_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-class JaccardVerifier:
-    """Actor-pool stage verifying candidate pairs by exact shingle Jaccard.
+def make_shingle_halves_fn(partner_ref):
+    """Distributed verify, phase 1: docs → one row per candidate-pair
+    participation carrying that doc's shingle hashes.
 
-    Holds the doc_id → shingle-set index built once per actor from a
-    broadcast ref (small side: only docs appearing in candidate pairs at
-    scale; here the corpus is small enough to broadcast whole)."""
+    ``partner_ref`` is a ``ray.put`` broadcast of {doc_id: [(doc_a, doc_b,
+    side), ...]} built from the (tiny) candidate pair set — the classic
+    broadcast semi-join: only candidate docs' shingles enter the pair
+    exchange; the corpus itself is never collected anywhere."""
+    import ray
 
-    def __init__(self, shingle_index_ref, threshold: float = 0.7):
-        import ray
-
-        self.index: dict[int, set[int]] = ray.get(shingle_index_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            sa, sb = self.index.get(a), self.index.get(b)
-            if sa is None or sb is None or (not sa and not sb):
+    def shingle_halves(batch: pa.Table) -> pa.Table:
+        partners: dict[int, list] = ray.get(partner_ref)
+        out_a, out_b, out_side, out_sh = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            hits = partners.get(int(doc_id))
+            if not hits:
                 continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= self.threshold:
+            sh = np.fromiter(shingles(text or ""), dtype=np.uint64)
+            sh_list = sh.astype(np.int64).tolist()  # reinterpret for Arrow
+            for a, b, side in hits:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(j)
+                out_side.append(side)
+                out_sh.append(sh_list)
         return pa.Table.from_pydict(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
                 "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "side": pa.array(out_side, pa.int32()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
             }
         )
+
+    return shingle_halves
+
+
+def make_verify_pairs_fn(threshold: float):
+    """Distributed verify, phase 2: (doc_a, doc_b) group → exact Jaccard
+    over the two shingle sets, keep pairs ≥ threshold (raw, pre-rounding —
+    matches the DuckDB oracle's filter)."""
+
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        sides = batch.column("side").to_pylist()
+        sh_lists = batch.column("sh").to_pylist()
+        sa = sb = None
+        for side, sh in zip(sides, sh_lists):
+            if side == 0 and sa is None:
+                sa = set(sh)
+            elif side == 1 and sb is None:
+                sb = set(sh)
+        if sa is None or sb is None or (not sa and not sb):
+            return empty
+        j = len(sa & sb) / len(sa | sb)
+        if j < threshold:
+            return empty
+        j4 = float(np.floor(j * 1e4 + 0.5) / 1e4)  # oracle-compatible round
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch.column("doc_a").slice(0, 1),
+                "doc_b": batch.column("doc_b").slice(0, 1),
+                "jaccard": pa.array([j4], pa.float64()),
+            }
+        )
+
+    return verify_pairs
 
 
 # ---------------------------------------------------------------------------
