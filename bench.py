@@ -82,7 +82,13 @@ def run_bench() -> dict:
     from graphrag_ray.stages.community import detect_communities
 
     corpus = ensure_corpus(sf_dir)
-    cfg = PipelineConfig(chunk_size=512, chunk_overlap=100)
+    cfg = PipelineConfig(
+        chunk_size=512,
+        chunk_overlap=100,
+        canonical_merge=os.environ.get("GRAFT_CANON_MERGE",
+                                       PipelineConfig.canonical_merge),
+        edge_merge=os.environ.get("GRAFT_EDGE_MERGE", PipelineConfig.edge_merge),
+    )
 
     # warm-up (untimed): spawn workers, import the library in them, warm the
     # page cache — a small slice through the REAL pipeline stages

@@ -38,18 +38,20 @@ class PipelineConfig:
     # hot-key skew: number of salt partitions for the two-phase
     # canonicalization aggregate (0/1 disables the salted intermediate)
     salt_partitions: int = 8
-    # 'tree' = sort-free hierarchical combine ending in a single finalize
-    # task (right while distinct entity keys fit one task's memory);
-    # 'salted_groupby' = keyed (bucket, salt) exchange — the path for
-    # key spaces beyond single-task scale
-    canonical_merge: str = "tree"
+    # 'salted_groupby' (DEFAULT) = keyed (bucket, salt) exchange with
+    # explicit hot-key salting — scales to key spaces beyond single-task
+    # memory and is the benched flagship path;
+    # 'tree' = sort-free hierarchical combine ending in a single driver
+    # finalize (slightly cheaper while distinct entity keys fit one task)
+    canonical_merge: str = "salted_groupby"
 
     # --- edges
     max_contexts_per_edge: int = 8  # provenance sample cap per edge
-    # 'tree' = sort-free reduce tree (repartition + associative merge);
-    # 'groupby' = keyed shuffle — use when the distinct-edge set itself is
-    # too large for the tree's final fan-in task
-    edge_merge: str = "tree"
+    # 'groupby' (DEFAULT) = local combine level + keyed shuffle — the
+    # distinct-edge set never has to fit one task; benched flagship path;
+    # 'tree' = sort-free reduce tree whose last level is a single task
+    # (cheapest while the reduced edge set fits one task's memory)
+    edge_merge: str = "groupby"
 
     # --- embeddings (reference: vector/mod.rs:573-660, config/mod.rs:1295)
     embedding_dim: int = 384

@@ -195,7 +195,15 @@ def build_kg(
             batch_size=None,  # full-block batches: the rewrite is vectorized
         ).materialize()
         if cfg.edge_merge == "groupby":
-            return rewritten.groupby("bucket").map_groups(
+            # keyed exchange with a LOCAL combine level first (no shuffle):
+            # cross-block batch coalescing collapses the partial stream to
+            # ~distinct-edges-per-bundle before the AllToAll, so the
+            # groupby moves 100-1000× fewer rows. Same merge UDF both
+            # levels (associative).
+            combined = rewritten.map_batches(
+                merge_edges, batch_format="pyarrow", batch_size=2_000_000
+            ).materialize()
+            return combined.groupby("bucket").map_groups(
                 merge_edges, batch_format="pyarrow"
             )
         return tree_merge_edges(rewritten)

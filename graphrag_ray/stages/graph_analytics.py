@@ -29,42 +29,47 @@ import ray
 
 @ray.remote
 def _pagerank_task(nodes, edges, damping, max_iterations, tolerance, personalization):
+    """CSR-style vectorized power iteration (the reference itself uses a
+    sparse CSR matvec, graph/pagerank.rs) — the per-edge Python loop is
+    gone; each iteration is two numpy kernels (`take` + `np.add.at`)."""
     order = sorted(nodes)
-    idx = {n: i for i, n in enumerate(order)}
     n = len(order)
     if n == 0:
         return pd.DataFrame({"entity_id": [], "score": []})
-    # column-stochastic adjacency (undirected edges counted both ways,
-    # matching the reference's undirected entity graph)
-    out_deg = np.zeros(n)
-    pairs = []
-    for a, b in edges:
-        if a in idx and b in idx and a != b:
-            pairs.append((idx[a], idx[b]))
-            pairs.append((idx[b], idx[a]))
-    for s, _t in pairs:
-        out_deg[s] += 1
+    node_index = pd.Index(order)
+    if edges:
+        ea = node_index.get_indexer([a for a, _ in edges])
+        eb = node_index.get_indexer([b for _, b in edges])
+        keep = (ea >= 0) & (eb >= 0) & (ea != eb)
+        ea, eb = ea[keep], eb[keep]
+        # undirected: each edge contributes both directions
+        src = np.concatenate([ea, eb])
+        tgt = np.concatenate([eb, ea])
+    else:
+        src = tgt = np.zeros(0, dtype=np.int64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
     reset = np.full(n, 1.0 / n)
     if personalization:
         reset = np.zeros(n)
         for node, w in personalization.items():
-            if node in idx:
-                reset[idx[node]] = w
+            i = node_index.get_loc(node) if node in node_index else -1
+            if i >= 0:
+                reset[i] = w
         s = reset.sum()
         reset = reset / s if s > 0 else np.full(n, 1.0 / n)
+    inv_deg = np.divide(1.0, out_deg, out=np.zeros(n), where=out_deg > 0)
+    dangling_mask = out_deg == 0
     scores = np.full(n, 1.0 / n)
     for _ in range(max_iterations):
+        contrib = scores * inv_deg
         new = np.zeros(n)
-        for s, t in pairs:
-            if out_deg[s] > 0:
-                new[t] += scores[s] / out_deg[s]
-        # dangling mass redistributed via reset vector
-        dangling = scores[out_deg == 0].sum()
+        np.add.at(new, tgt, contrib[src])
+        dangling = scores[dangling_mask].sum()
         new = (1.0 - damping) * reset + damping * (new + dangling * reset)
-        if np.abs(new - scores).sum() < tolerance:
-            scores = new
-            break
+        delta = np.abs(new - scores).sum()
         scores = new
+        if delta < tolerance:
+            break
     return pd.DataFrame({"entity_id": order, "score": scores})
 
 
@@ -161,27 +166,74 @@ def common_entities(entities_ds, k: int = 20):
 def semantic_neighbors(entities_ds, max_connections: int = 10,
                        similarity_threshold: float = 0.8, dim: int = 64):
     """T1: top-k cosine neighbors per entity over name hash-embeddings
-    (graph/mod.rs:244-289) — per-key top-k, never a global sort."""
+    (graph/mod.rs:244-289), as DISTRIBUTED blocked all-pairs: entity blocks
+    stay in the object store, (i, j) block pairs fan out across tasks (two
+    blocks per task), each emits per-entity candidate rows above the
+    threshold, and a groupby(entity) merge keeps the global top-k.
+    Deterministic ordering: (-similarity, neighbor_id). Never a dense N×N
+    on the driver."""
+    import pyarrow as pa
+
     from .embed import HashEmbedder
 
-    df = entities_ds.select_columns(["canonical_id", "canonical_name"]).to_pandas()
-    emb = HashEmbedder(dim=dim)
-    mat = np.stack([emb.embed_text(n) for n in df["canonical_name"]]) \
-        if len(df) else np.zeros((0, dim), dtype=np.float32)
-    ids = df["canonical_id"].tolist()
-    out = {"entity_id": [], "neighbor_id": [], "similarity": []}
-    if len(df):
-        sims = mat @ mat.T  # rows are unit vectors
-        for i in range(len(ids)):
-            row = sims[i].copy()
-            row[i] = -1.0
-            cand = np.argsort(-row, kind="stable")[:max_connections]
-            for j in cand:
-                if row[j] > similarity_threshold:
-                    out["entity_id"].append(ids[i])
-                    out["neighbor_id"].append(ids[j])
-                    out["similarity"].append(float(row[j]))
-    return pd.DataFrame(out)
+    ds = entities_ds.select_columns(["canonical_id", "canonical_name"]).materialize()
+    refs = ds.to_arrow_refs()
+    nblocks = len(refs)
+    if nblocks == 0:
+        return pd.DataFrame({"entity_id": [], "neighbor_id": [], "similarity": []})
+    pair_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nblocks) for j in range(i, nblocks)]
+    )
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        emb = HashEmbedder(dim=dim)
+        out_e, out_n, out_s = [], [], []
+
+        def embed_block(tbl):
+            names = tbl.column("canonical_name").to_pylist()
+            ids = tbl.column("canonical_id").to_pylist()
+            mat = (np.stack([emb.embed_text(nm) for nm in names])
+                   if names else np.zeros((0, dim), dtype=np.float32))
+            return ids, mat
+
+        def emit(ids_a, mat_a, ids_b, mat_b, same):
+            if not len(ids_a) or not len(ids_b):
+                return
+            sims = mat_a @ mat_b.T  # rows are unit vectors
+            mask = sims > similarity_threshold
+            if same:
+                np.fill_diagonal(mask, False)
+            ii, jj = np.nonzero(mask)
+            for i_, j_ in zip(ii.tolist(), jj.tolist()):
+                out_e.append(ids_a[i_])
+                out_n.append(ids_b[j_])
+                out_s.append(float(sims[i_, j_]))
+
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            tbl_i = ray.get(refs[i])
+            ids_i, mat_i = embed_block(tbl_i)
+            if j == i:
+                emit(ids_i, mat_i, ids_i, mat_i, same=True)
+            else:
+                ids_j, mat_j = embed_block(ray.get(refs[j]))
+                emit(ids_i, mat_i, ids_j, mat_j, same=False)
+                emit(ids_j, mat_j, ids_i, mat_i, same=False)
+        return pa.Table.from_pydict(
+            {"entity_id": pa.array(out_e, pa.string()),
+             "neighbor_id": pa.array(out_n, pa.string()),
+             "similarity": pa.array(out_s, pa.float64())}
+        )
+
+    def topk_group(batch: pa.Table) -> pa.Table:
+        sims = batch.column("similarity").to_numpy(zero_copy_only=False)
+        nbr = np.asarray(batch.column("neighbor_id").to_pylist(), dtype=object)
+        order = np.lexsort((nbr, -sims))[:max_connections]
+        return batch.take(pa.array(order))
+
+    cand = pair_ds.map_batches(block_pair, batch_size=1, batch_format="pyarrow")
+    out = cand.groupby("entity_id").map_groups(topk_group, batch_format="pyarrow")
+    return out.to_pandas()
 
 
 def doc_cooccurrence_edges(extraction_ds, max_pairs_per_doc: int = 2000,
