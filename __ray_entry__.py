@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- join patterns (SQL-oracled)
         "nation_region_join": q.nation_region_join,
         "customer_order_counts": q.customer_order_counts,
+        "customer_order_join": q.customer_order_join,
         # --- dedup family
         "dedup_exact": q.dedup_exact,           # SQL-oracled
         "dedup_simhash": q.dedup_simhash,        # rows-only (signature table)
@@ -177,6 +178,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey, count(*)::BIGINT AS n, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY o.o_custkey, c.c_name
+        """,
+        "customer_order_join": """
+            SELECT o.o_custkey, o.o_orderkey, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -91,8 +91,13 @@ def build_kg(
         stage_sec[stage] = round(now - _last[0], 3)
         _last[0] = now
 
-    ckpt = CheckpointManager(cfg.out_dir, cfg.run_id, cfg.config_hash(),
-                             enabled=cfg.checkpoint)
+    from ..state.checkpoint import dataset_fingerprint
+
+    ckpt = CheckpointManager(
+        cfg.out_dir, cfg.run_id, cfg.config_hash(),
+        enabled=cfg.checkpoint,
+        input_fingerprint=dataset_fingerprint(docs) if cfg.checkpoint else None,
+    )
 
     # --- chunk + extract (ONE fused streaming stage, no shuffle)
     def compute_extraction():

@@ -635,6 +635,19 @@ def customer_order_counts(sf_dir: str):
     return out
 
 
+def customer_order_join(sf_dir: str):
+    """Large×large bucketed hash join (no broadcast side): orders ⋈
+    customer on custkey, co-located by one groupby(bucket) exchange."""
+    from .stages.joins import bucketed_hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    return bucketed_hash_join(orders, customers, "o_custkey", "c_custkey",
+                              ["o_orderkey"], ["c_name"])
+
+
 def doc_length_histogram(sf_dir: str):
     """Bucketed doc-length histogram (100-char buckets)."""
     import pyarrow as pa

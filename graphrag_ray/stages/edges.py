@@ -21,11 +21,12 @@ quadratic co-occurrence stream, by far the widest data in the pipeline):
 
 Provenance: ``context`` carries a capped pipe-joined chunk-id SAMPLE taken
 from the first contributing partial per edge (exact context *union* would
-reintroduce per-row Python list handling; the cap already made it a sample).
-Confidence: the pattern path assigns the constant
-``relationship_confidence`` to every edge (graphrag/build.rs:594-605), so
-first == max; a future extractor with per-edge confidences should switch
-the merge to a vectorized max.
+reintroduce per-row Python list handling; the cap already made it a
+sample); the rewrite/merge path enforces ``max_contexts`` itself so the
+config cap holds regardless of upstream. Confidence merges as a
+vectorized ``np.maximum.at`` per ekey — order-independent and correct for
+extractors with per-edge confidences, not only the constant
+``relationship_confidence`` pattern path (graphrag/build.rs:594-605).
 
 Triples are a projection of the deduped edges with canonical *names*
 (parquet.rs:425-435 relationships + atomic_fact_extractor.rs:29-40 shape).
@@ -134,6 +135,15 @@ class EdgeRewriter:
         order = pa.array(first_idx)
         usc = sc[first_idx]
         udc = dc[first_idx]
+        # vectorized MAX over confidence (not first-seen): correct for any
+        # upstream extractor with per-edge confidences, not only the
+        # constant-confidence pattern path (ADVICE r01)
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False).astype(np.float32)
+        conf_max = np.full(len(uniq), -np.inf, dtype=np.float32)
+        np.maximum.at(conf_max, inv, conf)
+        contexts = _cap_contexts(
+            pc.take(batch.column("contexts"), order), self.max_contexts
+        )
 
         return pa.Table.from_arrays(
             [
@@ -144,9 +154,9 @@ class EdgeRewriter:
                 pc.take(self.rels, pa.array(ri[first_idx])),
                 pc.take(self.canon_names, pa.array(usc)),
                 pc.take(self.canon_names, pa.array(udc)),
-                pc.take(batch.column("confidence"), order),
+                pa.array(conf_max),
                 pa.array(n_sum),
-                pc.take(batch.column("contexts"), order),
+                contexts,
             ],
             schema=EDGE_PARTIAL_SCHEMA,
         )
@@ -180,21 +190,44 @@ def tree_merge_edges(ds, level_batch_sizes=(2_000_000, 2_000_000_000),
     return ds
 
 
+def _cap_contexts(ctx_arr, max_contexts: int):
+    """Enforce the per-edge context cap on pipe-joined samples: rows whose
+    sample exceeds the cap are truncated (vectorized count; Python split
+    only on violating rows, normally none because the extraction combiner
+    already caps at source)."""
+    ctx = ctx_arr.combine_chunks() if hasattr(ctx_arr, "combine_chunks") else ctx_arr
+    counts = pc.count_substring(ctx, "|")
+    over = pc.greater_equal(counts, max_contexts)
+    if not pc.any(over).as_py():
+        return ctx
+    py = ctx.to_pylist()
+    for i in np.nonzero(over.to_numpy(zero_copy_only=False))[0]:
+        if py[i]:
+            py[i] = "|".join(py[i].split("|")[:max_contexts])
+    return pa.array(py, pa.string())
+
+
 def merge_edges(batch: pa.Table) -> pa.Table:
-    """Partition/group merge → one row per ekey, all numpy/Arrow kernels."""
+    """Partition/group merge → one row per ekey, all numpy/Arrow kernels.
+    Confidence merges as a vectorized MAX (order-independent); context
+    keeps the first partial's capped sample (documented relaxation of the
+    reference's context union)."""
     ekey = batch.column("ekey").to_numpy(zero_copy_only=False)
     n_occ = batch.column("n_occurrences").to_numpy(zero_copy_only=False)
     uniq, first_idx, inv = np.unique(ekey, return_index=True, return_inverse=True)
     n_sum = np.bincount(inv, weights=n_occ).astype(np.int64)
+    conf = batch.column("confidence").to_numpy(zero_copy_only=False).astype(np.float32)
+    conf_max = np.full(len(uniq), -np.inf, dtype=np.float32)
+    np.maximum.at(conf_max, inv, conf)
     order = pa.array(first_idx)
     cols = {name: pc.take(batch.column(name), order)
             for name in ("bucket", "src", "dst", "rel_type", "src_name",
-                         "dst_name", "confidence", "context")}
+                         "dst_name", "context")}
     return pa.Table.from_arrays(
         [
             cols["bucket"], pa.array(uniq), cols["src"], cols["dst"],
             cols["rel_type"], cols["src_name"], cols["dst_name"],
-            cols["confidence"], pa.array(n_sum), cols["context"],
+            pa.array(conf_max), pa.array(n_sum), cols["context"],
         ],
         schema=EDGE_PARTIAL_SCHEMA,
     )

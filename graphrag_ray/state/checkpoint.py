@@ -57,10 +57,39 @@ def make_lineage_stamper(stage: str, attempt: int, key_column: str | None):
     return stamp
 
 
+def dataset_fingerprint(ds) -> str:
+    """Identity fingerprint of a Dataset's INPUT (not its content): the
+    (path, size, mtime) triple of every source file when the dataset
+    derives from file reads, else its row count. Folded into checkpoint
+    manifests so rerunning a run_id over a CHANGED corpus invalidates the
+    stale stage Parquet instead of silently reusing it (ADVICE r01)."""
+    import hashlib
+
+    try:
+        files = sorted(ds.input_files())
+    except Exception:  # noqa: BLE001 - non-read datasets
+        files = []
+    if files:
+        sig = [(f, *_stat_sig(f)) for f in files]
+    else:
+        sig = [("rows", ds.count())]
+    return hashlib.sha256(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _stat_sig(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_size, int(st.st_mtime))
+    except OSError:
+        return (0, 0)
+
+
 class CheckpointManager:
-    def __init__(self, out_dir: str, run_id: str, config_hash: str, enabled: bool = True):
+    def __init__(self, out_dir: str, run_id: str, config_hash: str,
+                 enabled: bool = True, input_fingerprint: str | None = None):
         self.root = os.path.join(out_dir, run_id)
         self.config_hash = config_hash
+        self.input_fingerprint = input_fingerprint
         self.enabled = enabled
         self.skipped: list[str] = []
         self.written: list[str] = []
@@ -79,7 +108,11 @@ class CheckpointManager:
                 manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return manifest.get("config_hash") == self.config_hash
+        if manifest.get("config_hash") != self.config_hash:
+            return False
+        if self.input_fingerprint is not None:
+            return manifest.get("input_fingerprint") == self.input_fingerprint
+        return True
 
     def load_or_compute(
         self,
@@ -121,6 +154,7 @@ class CheckpointManager:
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(
                 {"stage": stage, "config_hash": self.config_hash,
+                 "input_fingerprint": self.input_fingerprint,
                  "rows": n_rows, "attempt": attempt,
                  "elapsed_sec": round(elapsed, 3),
                  "rows_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else None},

@@ -98,3 +98,24 @@ def test_checkpoint_matches_nocheckpoint(docs_ds):
     cfg_no = PipelineConfig(chunk_size=256, chunk_overlap=50)
     shutil.rmtree(os.path.join(OUT, "r4"), ignore_errors=True)
     assert triples_set(build_kg(docs_ds, cfg_ck)) == triples_set(build_kg(docs_ds, cfg_no))
+
+
+def test_changed_input_invalidates(docs_ds, ray_session):
+    """Same run_id + config over a DIFFERENT corpus must not reuse stale
+    stage parquet (input fingerprint in the manifest, ADVICE r01)."""
+    shutil.rmtree(OUT, ignore_errors=True)
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=50, out_dir=OUT,
+                         run_id="rfp", checkpoint=True)
+    res1 = build_kg(docs_ds, cfg)
+    assert res1.report["checkpoint_stages_skipped"] == []
+
+    other = ray.data.from_arrow(synth_documents_table(31))
+    res2 = build_kg(other, cfg)
+    assert res2.report["checkpoint_stages_skipped"] == []  # recomputed
+    assert res2.report["checkpoint_stages_written"] == [
+        "extraction", "canonical", "edges"]
+    # and the new checkpoints are themselves reusable
+    res3 = build_kg(other, cfg)
+    assert res3.report["checkpoint_stages_skipped"] == [
+        "extraction", "canonical", "edges"]
+    assert triples_set(res2) == triples_set(res3)
