@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": q.kg_communities,
         "kg_community_summaries": q.kg_community_summaries,
         "kg_chunk_embeddings": q.kg_chunk_embeddings,
+        "kg_semantic_chunks": q.kg_semantic_chunks,
+        "kg_late_chunk_embeddings": q.kg_late_chunk_embeddings,
         "kg_mentions": q.kg_mentions,
         "kg_stats": q.kg_stats,
         "kg_pagerank": q.kg_pagerank,

@@ -38,6 +38,10 @@ class PipelineConfig:
     # hot-key skew: number of salt partitions for the two-phase
     # canonicalization aggregate (0/1 disables the salted intermediate)
     salt_partitions: int = 8
+    # partial-row volume below which the salted pre-merge exchange is
+    # skipped (the finalize group merge collapses salts itself); the
+    # pre-merge pays off only when hot keys make the final exchange wide
+    salted_premerge_min_rows: int = 500_000
     # 'salted_groupby' (DEFAULT) = keyed (bucket, salt) exchange with
     # explicit hot-key salting — scales to key spaces beyond single-task
     # memory and is the benched flagship path;
@@ -80,7 +84,7 @@ class PipelineConfig:
         d = asdict(self)
         # execution-only knobs don't invalidate checkpoints
         for k in ("chunk_batch_size", "extract_batch_size", "extract_concurrency",
-                  "out_dir", "run_id", "checkpoint"):
+                  "out_dir", "run_id", "checkpoint", "salted_premerge_min_rows"):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
 

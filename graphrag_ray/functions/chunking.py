@@ -175,3 +175,137 @@ def chunk_text(text: str, chunk_size: int, overlap: int) -> list[tuple[int, int,
             break
         start = max(start + 1, actual_end - overlap)
     return chunks
+
+
+# ---------------------------------------------------------------------------
+# M3: semantic chunking (behavioral transcription of
+# text/semantic_chunking.rs:95-310 with the hash embedder standing in for
+# the reference's EmbeddingGenerator — the reference's own tests use the
+# same hash-based generator)
+
+
+def split_sentences_semantic(text: str) -> list[str]:
+    """Sentence tokenization per semantic_chunking.rs:126-163: line-wise,
+    split inclusive on .!?, rebuild with single spaces, trim. (One
+    normalization: sentences flushed at blank lines are trimmed here; the
+    reference keeps a trailing space there.)"""
+    import re
+
+    sentences: list[str] = []
+    cur = ""
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            if cur:
+                sentences.append(cur.strip())
+                cur = ""
+            continue
+        for part in re.split(r"(?<=[.!?])", line):
+            part = part.strip()
+            if not part:
+                continue
+            cur += part + " "
+            if part.endswith((".", "!", "?")):
+                sentences.append(cur.strip())
+                cur = ""
+    if cur.strip():
+        sentences.append(cur.strip())
+    return sentences
+
+
+def _semantic_threshold(diffs, strategy: str, amount: float) -> float:
+    import numpy as np
+
+    d = np.asarray(diffs, dtype=np.float32)
+    if strategy == "percentile":  # semantic_chunking.rs:240-249
+        s = np.sort(d, kind="stable")
+        idx = min(int(len(s) * (amount / 100.0)), len(s) - 1)
+        return float(s[idx])
+    if strategy == "stddev":  # semantic_chunking.rs:252-262
+        mean = float(d.mean())
+        std = float(np.sqrt(((d - mean) ** 2).mean()))
+        return mean + amount * std
+    return amount  # absolute
+
+
+def chunk_text_semantic(
+    text: str,
+    embed_fn,
+    strategy: str = "percentile",
+    threshold_amount: float = 95.0,
+    min_chunk_sentences: int = 1,
+    max_chunk_sentences: int = 0,
+    buffer_size: int = 1,
+) -> list[tuple[int, int, int, str]]:
+    """Semantic chunking: embedding-similarity breakpoints
+    (semantic_chunking.rs:95-310). Returns (chunk_idx, start_sentence,
+    end_sentence, content) — offsets are SENTENCE indices (the reference's
+    SemanticChunk carries sentence spans, not char offsets); content is the
+    single-space sentence join.
+
+    Quirk preserved: a segment shorter than ``min_chunk_sentences`` does
+    not emit AND does not advance the start index, so it merges into the
+    following chunk (semantic_chunking.rs:265-276 ``continue``)."""
+    import numpy as np
+
+    sentences = split_sentences_semantic(text)
+    if not sentences:
+        return []
+    if len(sentences) == 1:
+        return [(0, 0, 1, text)]
+    emb = np.stack([embed_fn(s) for s in sentences]).astype(np.float32)
+    # cosine distance between sentence i and i+buffer (rs:179-192)
+    a = emb[:-buffer_size] if buffer_size < len(emb) else emb[:0]
+    b = emb[buffer_size:]
+    dots = (a * b).sum(axis=1)
+    na = np.sqrt((a * a).sum(axis=1))
+    nb = np.sqrt((b * b).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where((na > 0) & (nb > 0), dots / (na * nb), 0.0)
+    diffs = 1.0 - sims
+    breakpoints = []
+    if len(diffs):
+        thr = _semantic_threshold(diffs, strategy, threshold_amount)
+        breakpoints = [i + 1 for i, d in enumerate(diffs) if d > thr]
+    breakpoints.append(len(sentences))
+
+    chunks: list[tuple[int, int, int, str]] = []
+    start = 0
+    counter = 0
+    for end in breakpoints:
+        if end <= start:
+            continue
+        count = end - start
+        if count < min_chunk_sentences:
+            continue  # merges into the next chunk (start not advanced)
+        if max_chunk_sentences > 0 and count > max_chunk_sentences:
+            sub = start
+            while sub < end:
+                sub_end = min(sub + max_chunk_sentences, end)
+                chunks.append((counter, sub, sub_end,
+                               " ".join(sentences[sub:sub_end])))
+                counter += 1
+                sub = sub_end
+        else:
+            chunks.append((counter, start, end, " ".join(sentences[start:end])))
+            counter += 1
+        start = end
+    return chunks
+
+
+def chunk_doc(text: str, strategy: str, chunk_size: int, overlap: int,
+              min_chunk_size: int) -> list[tuple[int, int, int, str]]:
+    """Strategy dispatch shared by the chunk stage and the fused
+    chunk+extract stage: returns (idx, start, end, content). For the char-
+    span strategies content is text[start:end]; for 'semantic' the spans
+    are sentence indices."""
+    if strategy == "semantic":
+        from ..stages.embed import HashEmbedder
+
+        emb = HashEmbedder(dim=64)
+        return chunk_text_semantic(text, emb.embed_text)
+    if strategy == "hierarchical":
+        spans = chunk_text_hierarchical(text, chunk_size, overlap, min_chunk_size)
+    else:
+        spans = chunk_text(text, chunk_size, overlap)
+    return [(i, s, e, text[s:e]) for (i, s, e) in spans]

@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .functions.chunking import chunk_text
+from .functions.chunking import chunk_doc
 from .functions.extraction import extract_entities, extract_relationships
 from .functions.linking import canonicalize, exact_clusters_from_rows
 
@@ -38,9 +38,10 @@ def run_oracle(documents: list[tuple[str, str]], cfg: PipelineConfig = DEFAULT_C
     raw_edges: list[tuple[str, str, str, str]] = []  # (src_id, dst_id, rel, chunk_id)
 
     for doc_id, text in documents:
-        for idx, start, end in chunk_text(text, cfg.chunk_size, cfg.chunk_overlap):
+        for idx, start, end, content in chunk_doc(
+                text, cfg.chunking_strategy, cfg.chunk_size,
+                cfg.chunk_overlap, cfg.min_chunk_size):
             chunk_id = f"{doc_id}_{idx}"
-            content = text[start:end]
             res.chunks.append(
                 {"chunk_id": chunk_id, "doc_id": doc_id, "chunk_idx": idx,
                  "content": content, "start_offset": start, "end_offset": end}

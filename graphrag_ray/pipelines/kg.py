@@ -141,8 +141,14 @@ def build_kg(
         if cfg.canonical_merge == "salted_groupby":
             # keyed exchange with fan-in per hot key bounded by the salt
             # (explicit skew handling); the path for key spaces beyond
-            # single-task scale
-            if cfg.salt_partitions > 1:
+            # single-task scale. The (bucket, salt) pre-merge exchange only
+            # pays for itself when the partial stream is large (hot keys
+            # fanning into the final exchange) — below the threshold the
+            # finalize's in-group merge handles salt collapse itself, and
+            # skipping the extra AllToAll removes its serial tail.
+            partials = partials.materialize()
+            if (cfg.salt_partitions > 1
+                    and partials.count() >= cfg.salted_premerge_min_rows):
                 partials = partials.groupby(["bucket", "salt"]).map_groups(
                     make_salted_merge_fn(), batch_format="pyarrow"
                 )

@@ -319,6 +319,43 @@ def kg_chunk_embeddings(sf_dir: str):
     return emb.map_batches(summarize, batch_format="pyarrow")
 
 
+def kg_semantic_chunks(sf_dir: str):
+    """M3 semantic chunking over the spans corpus (start/end are sentence
+    indices — the reference's SemanticChunk span shape)."""
+    from .stages.chunk import make_chunk_batch_fn
+
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    return docs.map_batches(
+        make_chunk_batch_fn(strategy="semantic"), batch_format="pyarrow"
+    ).select_columns(["chunk_id", "doc_id", "chunk_idx", "start_offset",
+                      "end_offset"])
+
+
+def kg_late_chunk_embeddings(sf_dir: str):
+    """Late-chunking embeddings (document-context pooling) over the chunk
+    table — actor-pool stage, per-actor doc-vector cache."""
+    from .stages.embed import LateChunkEmbedder
+
+    res = _kg(sf_dir)
+    out = res.chunks.map_batches(
+        LateChunkEmbedder,
+        fn_constructor_kwargs={"dim": 64},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("vector").to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1) if len(vecs) else np.array([])
+        return pa.Table.from_pydict(
+            {"id": batch.column("id"),
+             "norm_ok": pa.array([bool(abs(n - 1.0) < 1e-3 or n == 0.0)
+                                  for n in norms], pa.bool_())}
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def media_features(sf_dir: str):
     docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
     media = docs.map_batches(explode_media_spans, batch_format="pyarrow")

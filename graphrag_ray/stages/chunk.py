@@ -14,18 +14,16 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.chunking import chunk_text, chunk_text_hierarchical
+from ..functions.chunking import chunk_doc
 from ..schemas import CHUNKS
 
 
 def make_chunk_batch_fn(chunk_size: int = 1000, overlap: int = 200,
                         strategy: str = "legacy", min_chunk_size: int = 50):
-    """Build the map_batches UDF (configured once, applied per batch)."""
-
-    def do_chunk(text):
-        if strategy == "hierarchical":
-            return chunk_text_hierarchical(text, chunk_size, overlap, min_chunk_size)
-        return chunk_text(text, chunk_size, overlap)
+    """Build the map_batches UDF (configured once, applied per batch).
+    Strategies: 'legacy' (sliding window + sentence snap), 'hierarchical'
+    (recursive separators), 'semantic' (M3 — embedding-similarity
+    breakpoints; start/end are sentence indices)."""
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -38,11 +36,12 @@ def make_chunk_batch_fn(chunk_size: int = 1000, overlap: int = 200,
         out_end: list[int] = []
         for doc_id, spans in zip(doc_ids, spans_col):
             text = "".join(s["text"] for s in spans if s["kind"] == "text")
-            for idx, start, end in do_chunk(text):
+            for idx, start, end, content in chunk_doc(
+                    text, strategy, chunk_size, overlap, min_chunk_size):
                 out_chunk_id.append(f"{doc_id}_{idx}")
                 out_doc_id.append(doc_id)
                 out_idx.append(idx)
-                out_content.append(text[start:end])
+                out_content.append(content)
                 out_start.append(start)
                 out_end.append(end)
         return pa.Table.from_arrays(

@@ -158,7 +158,7 @@ class ChunkExtract:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.chunking import chunk_text, chunk_text_hierarchical
+        from ..functions.chunking import chunk_doc
 
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
@@ -167,15 +167,12 @@ class ChunkExtract:
         contents: list[str] = []
         for doc_id, spans in zip(doc_ids, spans_col):
             text = "".join(s["text"] for s in spans if s["kind"] == "text")
-            if self.chunking_strategy == "hierarchical":
-                spans_iter = chunk_text_hierarchical(
-                    text, self.chunk_size, self.chunk_overlap, self.min_chunk_size)
-            else:
-                spans_iter = chunk_text(text, self.chunk_size, self.chunk_overlap)
-            for idx, start, end in spans_iter:
+            for idx, _start, _end, content in chunk_doc(
+                    text, self.chunking_strategy, self.chunk_size,
+                    self.chunk_overlap, self.min_chunk_size):
                 chunk_ids.append(f"{doc_id}_{idx}")
                 chunk_docs.append(doc_id)
-                contents.append(text[start:end])
+                contents.append(content)
         inner = pa.Table.from_pydict(
             {
                 "chunk_id": pa.array(chunk_ids, pa.string()),

@@ -149,3 +149,26 @@ def test_hierarchical_strategy_pipeline(ray_session, spans_table):
     # chunks table uses the same strategy
     chunks = res.chunks.take_all()
     assert all(len(c["content"].strip()) >= 20 for c in chunks)
+
+
+def test_merge_paths_identical(ray_session, spans_table):
+    """tree / keyed / keyed+forced-salt-premerge canonicalization and edge
+    merges all produce identical triples and canonical entities."""
+    docs = ray.data.from_arrow(spans_table)
+    outs = []
+    for cfg in (
+        PipelineConfig(chunk_size=256, chunk_overlap=50,
+                       canonical_merge="tree", edge_merge="tree"),
+        PipelineConfig(chunk_size=256, chunk_overlap=50,
+                       canonical_merge="salted_groupby", edge_merge="groupby"),
+        PipelineConfig(chunk_size=256, chunk_overlap=50,
+                       canonical_merge="salted_groupby", edge_merge="groupby",
+                       salted_premerge_min_rows=0),  # force the pre-merge
+    ):
+        res = build_kg(docs, cfg)
+        triples = {(r["subj"], r["pred"], r["obj"], r["n_occurrences"])
+                   for r in res.triples.take_all()}
+        ents = {(r["canonical_id"], r["doc_frequency"], r["mention_count"])
+                for r in res.entities.take_all()}
+        outs.append((triples, ents))
+    assert outs[0] == outs[1] == outs[2]
