@@ -42,6 +42,11 @@ class PipelineConfig:
     # skipped (the finalize group merge collapses salts itself); the
     # pre-merge pays off only when hot keys make the final exchange wide
     salted_premerge_min_rows: int = 500_000
+    # 'exact' carries per-key doc-id lists (exact doc_frequency);
+    # 'hll' swaps in fixed-size HyperLogLog registers — bounded per-key
+    # payload for Zipf-hot entities at corpus scale, ~1.04/sqrt(2^p) error
+    doc_frequency_mode: str = "exact"
+    hll_precision: int = 10
     # 'salted_groupby' (DEFAULT) = keyed (bucket, salt) exchange with
     # explicit hot-key salting — scales to key spaces beyond single-task
     # memory and is the benched flagship path;

@@ -29,7 +29,11 @@ from .textfns import name_similarity, normalize_name, normalize_string, soundex
 
 @dataclass
 class ExactCluster:
-    """One exact-normalized-name group (output of the exact groupby)."""
+    """One exact-normalized-name group (output of the exact groupby).
+
+    ``docs`` carries exact doc ids (doc_frequency_mode='exact'); ``hll``
+    carries the mergeable HyperLogLog registers instead when the sketch
+    mode bounds the per-key payload (functions/sketch.py)."""
 
     entity_type: str
     norm_name: str
@@ -37,17 +41,29 @@ class ExactCluster:
     mention_count: int = 0
     max_confidence: float = 0.0
     docs: set[str] = field(default_factory=set)
+    hll: bytes = b""
 
     @property
     def total_count(self) -> int:
         return sum(self.name_counts.values())
 
+    def doc_frequency(self) -> int:
+        if self.hll:
+            from .sketch import hll_estimate
+
+            return hll_estimate(self.hll)
+        return len(self.docs)
+
     def merge(self, other: "ExactCluster") -> None:
+        from .sketch import hll_merge
+
         for name, cnt in other.name_counts.items():
             self.name_counts[name] = self.name_counts.get(name, 0) + cnt
         self.mention_count += other.mention_count
         self.max_confidence = max(self.max_confidence, other.max_confidence)
         self.docs |= other.docs
+        if self.hll or other.hll:
+            self.hll = hll_merge(self.hll, other.hll)
 
 
 def block_key(entity_type: str, norm_name: str) -> str:
@@ -108,6 +124,7 @@ def fuzzy_cluster_block(
         mention_count = 0
         max_conf = 0.0
         docs: set[str] = set()
+        hll = b""
         member_ids: set[str] = set()
         for m in members:
             for name, cnt in m.name_counts.items():
@@ -116,14 +133,24 @@ def fuzzy_cluster_block(
             mention_count += m.mention_count
             max_conf = max(max_conf, m.max_confidence)
             docs |= m.docs
+            if m.hll:
+                from .sketch import hll_merge
+
+                hll = hll_merge(hll, m.hll)
         canonical_name = select_canonical_name(merged)
+        if hll:
+            from .sketch import hll_estimate
+
+            doc_freq = hll_estimate(hll)
+        else:
+            doc_freq = len(docs)
         out.append(
             CanonicalCluster(
                 canonical_id=f"{seed.entity_type}_{normalize_name(canonical_name)}",
                 canonical_name=canonical_name,
                 entity_type=seed.entity_type,
                 aliases=sorted(merged),
-                doc_frequency=len(docs),
+                doc_frequency=doc_freq,
                 mention_count=mention_count,
                 confidence=max_conf,
                 member_entity_ids=sorted(member_ids),

@@ -131,7 +131,11 @@ def build_kg(
     # --- canonicalization: combiner → (salted merge) → per-block fuzzy
     def compute_canonical():
         partials = extraction.map_batches(
-            make_partial_aggregate_fn(cfg.salt_partitions),
+            make_partial_aggregate_fn(
+                cfg.salt_partitions,
+                doc_frequency_mode=cfg.doc_frequency_mode,
+                hll_p=cfg.hll_precision,
+            ),
             batch_format="pyarrow",
             batch_size=None,  # full-block batches: per-batch combiner
         )

@@ -25,8 +25,10 @@ Output: canonical entity rows + per-member alias ids (exploded afterwards
 into the broadcastable alias→canonical map).
 
 Scale note: ``docs`` lists give *exact* doc_frequency; at 10^12-doc scale
-the hot-key doc list is the one unbounded payload — the swap-in there is a
-mergeable HLL sketch per partial (same dataflow, approximate count).
+the hot-key doc list is the one unbounded payload — set
+``doc_frequency_mode='hll'`` to carry fixed-size mergeable HyperLogLog
+registers instead (functions/sketch.py): same dataflow, bounded payload,
+~3% count error at the default precision.
 """
 
 from __future__ import annotations
@@ -55,6 +57,9 @@ PARTIAL_SCHEMA = pa.schema(
         ("mention_count", pa.int64()),
         ("max_confidence", pa.float32()),
         ("docs", pa.list_(pa.string())),
+        # HyperLogLog registers when doc_frequency_mode='hll' (bounded
+        # per-key payload; empty bytes in exact mode)
+        ("docs_hll", pa.binary()),
     ]
 )
 
@@ -88,21 +93,23 @@ def _partials_to_table(
         rows["mention_count"].append(c.mention_count)
         rows["max_confidence"].append(c.max_confidence)
         rows["docs"].append(sorted(c.docs))
+        rows["docs_hll"].append(bytes(c.hll))
     return pa.Table.from_arrays(
         [pa.array(rows[f.name], f.type) for f in PARTIAL_SCHEMA],
         schema=PARTIAL_SCHEMA,
     )
 
 
-def make_partial_aggregate_fn(salt_partitions: int = 8, num_buckets: int = 64):
+def make_partial_aggregate_fn(salt_partitions: int = 8, num_buckets: int = 64,
+                              doc_frequency_mode: str = "exact",
+                              hll_p: int = 10):
     """Per-batch combiner: tagged extraction rows → one partial row per
-    (entity_type, normalized name)."""
+    (entity_type, normalized name). ``doc_frequency_mode='hll'`` swaps the
+    exact per-key doc list for fixed-size HyperLogLog registers — the
+    bounded-payload path for Zipf-hot keys at corpus scale."""
+    from ..functions.sketch import hll_add, hll_create
 
-    def salt_of(c: ExactCluster) -> int:
-        if salt_partitions <= 1:
-            return 0
-        first_doc = min(c.docs) if c.docs else ""
-        return zlib.crc32(f"{c.norm_name}|{first_doc}".encode()) % salt_partitions
+    use_hll = doc_frequency_mode == "hll"
 
     def partial_aggregate(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
@@ -114,6 +121,8 @@ def make_partial_aggregate_fn(salt_partitions: int = 8, num_buckets: int = 64):
         doc_ids = batch.column("doc_id").to_pylist()
 
         acc: dict[tuple[str, str], ExactCluster] = {}
+        min_doc: dict[tuple[str, str], str] = {}
+        hlls: dict[tuple[str, str], bytearray] = {}
         for name, etype, conf, nr, nm, doc in zip(
             names, etypes, confs, n_rows, n_mentions, doc_ids
         ):
@@ -125,15 +134,37 @@ def make_partial_aggregate_fn(salt_partitions: int = 8, num_buckets: int = 64):
             c.name_counts[name] = c.name_counts.get(name, 0) + nr
             c.mention_count += nm
             c.max_confidence = max(c.max_confidence, conf)
-            c.docs.add(doc)
+            if use_hll:
+                reg = hlls.get(key)
+                if reg is None:
+                    reg = hlls[key] = hll_create(hll_p)
+                hll_add(reg, doc, hll_p)
+                if key not in min_doc or doc < min_doc[key]:
+                    min_doc[key] = doc
+            else:
+                c.docs.add(doc)
+        for key, reg in hlls.items():
+            acc[key].hll = bytes(reg)
+
+        def salt_of(c: ExactCluster) -> int:
+            if salt_partitions <= 1:
+                return 0
+            if c.docs:
+                first_doc = min(c.docs)
+            else:
+                first_doc = min_doc.get((c.entity_type, c.norm_name), "")
+            return zlib.crc32(f"{c.norm_name}|{first_doc}".encode()) % salt_partitions
+
         return _partials_to_table(acc, salt_of, num_buckets)
 
     return partial_aggregate
 
 
 def _merge_partial_rows(batch: pa.Table) -> dict[tuple[str, str], ExactCluster]:
+    from ..functions.sketch import hll_merge
+
     acc: dict[tuple[str, str], ExactCluster] = {}
-    for etype, norm, anames, acounts, mc, conf, docs in zip(
+    for etype, norm, anames, acounts, mc, conf, docs, hll in zip(
         batch.column("entity_type").to_pylist(),
         batch.column("norm_name").to_pylist(),
         batch.column("alias_names").to_pylist(),
@@ -141,6 +172,7 @@ def _merge_partial_rows(batch: pa.Table) -> dict[tuple[str, str], ExactCluster]:
         batch.column("mention_count").to_pylist(),
         batch.column("max_confidence").to_pylist(),
         batch.column("docs").to_pylist(),
+        batch.column("docs_hll").to_pylist(),
     ):
         key = (etype, norm)
         c = acc.get(key)
@@ -151,6 +183,8 @@ def _merge_partial_rows(batch: pa.Table) -> dict[tuple[str, str], ExactCluster]:
         c.mention_count += int(mc)
         c.max_confidence = max(c.max_confidence, float(conf))
         c.docs |= set(docs)
+        if hll:
+            c.hll = hll_merge(c.hll, hll)
     return acc
 
 
@@ -160,8 +194,10 @@ def make_salted_merge_fn(num_buckets: int = 64):
     combiner (mixed salts per batch) and as the (bucket, salt) group merge."""
 
     def merge_partials_group(batch: pa.Table) -> pa.Table:
+        from ..functions.sketch import hll_merge
+
         acc: dict[tuple[str, str, int], ExactCluster] = {}
-        for etype, norm, salt, anames, acounts, mc, conf, docs in zip(
+        for etype, norm, salt, anames, acounts, mc, conf, docs, hll in zip(
             batch.column("entity_type").to_pylist(),
             batch.column("norm_name").to_pylist(),
             batch.column("salt").to_pylist(),
@@ -170,6 +206,7 @@ def make_salted_merge_fn(num_buckets: int = 64):
             batch.column("mention_count").to_pylist(),
             batch.column("max_confidence").to_pylist(),
             batch.column("docs").to_pylist(),
+            batch.column("docs_hll").to_pylist(),
         ):
             key = (etype, norm, int(salt))
             c = acc.get(key)
@@ -180,6 +217,8 @@ def make_salted_merge_fn(num_buckets: int = 64):
             c.mention_count += int(mc)
             c.max_confidence = max(c.max_confidence, float(conf))
             c.docs |= set(docs)
+            if hll:
+                c.hll = hll_merge(c.hll, hll)
         rows = {name: [] for name in PARTIAL_SCHEMA.names}
         for (etype, norm, salt), c in acc.items():
             blk = block_key(etype, norm)
@@ -193,6 +232,7 @@ def make_salted_merge_fn(num_buckets: int = 64):
             rows["mention_count"].append(c.mention_count)
             rows["max_confidence"].append(c.max_confidence)
             rows["docs"].append(sorted(c.docs))
+            rows["docs_hll"].append(bytes(c.hll))
         return pa.Table.from_arrays(
             [pa.array(rows[f.name], f.type) for f in PARTIAL_SCHEMA],
             schema=PARTIAL_SCHEMA,
