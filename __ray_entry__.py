@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q.kg_pagerank,
         "kg_components": q.kg_components,
         "kg_common_entities": q.kg_common_entities,
+        "kg_centrality": q.kg_centrality,
+        "kg_louvain": q.kg_louvain,
+        "kg_graph_metrics": q.kg_graph_metrics,
         "kg_semantic_neighbors": q.kg_semantic_neighbors,
         "kg_cooccur_edges": q.kg_cooccur_edges,
         "kg_enriched_chunks": q.kg_enriched_chunks,

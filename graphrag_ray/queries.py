@@ -514,6 +514,30 @@ def kg_semantic_neighbors(sf_dir: str):
     return ga.semantic_neighbors(res.entities)
 
 
+def kg_centrality(sf_dir: str):
+    """L3 degree/betweenness/closeness centralities (analytics.rs:182-279)."""
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.centrality_scores(res.edges)
+
+
+def kg_louvain(sf_dir: str):
+    """L3 Louvain-style communities (analytics.rs:97-180)."""
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.louvain_communities(res.edges)
+
+
+def kg_graph_metrics(sf_dir: str):
+    """Density + clustering coefficient (analytics.rs:432-487)."""
+    from .stages import graph_analytics as ga
+
+    res = _kg(sf_dir)
+    return ga.graph_metrics(res.edges)
+
+
 def kg_cooccur_edges(sf_dir: str):
     from .stages import graph_analytics as ga
 

@@ -300,3 +300,182 @@ def doc_cooccurrence_edges(extraction_ds, max_pairs_per_doc: int = 2000,
     )
     return agg.add_column("rel_type", lambda df: "co_occurs", batch_format="pandas") \
               .add_column("confidence", lambda df: 0.7, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# L3: centralities + Louvain-style communities + graph metrics
+# (behavioral transcription of graph/analytics.rs:69-487; same
+# collected-graph disposition as PageRank — the canonical entity graph is
+# tiny relative to the corpus. Betweenness is inherently all-pairs; at a
+# 100× entity graph the swap-in is source-sampled Brandes, same adapter.)
+
+
+@ray.remote
+def _centrality_task(edges):
+    """Degree / betweenness / closeness per node (analytics.rs:182-279).
+
+    Betweenness counts ordered (source, target) pairs whose single
+    Dijkstra shortest path contains the node as an interior vertex,
+    normalized by (n-1)(n-2)/2 (:219-248); closeness is
+    reachable/total_distance (:250-279). Efficient form: one Dijkstra tree
+    per source + subtree-size accumulation (interior targets of v =
+    subtree(v)-1) instead of the reference's per-pair re-Dijkstra —
+    identical counts; shortest-path TIES are broken deterministically by
+    (distance, node id) here, where the reference inherits HashMap
+    iteration order (divergence only on equal-length paths)."""
+    import heapq
+
+    adjacency: dict[str, list] = {}
+    degrees: dict[str, int] = {}
+    for a, b, w in edges:
+        adjacency.setdefault(a, []).append((b, w))
+        adjacency.setdefault(b, []).append((a, w))
+        degrees[a] = degrees.get(a, 0) + 1
+        degrees[b] = degrees.get(b, 0) + 1
+    nodes = sorted(adjacency)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node_id": [], "degree": [], "betweenness": [],
+                             "closeness": []})
+    bc = {v: 0.0 for v in nodes}
+    closeness = {}
+    for s in nodes:
+        # deterministic Dijkstra (strict relaxation, (dist, id) heap order)
+        dist = {s: 0.0}
+        prev: dict[str, str] = {}
+        done = set()
+        heap = [(0.0, s)]
+        order = []
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in done:
+                continue
+            done.add(u)
+            order.append(u)
+            for v, w in adjacency.get(u, ()):
+                alt = d + w
+                if alt < dist.get(v, float("inf")):
+                    dist[v] = alt
+                    prev[v] = u
+                    heapq.heappush(heap, (alt, v))
+        # closeness (:250-279)
+        reachable = len(done) - 1
+        total = sum(dist[t] for t in done if t != s)
+        closeness[s] = (reachable / total) if reachable > 0 and total > 0 else 0.0
+        # subtree sizes over the shortest-path tree, farthest first
+        size = {v: 1 for v in done}
+        for v in reversed(order):
+            p = prev.get(v)
+            if p is not None:
+                size[p] += size[v]
+        for v in done:
+            if v != s:
+                interior_targets = size[v] - 1
+                if interior_targets > 0:
+                    bc[v] += interior_targets
+    norm = (n - 1) * (n - 2) / 2.0 if n > 2 else 0.0
+    return pd.DataFrame(
+        {
+            "node_id": nodes,
+            "degree": [degrees.get(v, 0) / (n - 1) if n > 1 else 0.0
+                       for v in nodes],
+            "betweenness": [bc[v] / norm if norm else 0.0 for v in nodes],
+            "closeness": [closeness[v] for v in nodes],
+        }
+    )
+
+
+def centrality_scores(edges_ds, weight_column: str | None = None):
+    """L3 centralities over the (collected) canonical edge list."""
+    cols = ["src", "dst"] + ([weight_column] if weight_column else [])
+    rows = edges_ds.select_columns(cols).take_all()
+    edges = [(r["src"], r["dst"],
+              float(r[weight_column]) if weight_column else 1.0)
+             for r in rows]
+    return ray.data.from_pandas(ray.get(_centrality_task.remote(edges)))
+
+
+@ray.remote
+def _louvain_task(edges):
+    """'Louvain' community detection as shipped by the reference
+    (analytics.rs:97-180): connected components as communities plus a
+    simplified modularity = internal_edge_ends / (2 * node_count) — the
+    node_count divisor is the reference's own quirk (:159), transcribed.
+    Community ids are assigned in sorted-node order (the reference's
+    HashMap order is nondeterministic)."""
+    adjacency: dict[str, list] = {}
+    for a, b, w in edges:
+        adjacency.setdefault(a, []).append((b, w))
+        adjacency.setdefault(b, []).append((a, w))
+    nodes = sorted(adjacency)
+    comm: dict[str, int] = {}
+    next_id = 0
+    for node in nodes:
+        if node in comm:
+            continue
+        stack = [node]
+        members = []
+        while stack:
+            u = stack.pop()
+            if u in comm:
+                continue
+            comm[u] = next_id
+            members.append(u)
+            for v, _ in adjacency.get(u, ()):
+                if v not in comm:
+                    stack.append(v)
+        next_id += 1
+    total_nodes = len(adjacency)
+    out = {"community_id": [], "node_id": [], "modularity": []}
+    by_comm: dict[int, list] = {}
+    for v, cid in comm.items():
+        by_comm.setdefault(cid, []).append(v)
+    for cid in sorted(by_comm):
+        members = by_comm[cid]
+        mset = set(members)
+        internal = sum(1 for v in members
+                       for (nb, _) in adjacency.get(v, ()) if nb in mset)
+        modularity = internal / (2.0 * total_nodes) if total_nodes else 0.0
+        for v in sorted(members):
+            out["community_id"].append(cid)
+            out["node_id"].append(v)
+            out["modularity"].append(modularity)
+    return pd.DataFrame(out)
+
+
+def louvain_communities(edges_ds):
+    rows = edges_ds.select_columns(["src", "dst"]).take_all()
+    edges = [(r["src"], r["dst"], 1.0) for r in rows]
+    return ray.data.from_pandas(ray.get(_louvain_task.remote(edges)))
+
+
+def graph_metrics(edges_ds):
+    """Density + average clustering coefficient (analytics.rs:432-487)."""
+    rows = edges_ds.select_columns(["src", "dst"]).take_all()
+    adjacency: dict[str, list] = {}
+    for r in rows:
+        adjacency.setdefault(r["src"], []).append(r["dst"])
+        adjacency.setdefault(r["dst"], []).append(r["src"])
+    n = len(adjacency)
+    edge_ends = sum(len(v) for v in adjacency.values())
+    actual_edges = edge_ends // 2
+    density = (2.0 * actual_edges) / (n * (n - 1)) if n > 1 else 0.0
+    total = 0.0
+    count = 0
+    for neighbors in adjacency.values():
+        if len(neighbors) < 2:
+            continue
+        nset = set(neighbors)
+        triangles = 0
+        for n1 in neighbors:
+            for n2 in adjacency.get(n1, ()):
+                if n2 in nset:
+                    triangles += 1
+        k = len(neighbors)
+        total += triangles / (k * (k - 1))
+        count += 1
+    clustering = total / count if count else 0.0
+    return pd.DataFrame(
+        {"stat": ["density", "avg_clustering_coefficient"],
+         "value": [density, clustering]}
+    )

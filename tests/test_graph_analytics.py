@@ -107,3 +107,69 @@ def test_doc_cooccurrence_edges(ray_session):
     got = {(r.src, r.dst): r.n_docs for r in out.itertuples()}
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
     assert set(out["rel_type"]) == {"co_occurs"}
+
+
+# --- L3: centralities / Louvain / metrics on the reference test graph
+# (analytics.rs:488-547 fixture: square A-B, A-C, B-C, B-D, C-D)
+
+
+def _abcd_edges(ray_session):
+    import pandas as pd
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "src": ["A", "A", "B", "B", "C"],
+        "dst": ["B", "C", "C", "D", "D"],
+    }))
+
+
+def test_centrality_reference_fixture(ray_session):
+    df = ga.centrality_scores(_abcd_edges(ray_session)).to_pandas()
+    s = df.set_index("node_id")
+    # degree: A,D = 2/3; B,C = 1.0 (analytics.rs:209-217)
+    assert abs(s.loc["A", "degree"] - 2 / 3) < 1e-6
+    assert abs(s.loc["B", "degree"] - 1.0) < 1e-6
+    # reference assertion (:509-524): central nodes >= peripheral
+    assert s.loc["B", "betweenness"] >= s.loc["A", "betweenness"]
+    # hand-computed under deterministic (dist, id) tie-break: the A<->D
+    # shortest path routes via B both directions -> bc[B] = 2/3, bc[C]=0
+    assert abs(s.loc["B", "betweenness"] - 2 / 3) < 1e-6
+    assert s.loc["C", "betweenness"] == 0.0
+    assert s.loc["A", "betweenness"] == 0.0
+    # closeness: A -> dists (1,1,2) -> 3/4; B -> (1,1,1) -> 1.0 (:250-279)
+    assert abs(s.loc["A", "closeness"] - 0.75) < 1e-6
+    assert abs(s.loc["B", "closeness"] - 1.0) < 1e-6
+
+
+def test_louvain_reference_fixture(ray_session):
+    df = ga.louvain_communities(_abcd_edges(ray_session)).to_pandas()
+    # one connected component of 4 nodes (analytics.rs:525-533)
+    assert df["community_id"].nunique() == 1
+    assert len(df) == 4
+    # modularity quirk transcription: internal edge-ends / (2 * n_nodes)
+    # = 10 / 8 = 1.25 (analytics.rs:158-180)
+    assert abs(df["modularity"].iloc[0] - 1.25) < 1e-6
+
+
+def test_graph_metrics_reference_fixture(ray_session):
+    df = ga.graph_metrics(_abcd_edges(ray_session))
+    vals = dict(zip(df["stat"], df["value"]))
+    # density = 2*5/(4*3) = 5/6 (analytics.rs:432-443, test :534-541)
+    assert abs(vals["density"] - 5 / 6) < 1e-6
+    assert 0.0 <= vals["avg_clustering_coefficient"] <= 1.0
+    # hand-computed: A: nbrs {B,C}, B-C edge -> triangles counted both
+    # directions = 2, k=2 -> 1.0; same for D; B: nbrs {A,C,D}: pairs
+    # (A,C),(C,A),(C,D),(D,C) -> 4/6; same C -> avg = (1+1+2/3+2/3)/4 = 5/6
+    assert abs(vals["avg_clustering_coefficient"] - 5 / 6) < 1e-6
+
+
+def test_centrality_disconnected(ray_session):
+    import pandas as pd
+
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"src": ["A", "C"], "dst": ["B", "D"]}))
+    df = ga.centrality_scores(edges).to_pandas().set_index("node_id")
+    # closeness only over reachable nodes: each pair -> 1/1 = 1.0
+    assert (df["closeness"] == 1.0).all()
+    assert (df["betweenness"] == 0.0).all()
+    louv = ga.louvain_communities(edges).to_pandas()
+    assert louv["community_id"].nunique() == 2
