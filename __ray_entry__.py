@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_alias_map": q.kgx_alias_map,
         "kgx_edges": q.kgx_edges,
         "kgx_triples": q.kgx_triples,
+        "kgx_rdf_import": q.kgx_rdf_import,
         # --- KG construction (rows-only; parity gated by tests/)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
@@ -231,6 +232,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "kgx_rdf_import": f"""
+            WITH choice AS (
+              SELECT doc_id,
+                     ('0x'||substr(md5('kgx:'||doc_id||':0'),1,8))::BIGINT % 10 AS tid,
+                     ('0x'||substr(md5('kgx:'||doc_id||':1'),1,8))::BIGINT % 20 AS p_idx,
+                     ('0x'||substr(md5('kgx:'||doc_id||':3'),1,8))::BIGINT % 4 AS o_idx
+              FROM documents)
+            SELECT 'p'||p_idx AS src, 'o'||o_idx AS dst, 'r'||tid AS rel_type,
+                   count(*)::BIGINT AS n
+            FROM choice GROUP BY 1, 2, 3
         """,
         "kgx_doc_entities": _kgx_sql.kgx_doc_entities_sql(),
         "kgx_entities": _kgx_sql.kgx_entities_sql(),

@@ -473,6 +473,40 @@ def kgx_triples(sf_dir: str):
     )
 
 
+def kgx_rdf_import(sf_dir: str):
+    """S2 RDF import, driver-oracled: a Turtle file is derived
+    deterministically from the documents' md5 choices (kgx.py), imported
+    through the distributed RDF parser, and the relationship rows are
+    aggregated — DuckDB recomputes the expectation from the same md5
+    arithmetic without touching the file."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Count
+
+    from . import kgx
+    from .sources.importer import import_graph_files
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    lines = []
+    for d in sorted(doc_ids):
+        c = kgx.kgx_choices(int(d))
+        lines.append(f"<http://x/p{c['p']}> <http://x/r{c['tid']}> "
+                     f"<http://x/o{c['o']}> .")
+    content = "\n".join(lines) + "\n"
+    tag = hashlib.md5(content.encode()).hexdigest()[:12]
+    path = f"/tmp/graphrag_ray_rdf_{tag}.ttl"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(content)
+    rows = import_graph_files(path, fmt="rdf")
+    rels = rows.filter(lambda r: r["row_kind"] == "relationship")
+    return (rels.select_columns(["src", "dst", "rel_type"])
+            .groupby(["src", "dst", "rel_type"])
+            .aggregate(Count(alias_name="n")))
+
+
 # ---------------------------------------------------------------------------
 # graph analytics (SURVEY.md §2.9 / §2.6)
 
