@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_edges": q.kg_cooccur_edges,
         "kg_enriched_chunks": q.kg_enriched_chunks,
         "kg_atomic_facts": q.kg_atomic_facts,
+        "kg_entity_temporal": q.kg_entity_temporal,
+        "kg_yake_keywords": q.kg_yake_keywords,
         "kg_gleaning_extraction": q.kg_gleaning_extraction,
         "kg_validated_facts": q.kg_validated_facts,
         "media_features": q.media_features,

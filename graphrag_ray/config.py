@@ -33,6 +33,10 @@ class PipelineConfig:
     # --- canonicalization (reference: corpus/entity_linker.rs:379-429,
     #     entity/string_similarity_linker.rs:68-165)
     fuzzy_threshold: float = 0.85
+    # 'fuzzy' = greedy seed-absorb clustering (entity_linker.rs:379-429);
+    # 'lmcd' = confident-dedup: exact names merge, merely-similar names
+    # become low-confidence singletons (entity_linker.rs:296-376)
+    linking_strategy: str = "fuzzy"
     max_edit_distance: int = 2
     use_phonetic: bool = False
     # hot-key skew: number of salt partitions for the two-phase

@@ -201,3 +201,61 @@ def canonicalize(
         )
     out.sort(key=lambda c: c.canonical_id)
     return out
+
+
+def lmcd_cluster_block(
+    clusters: list[ExactCluster],
+    confidence_threshold: float = 0.8,
+) -> list[CanonicalCluster]:
+    """G5: LMCD (Language-Model Confident Deduplication) clustering
+    strategy (corpus/entity_linker.rs:296-376).
+
+    Semantics transcribed: entities sharing an exact name form a
+    high-confidence cluster (confidence_threshold + 0.1); an entity whose
+    name is MERELY SIMILAR (> 0.9 ungated levenshtein similarity,
+    entity_linker.rs:480-493) to an already-accepted cluster name is NOT
+    merged — it becomes a low-confidence singleton (threshold - 0.1) left
+    for a (future) LLM pass to adjudicate. Deterministic order
+    (-total_count, norm_name) replaces the reference's vec order; ids are
+    content-derived, not uuids. Runs inside the same blocked groupby
+    dataflow as the fuzzy strategy."""
+    from .textfns import levenshtein
+
+    def lmcd_similarity(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        max_len = max(len(s1), len(s2))
+        if max_len == 0:
+            return 1.0
+        return 1.0 - levenshtein(s1, s2) / max_len
+
+    ordered = sorted(clusters, key=lambda c: (-c.total_count, c.norm_name))
+    accepted_names: list[str] = []
+    out: list[CanonicalCluster] = []
+    for c in ordered:
+        similar = any(lmcd_similarity(name, c.norm_name) > 0.9
+                      for name in accepted_names)
+        canonical_name = select_canonical_name(c.name_counts)
+        base_id = f"{c.entity_type}_{normalize_name(canonical_name)}"
+        if similar:
+            conf = confidence_threshold - 0.1
+            cid = f"{base_id}__lmcd_singleton"
+        else:
+            accepted_names.append(c.norm_name)
+            conf = confidence_threshold + 0.1
+            cid = base_id
+        out.append(
+            CanonicalCluster(
+                canonical_id=cid,
+                canonical_name=canonical_name,
+                entity_type=c.entity_type,
+                aliases=sorted(c.name_counts),
+                doc_frequency=c.doc_frequency(),
+                mention_count=c.mention_count,
+                confidence=min(1.0, max(0.0, conf)),
+                member_entity_ids=sorted(
+                    f"{c.entity_type}_{normalize_name(n)}" for n in c.name_counts
+                ),
+            )
+        )
+    return out

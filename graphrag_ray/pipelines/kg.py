@@ -141,7 +141,8 @@ def build_kg(
         )
         finalize = make_finalize_bucket_fn(cfg.fuzzy_threshold,
                                            cfg.max_edit_distance,
-                                           cfg.use_phonetic)
+                                           cfg.use_phonetic,
+                                           linking_strategy=cfg.linking_strategy)
         if cfg.canonical_merge == "salted_groupby":
             # keyed exchange with fan-in per hot key bounded by the salt
             # (explicit skew handling); the path for key spaces beyond

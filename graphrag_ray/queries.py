@@ -601,6 +601,28 @@ def kg_atomic_facts(sf_dir: str):
     return res.chunks.map_batches(facts_batch, batch_format="pyarrow")
 
 
+def kg_entity_temporal(sf_dir: str):
+    """Entity temporal fields rollup (core/mod.rs:236-243) over the atomic
+    facts stream."""
+    from .stages.atomic_facts import entity_temporal, facts_batch
+
+    res = _kg(sf_dir)
+    facts = res.chunks.map_batches(facts_batch, batch_format="pyarrow")
+    return entity_temporal(facts)
+
+
+def kg_yake_keywords(sf_dir: str):
+    """YAKE keyword variant over the chunk table (config/mod.rs:409-425
+    names the algorithm; scoring per Campos et al. 2020)."""
+    from .stages.enrich import enrich_chunks
+
+    res = _kg(sf_dir)
+    chunks = res.chunks.materialize()
+    n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
+    return enrich_chunks(chunks, total_docs=n_docs, algorithm="yake") \
+        .select_columns(["chunk_id", "keywords"])
+
+
 def kg_gleaning_extraction(sf_dir: str):
     """A2 gleaning extractor (deterministic MockLLM) over the chunk table —
     emits the same tagged extraction schema as the pattern path."""

@@ -96,3 +96,51 @@ def facts_batch(batch: pa.Table) -> pa.Table:
         [pa.array(out[f.name], f.type) for f in FACTS_SCHEMA],
         schema=FACTS_SCHEMA,
     )
+
+
+def entity_temporal(facts_ds):
+    """Entity temporal fields (core/mod.rs:236-243: first_mentioned /
+    last_mentioned / temporal_validity carried on entities; builders
+    :1285-1292): per-subject rollup of atomic-fact timestamps —
+    first/last_mentioned = min/max, temporal_validity = that range.
+    Ray shape: filter → per-batch combiner → tiny keyed aggregate."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        subs = batch.column("subj").to_pylist()
+        ts = batch.column("timestamp").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for s, t in zip(subs, ts):
+            if t is None:
+                continue
+            slot = acc.get(s)
+            if slot is None:
+                acc[s] = [t, t]
+            else:
+                slot[0] = min(slot[0], t)
+                slot[1] = max(slot[1], t)
+        return pa.Table.from_pydict(
+            {
+                "entity_name": pa.array(list(acc.keys()), pa.string()),
+                "ts_min": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "ts_max": pa.array([v[1] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    agg = (facts_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("entity_name")
+           .aggregate(Min("ts_min", alias_name="first_mentioned"),
+                      Max("ts_max", alias_name="last_mentioned")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "entity_name": batch.column("entity_name"),
+                "first_mentioned": batch.column("first_mentioned"),
+                "last_mentioned": batch.column("last_mentioned"),
+                "valid_from": batch.column("first_mentioned"),
+                "valid_to": batch.column("last_mentioned"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

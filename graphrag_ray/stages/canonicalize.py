@@ -242,9 +242,14 @@ def make_salted_merge_fn(num_buckets: int = 64):
 
 
 def make_finalize_bucket_fn(threshold: float = 0.85, max_edit_distance: int = 2,
-                            use_phonetic: bool = False):
-    """(bucket) group → canonical clusters: exact merge per key, then fuzzy
-    clustering per blocking key (a block never spans buckets)."""
+                            use_phonetic: bool = False,
+                            linking_strategy: str = "fuzzy"):
+    """(bucket) group → canonical clusters: exact merge per key, then the
+    configured linking strategy per blocking key (a block never spans
+    buckets). Strategies: 'fuzzy' (greedy seed-absorb,
+    entity_linker.rs:379-429) or 'lmcd' (confident-dedup,
+    entity_linker.rs:296-376)."""
+    from ..functions.linking import lmcd_cluster_block
 
     def finalize_bucket(batch: pa.Table) -> pa.Table:
         acc = _merge_partial_rows(batch)
@@ -253,10 +258,15 @@ def make_finalize_bucket_fn(threshold: float = 0.85, max_edit_distance: int = 2,
             blocks.setdefault(block_key(etype, norm), []).append(c)
         out = {name: [] for name in CANONICAL_FULL_SCHEMA.names}
         for blk in sorted(blocks):
-            for c in fuzzy_cluster_block(
-                blocks[blk], threshold=threshold,
-                max_edit_distance=max_edit_distance, use_phonetic=use_phonetic,
-            ):
+            if linking_strategy == "lmcd":
+                blk_out = lmcd_cluster_block(blocks[blk])
+            else:
+                blk_out = fuzzy_cluster_block(
+                    blocks[blk], threshold=threshold,
+                    max_edit_distance=max_edit_distance,
+                    use_phonetic=use_phonetic,
+                )
+            for c in blk_out:
                 out["canonical_id"].append(c.canonical_id)
                 out["canonical_name"].append(c.canonical_name)
                 out["entity_type"].append(c.entity_type)

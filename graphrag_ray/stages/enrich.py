@@ -142,16 +142,20 @@ class ChunkEnricher:
     The corpus DF dict is broadcast and read once per actor."""
 
     def __init__(self, df_ref, total_docs: int, top_k: int = 5,
-                 max_sentences: int = 2):
+                 max_sentences: int = 2, algorithm: str = "tfidf"):
         self.df: dict[str, int] = ray.get(df_ref)
         self.total_docs = max(1, total_docs)
         self.top_k = top_k
         self.max_sentences = max_sentences
+        self.algorithm = algorithm  # 'tfidf' | 'yake' (config/mod.rs:409-425)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch.column("content").to_pylist()
-        keywords = [extract_keywords(t, self.df, self.total_docs, self.top_k)
-                    for t in contents]
+        if self.algorithm == "yake":
+            keywords = [yake_keywords(t, self.top_k) for t in contents]
+        else:
+            keywords = [extract_keywords(t, self.df, self.total_docs, self.top_k)
+                        for t in contents]
         summaries = [extractive_summary(t, self.max_sentences) for t in contents]
         chapters = [detect_chapter(t) for t in contents]
         return pa.Table.from_pydict(
@@ -165,15 +169,86 @@ class ChunkEnricher:
 
 
 def enrich_chunks(chunks_ds, total_docs: int, top_k: int = 5,
-                  max_sentences: int = 2):
-    """M4 pipeline: DF aggregate → broadcast → enrich actor pool."""
+                  max_sentences: int = 2, algorithm: str = "tfidf"):
+    """M4 pipeline: DF aggregate → broadcast → enrich actor pool.
+    ``algorithm='yake'`` swaps the TF-IDF keywords for single-document
+    YAKE (no corpus DF needed in the scoring, the broadcast still carries
+    it for the summary/tfidf path)."""
     df_tbl = document_frequencies(chunks_ds).to_pandas()
     df_dict = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
     ref = ray.put(df_dict)
     return chunks_ds.map_batches(
         ChunkEnricher,
         fn_constructor_kwargs={"df_ref": ref, "total_docs": total_docs,
-                               "top_k": top_k, "max_sentences": max_sentences},
+                               "top_k": top_k, "max_sentences": max_sentences,
+                               "algorithm": algorithm},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# YAKE keyword variant. The reference CONFIG lists "yake" among its keyword
+# algorithms (config/mod.rs:409-425, 525-528) but ships only TF-IDF; this
+# implements single-term YAKE per the published method (Campos et al. 2020,
+# "YAKE! Keyword extraction from single documents using multiple local
+# features") — casing, position, frequency, relatedness-to-context and
+# sentence-dispersion features; LOWER score = better keyword.
+
+
+def yake_keywords(text: str, top_k: int = 5, window: int = 2) -> list[str]:
+    import math
+    import re as _re
+
+    sentences = [s for s in _re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+    raw_tokens: list[list[str]] = [
+        [w for w in _re.findall(r"[A-Za-z][A-Za-z0-9_']*", s)] for s in sentences
+    ]
+    # per-term stats over the whole document
+    tf: dict[str, int] = {}
+    tf_upper: dict[str, int] = {}
+    tf_proper: dict[str, int] = {}
+    sent_ids: dict[str, set] = {}
+    positions: dict[str, list[int]] = {}
+    left: dict[str, set] = {}
+    right: dict[str, set] = {}
+    pos = 0
+    for si, toks in enumerate(raw_tokens):
+        for i, w in enumerate(toks):
+            lw = w.lower()
+            tf[lw] = tf.get(lw, 0) + 1
+            if w.isupper() and len(w) > 1:
+                tf_upper[lw] = tf_upper.get(lw, 0) + 1
+            elif w[0].isupper() and i != 0:
+                tf_proper[lw] = tf_proper.get(lw, 0) + 1
+            sent_ids.setdefault(lw, set()).add(si)
+            positions.setdefault(lw, []).append(pos)
+            for j in range(max(0, i - window), i):
+                left.setdefault(lw, set()).add(toks[j].lower())
+            for j in range(i + 1, min(len(toks), i + 1 + window)):
+                right.setdefault(lw, set()).add(toks[j].lower())
+            pos += 1
+    terms = [t for t in tf
+             if t not in STOPWORDS and len(t) > 2 and not t.isdigit()]
+    if not terms:
+        return []
+    tfs = [tf[t] for t in terms]
+    mean_tf = sum(tfs) / len(tfs)
+    std_tf = (sum((x - mean_tf) ** 2 for x in tfs) / len(tfs)) ** 0.5
+    max_tf = max(tf.values())
+    n_sent = max(1, len(sentences))
+    scored = []
+    for t in terms:
+        f = tf[t]
+        w_case = max(tf_upper.get(t, 0), tf_proper.get(t, 0)) / (1.0 + math.log(f))
+        med_pos = sorted(positions[t])[len(positions[t]) // 2]
+        w_pos = math.log(math.log(3.0 + med_pos))
+        w_freq = f / (mean_tf + std_tf + 1e-9)
+        dl = len(left.get(t, ())) / f
+        dr = len(right.get(t, ())) / f
+        w_rel = 1.0 + (dl + dr) * f / max_tf
+        w_dif = len(sent_ids[t]) / n_sent
+        score = (w_rel * w_pos) / (w_case + w_freq / w_rel + w_dif / w_rel + 1e-9)
+        scored.append((score, t))
+    scored.sort(key=lambda st: (st[0], st[1]))
+    return [t for _s, t in scored[:top_k]]

@@ -87,3 +87,67 @@ def test_block_key_shape():
     assert block_key("PERSON", "alice harmon") == f"PERSON|{block_key('X','alice')[2:]}"
     # same first token soundex → same block
     assert block_key("PERSON", "alice harmon") == block_key("PERSON", "alice harmn")
+
+
+# --- G5: LMCD clustering strategy (entity_linker.rs:296-376)
+
+
+def test_lmcd_exact_names_merge_high_confidence():
+    from graphrag_ray.functions.linking import (ExactCluster,
+                                                lmcd_cluster_block)
+
+    clusters = [
+        ExactCluster("PERSON", "alice harmon", {"Alice Harmon": 3},
+                     mention_count=3, max_confidence=0.8,
+                     docs={"d1", "d2"}),
+        ExactCluster("PERSON", "bob tanner", {"Bob Tanner": 1},
+                     mention_count=1, max_confidence=0.8, docs={"d3"}),
+    ]
+    out = lmcd_cluster_block(clusters, confidence_threshold=0.8)
+    by_name = {c.canonical_name: c for c in out}
+    # dissimilar names: both accepted at high confidence (+0.1)
+    assert abs(by_name["Alice Harmon"].confidence - 0.9) < 1e-6
+    assert abs(by_name["Bob Tanner"].confidence - 0.9) < 1e-6
+    assert by_name["Alice Harmon"].doc_frequency == 2
+
+
+def test_lmcd_similar_name_becomes_low_confidence_singleton():
+    from graphrag_ray.functions.linking import (ExactCluster,
+                                                lmcd_cluster_block)
+
+    clusters = [
+        ExactCluster("PERSON", "alice harmon", {"Alice Harmon": 5},
+                     mention_count=5, max_confidence=0.8, docs={"d1"}),
+        # similarity("alice harmon", "alice harmons") = 1 - 1/13 ≈ 0.923 > 0.9
+        ExactCluster("PERSON", "alice harmons", {"Alice Harmons": 1},
+                     mention_count=1, max_confidence=0.8, docs={"d2"}),
+    ]
+    out = lmcd_cluster_block(clusters, confidence_threshold=0.8)
+    by_name = {c.canonical_name: c for c in out}
+    # NOT merged (unlike fuzzy): kept as separate low-confidence singleton
+    assert len(out) == 2
+    assert abs(by_name["Alice Harmon"].confidence - 0.9) < 1e-6
+    assert abs(by_name["Alice Harmons"].confidence - 0.7) < 1e-6
+    assert by_name["Alice Harmons"].canonical_id.endswith("__lmcd_singleton")
+
+
+def test_lmcd_pipeline_runs(ray_session):
+    import ray as _ray
+
+    from graphrag_ray.config import PipelineConfig
+    from graphrag_ray.pipelines.kg import build_kg
+    from graphrag_ray.synth import synth_documents_table
+
+    tbl = synth_documents_table(30)
+    res = build_kg(_ray.data.from_arrow(tbl),
+                   PipelineConfig(chunk_size=256, chunk_overlap=50,
+                                  linking_strategy="lmcd"))
+    ents = res.entities.take_all()
+    assert ents
+    confs = {round(float(r["confidence"]), 2) for r in ents}
+    # LMCD assigns threshold±0.1, never the extraction confidences
+    assert confs <= {0.7, 0.9}
+    # fuzzy variants stay separate under LMCD → at least as many clusters
+    base = build_kg(_ray.data.from_arrow(tbl),
+                    PipelineConfig(chunk_size=256, chunk_overlap=50))
+    assert len(ents) >= base.entities.count()

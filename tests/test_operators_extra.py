@@ -282,3 +282,63 @@ def test_summary_tree(ray_session):
     # 12 -> 3 -> 1 with merge_size 5
     assert set(tree["level"]) == {0, 1, 2}
     assert all(tree["summary"].str.len() > 0)
+
+
+# --- YAKE keywords + entity temporal fields (round 2)
+
+
+def test_yake_keywords_basic():
+    from graphrag_ray.stages.enrich import yake_keywords
+
+    text = ("Machine learning systems analyze data. Machine learning "
+            "models require data. The weather is nice today.")
+    kws = yake_keywords(text, top_k=4)
+    assert kws
+    assert all(k not in ("the", "is") for k in kws)
+    # repeated multi-sentence content terms rank in the top set
+    assert "machine" in kws or "learning" in kws or "data" in kws
+    # deterministic
+    assert kws == yake_keywords(text, top_k=4)
+
+
+def test_yake_empty_and_stopword_only():
+    from graphrag_ray.stages.enrich import yake_keywords
+
+    assert yake_keywords("") == []
+    assert yake_keywords("the and of to in") == []
+
+
+def test_enricher_yake_algorithm(ray_session):
+    import ray as _ray
+
+    from graphrag_ray.stages.enrich import enrich_chunks
+
+    chunks = _ray.data.from_items([
+        {"chunk_id": "c0",
+         "content": "Alice Harmon studies graph algorithms. Graph "
+                    "algorithms power search engines."},
+        {"chunk_id": "c1", "content": "Data pipelines stream records."},
+    ])
+    out = enrich_chunks(chunks, total_docs=2, algorithm="yake").take_all()
+    assert len(out) == 2
+    assert all(isinstance(r["keywords"], list) for r in out)
+    assert any(r["keywords"] for r in out)
+
+
+def test_entity_temporal_rollup(ray_session):
+    import ray as _ray
+
+    from graphrag_ray.stages.atomic_facts import entity_temporal
+
+    facts = _ray.data.from_items([
+        {"subj": "Alice Harmon", "timestamp": 100, "pred": "X", "obj": "Y"},
+        {"subj": "Alice Harmon", "timestamp": 900, "pred": "X", "obj": "Z"},
+        {"subj": "Bob Tanner", "timestamp": None, "pred": "X", "obj": "Y"},
+        {"subj": "Carol Mendez", "timestamp": -500, "pred": "X", "obj": "Y"},
+    ])
+    rows = {r["entity_name"]: r for r in entity_temporal(facts).take_all()}
+    assert rows["Alice Harmon"]["first_mentioned"] == 100
+    assert rows["Alice Harmon"]["last_mentioned"] == 900
+    assert rows["Alice Harmon"]["valid_from"] == 100
+    assert rows["Carol Mendez"]["first_mentioned"] == -500  # BC-negative
+    assert "Bob Tanner" not in rows  # no timestamped facts
