@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_edges": q.kg_cooccur_edges,
         "kg_enriched_chunks": q.kg_enriched_chunks,
         "kg_atomic_facts": q.kg_atomic_facts,
-        "kg_entity_temporal": q.kg_entity_temporal,
+        "kgx_entity_temporal": q.kgx_entity_temporal,
         "kg_yake_keywords": q.kg_yake_keywords,
         "kg_gleaning_extraction": q.kg_gleaning_extraction,
         "kg_validated_facts": q.kg_validated_facts,
@@ -245,6 +245,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'p'||p_idx AS src, 'o'||o_idx AS dst, 'r'||tid AS rel_type,
                    count(*)::BIGINT AS n
             FROM choice GROUP BY 1, 2, 3
+        """,
+        "kgx_entity_temporal": """
+            WITH choice AS (
+              SELECT doc_id,
+                     ('0x'||substr(md5('kgx:'||doc_id||':1'),1,8))::BIGINT % 20 AS p_idx,
+                     1900 + ('0x'||substr(md5('kgx:'||doc_id||':6'),1,8))::BIGINT % 120
+                         AS year
+              FROM documents),
+            persons(idx, pname) AS (VALUES """ + ",".join(
+                f"({i},'{n}')" for i, n in enumerate(_kgx_sql.KGX_PERSONS)
+            ) + """),
+            ts AS (SELECT p.pname AS entity_name,
+                          (c.year - 1970) * 31536000 AS t
+                   FROM choice c JOIN persons p ON p.idx = c.p_idx)
+            SELECT entity_name,
+                   min(t)::BIGINT AS first_mentioned,
+                   max(t)::BIGINT AS last_mentioned,
+                   min(t)::BIGINT AS valid_from,
+                   max(t)::BIGINT AS valid_to
+            FROM ts GROUP BY entity_name
         """,
         "kgx_doc_entities": _kgx_sql.kgx_doc_entities_sql(),
         "kgx_entities": _kgx_sql.kgx_entities_sql(),

@@ -601,13 +601,40 @@ def kg_atomic_facts(sf_dir: str):
     return res.chunks.map_batches(facts_batch, batch_format="pyarrow")
 
 
-def kg_entity_temporal(sf_dir: str):
-    """Entity temporal fields rollup (core/mod.rs:236-243) over the atomic
-    facts stream."""
-    from .stages.atomic_facts import entity_temporal, facts_batch
+def kgx_entity_temporal(sf_dir: str):
+    """Entity temporal fields rollup (core/mod.rs:236-243) over an
+    md5-derived temporal corpus: '{person} founded {org} in {year}.' —
+    atomic-fact extraction parses the year marker (BC-capable,
+    atomic_fact_extractor.rs:52-86), then first/last_mentioned aggregate
+    per subject. DuckDB recomputes the expectation from the same md5
+    arithmetic."""
+    import hashlib
 
-    res = _kg(sf_dir)
-    facts = res.chunks.map_batches(facts_batch, batch_format="pyarrow")
+    from . import kgx
+    from .stages.atomic_facts import entity_temporal, extract_facts
+
+    def temporal_chunks(batch: pa.Table) -> pa.Table:
+        out_id, out_subj, out_ts = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            doc_id = int(d)
+            c = kgx.kgx_choices(doc_id)
+            year = 1900 + (int(hashlib.md5(
+                f"kgx:{doc_id}:6".encode()).hexdigest()[:8], 16) % 120)
+            text = (f"{kgx.KGX_PERSONS[c['p']]} founded "
+                    f"{kgx.KGX_ORGS[c['o']][0]} in {year}.")
+            for f in extract_facts(text):
+                out_id.append(str(doc_id))
+                out_subj.append(f["subj"])
+                out_ts.append(f["timestamp"])
+        return pa.Table.from_pydict(
+            {"chunk_id": pa.array(out_id, pa.string()),
+             "subj": pa.array(out_subj, pa.string()),
+             "timestamp": pa.array(out_ts, pa.int64())}
+        )
+
+    facts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(temporal_chunks, batch_format="pyarrow")
     return entity_temporal(facts)
 
 
