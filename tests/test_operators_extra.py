@@ -342,3 +342,23 @@ def test_entity_temporal_rollup(ray_session):
     assert rows["Alice Harmon"]["valid_from"] == 100
     assert rows["Carol Mendez"]["first_mentioned"] == -500  # BC-negative
     assert "Bob Tanner" not in rows  # no timestamped facts
+
+
+def test_lance_store_roundtrip(ray_session, tmp_path):
+    """S5 write/read seam: lance when importable, parquet fallback here."""
+    import ray as _ray
+
+    from graphrag_ray.sources.lance_store import (read_vector_store,
+                                                  store_meta,
+                                                  write_vector_store)
+
+    ds = _ray.data.from_items(
+        [{"id": i, "vector": [float(i), 0.5]} for i in range(20)])
+    path = str(tmp_path / "vs")
+    fmt = write_vector_store(ds, path, meta={"dim": 2})
+    assert fmt in ("lance", "parquet")
+    meta = store_meta(path)
+    assert meta["meta"]["dim"] == 2
+    back = read_vector_store(path)
+    assert back.count() == 20
+    assert sorted(r["id"] for r in back.take_all()) == list(range(20))
