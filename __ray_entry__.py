@@ -53,8 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family
         "dedup_exact": q.dedup_exact,           # SQL-oracled
         "dedup_simhash": q.dedup_simhash,        # rows-only (signature table)
-        "dedup_minhash_pairs": q.dedup_minhash_pairs,  # rows-only
-        "embedding_near_dup": q.embedding_near_dup,    # SQL-oracled
+        "dedup_minhash_pairs": q.dedup_minhash_pairs,
+        "dedup_ngram_pairs": q.dedup_ngram_pairs,
+        "embedding_near_dup": q.embedding_near_dup,
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
+        "events_hopping": q.events_hopping,
         "events_type_stats": q.events_type_stats,
     }
 
@@ -301,6 +303,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
                    round(j, 4) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_ngram_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN array_length(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, array_length(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     array_length(list_intersect(a.s, b.s))::DOUBLE /
+                     array_length(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE array_length(a.s) > 0 OR array_length(b.s) > 0)
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "events_hopping": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+            x AS (SELECT user_id, t // 10800000000 - k.k AS window_id, value
+                  FROM e CROSS JOIN (VALUES (0),(1)) k(k))
+            SELECT user_id::BIGINT AS user_id, window_id::BIGINT AS window_id,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY 1, 2
         """,
         "dedup_simhash": """
             WITH toks AS (

@@ -34,7 +34,7 @@ from ..stages.canonicalize import (
     make_salted_merge_fn,
 )
 from ..stages.chunk import make_chunk_batch_fn
-from ..stages.edges import (finalize_edges, make_alias_broadcast,
+from ..stages.edges import (finalize_edges, make_alias_broadcast_from_table,
                             make_edge_rewrite_fn, merge_edges, tree_merge_edges,
                             triples_projection)
 from ..stages.extract import ChunkExtract
@@ -184,21 +184,17 @@ def build_kg(
         canonical_full = compute_canonical().materialize()
     mark("canonical")
 
-    # --- broadcast alias→canonical map (J2)
+    # --- broadcast alias→canonical map (J2) — Arrow-native build (no
+    # pandas conversion / Python dict loop on the driver)
+    import pyarrow as _pa2
+
     alias_rows = canonical_full.map_batches(explode_alias_map, batch_format="pyarrow")
-    alias_tbl = alias_rows.to_pandas()
-    alias_dict = (
-        {
-            eid: (cid, cname)
-            for eid, cid, cname in zip(
-                alias_tbl["entity_id"], alias_tbl["canonical_id"],
-                alias_tbl["canonical_name"]
-            )
-        }
-        if len(alias_tbl)
-        else {}
-    )
-    alias_ref = ray.put(make_alias_broadcast(alias_dict))
+    alias_blocks = [b for b in ray.get(alias_rows.to_arrow_refs()) if b.num_rows]
+    alias_arrow = (_pa2.concat_tables(alias_blocks) if alias_blocks
+                   else _pa2.table({"entity_id": _pa2.array([], _pa2.string()),
+                                    "canonical_id": _pa2.array([], _pa2.string()),
+                                    "canonical_name": _pa2.array([], _pa2.string())}))
+    alias_ref = ray.put(make_alias_broadcast_from_table(alias_arrow))
     mark("alias_broadcast")
 
     # --- edges: vectorized rewrite (plain tasks; broadcast re-resolved

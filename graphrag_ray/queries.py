@@ -183,6 +183,21 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def dedup_ngram_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT n-gram Jaccard near-dup via a distributed inverted shingle
+    index (no LSH recall risk): shingle posting rows → groupby(shingle
+    bucket) pair-intersection partials → groupby(pair) Jaccard from
+    counts. Doc sizes ride on the posting rows, so nothing is broadcast."""
+    rows = _docs(sf_dir).map_batches(dedup.ngram_shingle_rows,
+                                     batch_format="pyarrow")
+    partials = rows.groupby("bucket").map_groups(
+        dedup.ngram_pairs_from_bucket, batch_format="pyarrow"
+    )
+    return partials.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup.make_ngram_finalize_fn(threshold), batch_format="pyarrow"
+    )
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
     """Exact cosine near-dup as distributed blocked all-pairs: embeddings
     are pinned as Arrow blocks in the object store; a Dataset of (i, j)
@@ -731,6 +746,15 @@ def events_sessionize(sf_dir: str):
         ["user_id", "session_idx", "n_events", "start_ts", "end_ts", "sum_value"]
     )
     return _round_col(out, "sum_value")
+
+
+def events_hopping(sf_dir: str):
+    from .stages.events import hopping_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    return _round_col(hopping_window_agg(ds, window_hours=6, hop_hours=3),
+                      "sum_value")
 
 
 def events_type_stats(sf_dir: str):

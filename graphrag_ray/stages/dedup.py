@@ -270,3 +270,94 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
                                 pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard dedup via a distributed inverted shingle index —
+# the EXACT counterpart to MinHash-LSH: no signatures, no candidate
+# recall risk. shingle rows → groupby(shingle bucket) pair partials →
+# groupby(pair) Jaccard from counts (|A∩B| summed; |A∪B| = nA + nB − ∩,
+# with nA/nB denormalized onto every posting row so no doc-size table is
+# ever broadcast).
+
+
+def ngram_shingle_rows(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+    """doc → one row per distinct word-3-gram shingle, carrying the doc's
+    total shingle count."""
+    out_bucket, out_sh, out_doc, out_n = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        sh = shingles(text or "")
+        n = len(sh)
+        for h in sh:
+            out_bucket.append(int(h) % num_buckets)
+            out_sh.append(int(h) - (1 << 64) if h >= (1 << 63) else int(h))
+            out_doc.append(doc_id)
+            out_n.append(n)
+    return pa.Table.from_pydict(
+        {
+            "bucket": pa.array(out_bucket, pa.int32()),
+            "shingle": pa.array(out_sh, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "n_sh": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def ngram_pairs_from_bucket(batch: pa.Table) -> pa.Table:
+    """(bucket) group → per-pair partial intersection counts. Quadratic
+    only within a single shingle's posting list; a stop-shingle cap is the
+    standard relaxation for adversarially hot shingles (not applied here —
+    exactness is the point of this operator)."""
+    posting: dict[int, list] = {}
+    for sh, doc, n in zip(batch.column("shingle").to_pylist(),
+                          batch.column("doc_id").to_pylist(),
+                          batch.column("n_sh").to_pylist()):
+        posting.setdefault(sh, []).append((doc, n))
+    acc: dict[tuple[int, int], list] = {}
+    for docs in posting.values():
+        if len(docs) < 2:
+            continue
+        docs = sorted(set(docs))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                (da, na), (db, nb) = docs[i], docs[j]
+                slot = acc.get((da, db))
+                if slot is None:
+                    acc[(da, db)] = [na, nb, 1]
+                else:
+                    slot[2] += 1
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([k[0] for k in acc], pa.int64()),
+            "doc_b": pa.array([k[1] for k in acc], pa.int64()),
+            "n_a": pa.array([v[0] for v in acc.values()], pa.int64()),
+            "n_b": pa.array([v[1] for v in acc.values()], pa.int64()),
+            "inter": pa.array([v[2] for v in acc.values()], pa.int64()),
+        }
+    )
+
+
+def make_ngram_finalize_fn(threshold: float):
+    """(doc_a, doc_b) group → exact Jaccard from summed intersections."""
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = sum(batch.column("inter").to_pylist())
+        na = batch.column("n_a")[0].as_py()
+        nb = batch.column("n_b")[0].as_py()
+        union = na + nb - inter
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return pa.Table.from_pydict(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        j4 = float(np.floor(j * 1e4 + 0.5) / 1e4)
+        return pa.Table.from_pydict(
+            {"doc_a": batch.column("doc_a").slice(0, 1),
+             "doc_b": batch.column("doc_b").slice(0, 1),
+             "jaccard": pa.array([j4], pa.float64())}
+        )
+
+    return finalize

@@ -62,6 +62,32 @@ EDGE_PARTIAL_SCHEMA = pa.schema(
 )
 
 
+def make_alias_broadcast_from_table(tbl: pa.Table):
+    """Arrow-native broadcast build: alias rows (entity_id, canonical_id,
+    canonical_name) → parallel arrays via dictionary-encode — no pandas,
+    no Python dict loop (the round-1 serial tail at high CPU counts)."""
+    if tbl.num_rows == 0:
+        return make_alias_broadcast({})
+    keys = tbl.column("entity_id").combine_chunks()
+    enc = pc.dictionary_encode(tbl.column("canonical_id").combine_chunks())
+    enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+    indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    canon_ids = enc.dictionary
+    # canonical_name at the first occurrence of each dictionary code
+    # (codes are dense 0..k-1, so np.unique's sorted order == code order)
+    _codes, first_occ = np.unique(indices, return_index=True)
+    canon_names = pc.take(tbl.column("canonical_name").combine_chunks(),
+                          pa.array(first_occ))
+    return {
+        "keys": keys,
+        "key_to_canon": indices,
+        "canon_ids": canon_ids,
+        "canon_names": (canon_names.combine_chunks()
+                        if isinstance(canon_names, pa.ChunkedArray)
+                        else canon_names),
+    }
+
+
 def make_alias_broadcast(alias_dict: dict[str, tuple[str, str]]):
     """alias entity_id → (canonical_id, canonical_name) dict → parallel
     arrays suitable for vectorized ``index_in`` rewriting."""

@@ -99,3 +99,41 @@ def event_type_stats(events_ds):
         Count(alias_name="n_events"),
         Sum("value", alias_name="sum_value"),
     )
+
+
+def hopping_window_agg(events_ds, window_hours: int = 6, hop_hours: int = 3):
+    """Hopping (overlapping sliding) window aggregate: each event belongs
+    to window_size/hop windows; the event stream is EXPLODED to
+    (user, window) partial rows inside the batch combiner, then a small
+    keyed aggregate — same combiner-first shape as the tumbling window,
+    with fan-out bounded by the window/hop ratio."""
+    window_us = window_hours * 3600 * 1_000_000
+    hop_us = hop_hours * 3600 * 1_000_000
+    n_hops = max(1, window_us // hop_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        values = batch.column("value").to_numpy(zero_copy_only=False)
+        first = ts // hop_us - (n_hops - 1)
+        # every window id in [ts//hop - n_hops + 1, ts//hop] covers ts
+        # (window w spans [w*hop, w*hop + n_hops*hop)) — vectorized explode
+        window = np.concatenate([first + k for k in range(n_hops)])
+        df = pd.DataFrame({
+            "user_id": np.tile(users, n_hops),
+            "window_id": window,
+            "value": np.tile(values, n_hops),
+        })
+        g = df.groupby(["user_id", "window_id"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "window_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
