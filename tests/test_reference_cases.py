@@ -81,3 +81,93 @@ def test_canonical_link_with_typo_reference_case():
     assert "John Smith" in by_name
     assert "Jon Smith" in by_name["John Smith"].aliases
     assert by_name["Acme Corp"].entity_type == "ORG"
+
+
+# --- round 2: more ported inline cases with hand-written expectations
+# (the reference's own asserts are weak "not empty" checks; expectations
+# here are hand-derived from the transcribed semantics)
+
+
+def test_person_extraction_full_expectation():
+    """entity/mod.rs:1115-1136 fixture at min_confidence 0.5 — full
+    hand-derived entity set: phase-1 known names beat the title phase,
+    'Test Corp' is caught by phase 3 as PERSON and by the suffix scan as
+    the bare 'Corp' ORGANIZATION."""
+    from graphrag_ray.functions.extraction import extract_entities
+
+    text = "Entity Name works at Test Corp. Dr. Second Entity is a professor."
+    got = [(e.name, e.entity_type, round(e.confidence, 2), e.n_mentions)
+           for e in extract_entities(text, 0.5, with_offsets=False)]
+    assert got == [
+        ("Entity Name", "PERSON", 0.95, 1),
+        ("Second Entity", "PERSON", 0.95, 1),
+        ("Test Corp", "PERSON", 0.8, 1),
+        ("Corp", "ORGANIZATION", 0.9, 1),
+    ]
+
+
+def test_relationship_extraction_full_expectation():
+    """entity/mod.rs:1138-1154 fixture — hand-derived ordered pair set
+    with 'works for' context typing."""
+    from graphrag_ray.functions.extraction import (extract_entities,
+                                                   extract_relationships)
+
+    text = "Entity Name works for Test Corp in Test City."
+    ents = extract_entities(text, 0.5, with_offsets=False)
+    rels = extract_relationships(ents, text)
+    assert [(e.name, e.entity_type) for e in ents] == [
+        ("Entity Name", "PERSON"), ("Test Corp", "PERSON"),
+        ("Test City", "PERSON"), ("Corp", "ORGANIZATION"),
+    ]
+    P = "PERSON_"
+    assert rels == [
+        (P + "entityname", P + "testcorp", "KNOWS"),
+        (P + "entityname", P + "testcity", "KNOWS"),
+        (P + "entityname", "ORGANIZATION_corp", "WORKS_FOR"),
+        (P + "testcorp", P + "testcity", "KNOWS"),
+        (P + "testcorp", "ORGANIZATION_corp", "WORKS_FOR"),
+        (P + "testcity", "ORGANIZATION_corp", "WORKS_FOR"),
+    ]
+
+
+def test_chunking_single_window_exact():
+    """text/mod.rs:572-583 fixture: 97-char text inside one 100-char
+    window → exactly one chunk spanning the whole text."""
+    from graphrag_ray.functions.chunking import chunk_text
+
+    text = ("This is a test document. It has multiple sentences. "
+            "Each sentence should be processed correctly.")
+    assert len(text) == 96
+    assert chunk_text(text, 100, 20) == [(0, 0, 96)]
+
+
+def test_sentence_extraction_reference_case():
+    """text/mod.rs:596-606 (sentences split on .!?); our tokenizer keeps
+    the terminal punctuation."""
+    from graphrag_ray.functions.chunking import split_sentences_semantic
+
+    s = split_sentences_semantic("First sentence. Second sentence! Third sentence?")
+    assert s == ["First sentence.", "Second sentence!", "Third sentence?"]
+
+
+def test_tfidf_keywords_tie_break_deterministic():
+    """text/mod.rs:586-593 fixture: all terms tf=1 and equal idf → the
+    top-3 is the deterministic lexicographic head."""
+    from graphrag_ray.stages.enrich import extract_keywords
+
+    text = ("machine learning artificial intelligence data science "
+            "computer vision natural language processing")
+    kws = extract_keywords(text, df={}, total_docs=1, top_k=3)
+    assert len(kws) == 3
+    assert kws == sorted(kws)
+
+
+def test_leiden_config_defaults_parity():
+    """leiden.rs:836-843: resolution 1.0 default (our config carries the
+    same default; max-iteration/seed knobs exist)."""
+    from graphrag_ray.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert cfg.leiden_resolution == 1.0
+    assert cfg.leiden_seed == 42
+    assert cfg.leiden_max_iterations == 100
