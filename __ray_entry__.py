@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.embedding_near_dup,
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
+        "rrf_fusion": q.rrf_fusion,              # SQL-oracled
         "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
         "ann_ivf_topk": q.ann_ivf_topk,          # rows-only (approximate)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
@@ -281,6 +282,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "rrf_fusion": """
+            WITH cos AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                     )::DOUBLE, 4) AS sim
+              FROM embeddings ORDER BY sim DESC, vec_id LIMIT 100),
+            cr AS (SELECT vec_id,
+                          row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+                   FROM cos),
+            lab AS (SELECT vec_id, label FROM embeddings
+                    ORDER BY label DESC, vec_id LIMIT 100),
+            lr AS (SELECT vec_id,
+                          row_number() OVER (ORDER BY label DESC, vec_id) AS r
+                   FROM lab),
+            u AS (SELECT vec_id, r FROM cr UNION ALL SELECT vec_id, r FROM lr),
+            s AS (SELECT vec_id, sum(1.0 / (60 + r)) AS score
+                  FROM u GROUP BY vec_id)
+            SELECT vec_id::BIGINT AS vec_id, round(score, 6) AS rrf
+            FROM s ORDER BY rrf DESC, vec_id LIMIT 10
+        """,
         "dedup_minhash_pairs": f"""
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -776,6 +776,45 @@ def ann_ivf_topk(sf_dir: str, k: int = 10):
     return ann.finalize_topk(partials, k)
 
 
+def rrf_fusion(sf_dir: str, k: int = 60, top_n: int = 10):
+    """Reciprocal-rank fusion of two retrieval rankings (the reference's
+    query side fuses vector + keyword rankings; RRF per Cormack et al.):
+    score(d) = Σ_r 1/(k + rank_r(d)). Rankings here: cosine-to-query over
+    embeddings and |value| over the same vec_ids' labels — both derived
+    distributively, fused with a tiny driver-side merge. SQL-oracled."""
+    q = _query_vector(sf_dir)
+    cos_partials = _embeddings(sf_dir).map_batches(
+        ann.make_topk_partial_fn(q, 100), batch_format="pyarrow"
+    )
+    cos_top = ann.finalize_topk(cos_partials, 100)
+
+    def label_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -labels))[:100]  # per-batch top-k combiner
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids[order]), "label": pa.array(labels[order])}
+        )
+
+    lab = (_embeddings(sf_dir)
+           .map_batches(label_partial, batch_format="pyarrow")
+           .to_pandas())
+    lab = lab.sort_values(["label", "vec_id"],
+                          ascending=[False, True]).head(100)
+    scores: dict[int, float] = {}
+    for rank, vid in enumerate(cos_top["vec_id"].tolist(), start=1):
+        scores[vid] = scores.get(vid, 0.0) + 1.0 / (k + rank)
+    for rank, vid in enumerate(lab["vec_id"].tolist(), start=1):
+        scores[vid] = scores.get(vid, 0.0) + 1.0 / (k + rank)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"vec_id": list(scores.keys()),
+         "rrf": [float(np.floor(s * 1e6 + 0.5) / 1e6) for s in scores.values()]}
+    ).sort_values(["rrf", "vec_id"], ascending=[False, True]).head(top_n)
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # join-pattern operators over the relational tables (J-family, SQL-oracled)
 
