@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_gleaning_extraction": q.kg_gleaning_extraction,
         "kg_validated_facts": q.kg_validated_facts,
         "media_features": q.media_features,
+        "media_frames": q.media_frames,
+        "media_resized": q.media_resized,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,

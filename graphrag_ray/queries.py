@@ -383,6 +383,41 @@ def media_features(sf_dir: str):
     ).select_columns(["doc_id", "media_ref", "kind", "span_index"])
 
 
+def media_frames(sf_dir: str):
+    """Video/image frame sampling pipeline: explode media spans → bytes
+    load (actor pool, small batches) → frame-timestamp explode."""
+    from .stages.media import (MediaBytesLoader, explode_media_spans,
+                               make_frame_sampler)
+
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    media = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    loaded = media.map_batches(
+        MediaBytesLoader, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4),
+    )
+    return loaded.map_batches(make_frame_sampler(fps_sample=1.0),
+                              batch_format="pyarrow")
+
+
+def media_resized(sf_dir: str):
+    """Image decode+resize pipeline (block-mean downsample over the
+    deterministic-fake decode; real resize math)."""
+    from .stages.media import (ImageResizeStage, MediaBytesLoader,
+                               explode_media_spans)
+
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    media = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    loaded = media.map_batches(
+        MediaBytesLoader, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4),
+    )
+    out = loaded.map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"target": 16},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "media_ref"])
+
+
 def kg_mentions(sf_dir: str):
     """J4 mentions table with character offsets (separate scan so the hot
     KG path doesn't carry offset lists)."""

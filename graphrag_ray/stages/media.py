@@ -99,3 +99,135 @@ class MediaFeatureExtractor:
             ],
             schema=MEDIA_FEATURES_SCHEMA,
         )
+
+
+MEDIA_BYTES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("span_index", pa.int32()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+
+class MediaBytesLoader:
+    """Actor-pool fetch stage: media_ref → binary payload + typed metadata.
+
+    Real path: resolve the ref against object storage (s3/lance blob) once
+    per row; here the payload is a deterministic md5-stream stand-in so
+    byte-level plumbing (binary column, per-row sizes, small batches) is
+    exercised for real. Metadata (width/height/duration) is derived
+    deterministically from the ref — a real loader reads it from the
+    container header at the marked seam."""
+
+    def __init__(self, mode: str = DETERMINISTIC_FAKE, payload_bytes: int = 256):
+        self.mode = mode
+        self.payload_bytes = payload_bytes
+
+    def _fetch(self, media_ref: str) -> tuple[bytes, int, int, int]:
+        if self.mode == STRICT:
+            raise NotImplementedError(
+                "media fetch requires object-storage access; plug the real "
+                "reader here"
+            )
+        h = hashlib.md5(media_ref.encode()).digest()
+        reps = self.payload_bytes // len(h) + 1
+        payload = (h * reps)[: self.payload_bytes]
+        width = 64 + h[0] % 192          # 64..255
+        height = 64 + h[1] % 192
+        duration = 1000 + int.from_bytes(h[2:4], "big") % 29000  # 1-30 s
+        return payload, width, height, duration
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"payload": [], "width": [], "height": [], "duration_ms": []}
+        for ref in batch.column("media_ref").to_pylist():
+            p, w, hgt, d = self._fetch(ref)
+            rows["payload"].append(p)
+            rows["width"].append(w)
+            rows["height"].append(hgt)
+            rows["duration_ms"].append(d)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("media_ref"),
+                batch.column("kind"),
+                batch.column("span_index"),
+                pa.array(rows["payload"], pa.binary()),
+                pa.array(rows["width"], pa.int32()),
+                pa.array(rows["height"], pa.int32()),
+                pa.array(rows["duration_ms"], pa.int64()),
+            ],
+            schema=MEDIA_BYTES_SCHEMA,
+        )
+
+
+class ImageResizeStage:
+    """Resize stage over decoded image arrays. The DECODE is the fake seam
+    (payload bytes → deterministic grayscale array); the RESIZE itself is
+    real vectorized math (block-mean downsampling via reshape) — exactly
+    the compute shape a PIL/torchvision resize replaces."""
+
+    def __init__(self, target: int = 32, mode: str = DETERMINISTIC_FAKE):
+        self.target = target
+        self.mode = mode
+
+    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.mode == STRICT:
+            raise NotImplementedError("plug a real image decoder here")
+        raw = np.frombuffer(
+            (payload * ((width * height) // max(1, len(payload)) + 1))
+            [: width * height], dtype=np.uint8)
+        return raw.reshape(height, width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        out = []
+        for payload, w, hgt in zip(batch.column("payload").to_pylist(),
+                                   batch.column("width").to_pylist(),
+                                   batch.column("height").to_pylist()):
+            img = self._decode(payload, w, hgt).astype(np.float32)
+            # crop to a multiple of target, then block-mean (vectorized)
+            ch, cw = (hgt // t) * t, (w // t) * t
+            img = img[:ch, :cw]
+            resized = img.reshape(t, ch // t, t, cw // t).mean(axis=(1, 3))
+            out.append((resized / 255.0).reshape(-1).tolist())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "pixels": pa.array(out, pa.list_(pa.float32())),
+            }
+        )
+
+
+def make_frame_sampler(fps_sample: float = 1.0):
+    """Video frame sampling: one row per sampled frame timestamp
+    (flat-map explode; a real implementation seeks the container at each
+    ts — the explode/emit plumbing is identical)."""
+
+    def sample_frames(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "media_ref": [], "frame_idx": [], "ts_ms": []}
+        step_ms = int(1000 / fps_sample)
+        for doc_id, ref, dur in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("media_ref").to_pylist(),
+                                    batch.column("duration_ms").to_pylist()):
+            for i, ts in enumerate(range(0, int(dur), step_ms)):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(ts)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+            }
+        )
+
+    return sample_frames

@@ -362,3 +362,84 @@ def test_lance_store_roundtrip(ray_session, tmp_path):
     back = read_vector_store(path)
     assert back.count() == 20
     assert sorted(r["id"] for r in back.take_all()) == list(range(20))
+
+
+# --- round 2: media pipeline extensions (load → resize / frame-sample)
+
+
+def _media_rows(ray_session, n_docs=40):
+    import ray as _ray
+
+    from graphrag_ray.stages.media import explode_media_spans
+    from graphrag_ray.synth import synth_documents_table
+
+    docs = _ray.data.from_arrow(synth_documents_table(n_docs))
+    return docs.map_batches(explode_media_spans, batch_format="pyarrow")
+
+
+def test_media_bytes_loader(ray_session):
+    from graphrag_ray.stages.media import MediaBytesLoader
+
+    loaded = _media_rows(ray_session).map_batches(
+        MediaBytesLoader, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2),
+    )
+    rows = loaded.take_all()
+    assert rows
+    for r in rows:
+        assert len(r["payload"]) == 256
+        assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
+        assert 1000 <= r["duration_ms"] <= 30000
+    # deterministic: same ref → same payload
+    a = [r for r in rows if r["media_ref"] == rows[0]["media_ref"]][0]
+    assert a["payload"] == rows[0]["payload"]
+
+
+def test_image_resize_stage(ray_session):
+    from graphrag_ray.stages.media import ImageResizeStage, MediaBytesLoader
+
+    out = (_media_rows(ray_session)
+           .map_batches(MediaBytesLoader, batch_format="pyarrow",
+                        batch_size=8, concurrency=(1, 2))
+           .map_batches(ImageResizeStage,
+                        fn_constructor_kwargs={"target": 16},
+                        batch_format="pyarrow", batch_size=8,
+                        concurrency=(1, 2))
+           .take_all())
+    assert out
+    for r in out:
+        assert len(r["pixels"]) == 16 * 16
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+
+
+def test_frame_sampler(ray_session):
+    from graphrag_ray.stages.media import MediaBytesLoader, make_frame_sampler
+
+    frames = (_media_rows(ray_session)
+              .map_batches(MediaBytesLoader, batch_format="pyarrow",
+                           concurrency=(1, 2))
+              .map_batches(make_frame_sampler(fps_sample=2.0),
+                           batch_format="pyarrow")
+              .take_all())
+    assert frames
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f["media_ref"], []).append(f)
+    for ref, fs in by_ref.items():
+        idxs = sorted(x["frame_idx"] for x in fs)
+        assert idxs == list(range(len(fs)))          # contiguous
+        assert all(x["ts_ms"] % 500 == 0 for x in fs)  # 2 fps → 500 ms grid
+
+
+def test_strict_mode_raises(ray_session):
+    import pytest as _pytest
+
+    from graphrag_ray.stages.media import STRICT, MediaBytesLoader
+
+    loader = MediaBytesLoader(mode=STRICT)
+    import pyarrow as _pa
+
+    batch = _pa.table({"doc_id": ["d"], "media_ref": ["lance://x"],
+                       "kind": ["image"], "span_index": [0]})
+    with _pytest.raises(NotImplementedError):
+        loader(batch)
