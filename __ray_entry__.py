@@ -243,7 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "kgx_rdf_import": f"""
             WITH choice AS (
               SELECT doc_id,
-                     ('0x'||substr(md5('kgx:'||doc_id||':0'),1,8))::BIGINT % 10 AS tid,
+                     ('0x'||substr(md5('kgx:'||doc_id||':0'),1,8))::BIGINT
+                         % {len(_kgx_sql.KGX_TEMPLATES)} AS tid,
                      ('0x'||substr(md5('kgx:'||doc_id||':1'),1,8))::BIGINT % 20 AS p_idx,
                      ('0x'||substr(md5('kgx:'||doc_id||':3'),1,8))::BIGINT % 4 AS o_idx
               FROM documents)

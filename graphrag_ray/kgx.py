@@ -109,6 +109,14 @@ KGX_TEMPLATES = (
     dict(text="{p} visited {l} and then met {p2}.", pos_p=1, pos_p2=3,
          pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
          pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+    # repeated-person template: phase 3 fires on BOTH occurrences, each
+    # emission counts text.count(name)=2 mentions, the per-chunk dedup
+    # merge sums them → n_mentions = 4 (entity/mod.rs:788-809 semantics);
+    # breaks the mention_count == doc_frequency degeneracy of the
+    # single-mention templates
+    dict(text="{p} visited {l} and later {p} returned.", pos_p=1, pos_p2=None,
+         pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS", p_mentions=4),
 )
 
 
@@ -183,7 +191,7 @@ def _corpus_cte() -> str:
     locs = ",".join(f"({i},{_sql_str(n)},{str(tw).lower()})"
                     for i, (n, tw) in enumerate(KGX_LOCS))
     tmpl = ",".join(
-        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq})".format(
+        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq},{pm})".format(
             tid=i,
             pp_=t["pos_p"] if t["pos_p"] is not None else "NULL",
             p2=t["pos_p2"] if t["pos_p2"] is not None else "NULL",
@@ -192,6 +200,7 @@ def _corpus_cte() -> str:
             ti=str(t["titled"]).lower(),
             po=_sql_str(t["po"]), pl=_sql_str(t["pl"]),
             ol=_sql_str(t["ol"]), pq=_sql_str(t["pp"]),
+            pm=t.get("p_mentions", 1),
         )
         for i, t in enumerate(KGX_TEMPLATES)
     )
@@ -211,11 +220,11 @@ def _corpus_cte() -> str:
     persons(idx, pname) AS (VALUES {persons}),
     orgs(idx, oname, osfx) AS (VALUES {orgs}),
     locs(idx, lname, ltwo) AS (VALUES {locs}),
-    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp)
+    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp, p_m)
         AS (VALUES {tmpl}),
     kgx_docs AS (
       SELECT c.doc_id, t.pos_p, t.pos_p2, t.pos_o, t.pos_l, t.titled,
-             t.po, t.pl, t.ol, t.pp,
+             t.po, t.pl, t.ol, t.pp, t.p_m,
              pa.pname AS p, pb.pname AS p2, o.oname AS o, o.osfx,
              l.lname AS l, l.ltwo
       FROM choice2 c
@@ -227,28 +236,28 @@ def _corpus_cte() -> str:
     ents_raw AS (
       SELECT doc_id, p AS name, 'PERSON' AS entity_type,
              CASE WHEN titled THEN 0.9 ELSE 0.8 END AS confidence,
-             pos_p AS ord, po, pl, ol, pp
+             pos_p AS ord, p_m AS n_mentions, po, pl, ol, pp
         FROM kgx_docs WHERE pos_p IS NOT NULL
       UNION ALL
-      SELECT doc_id, p2, 'PERSON', 0.8, pos_p2, po, pl, ol, pp
+      SELECT doc_id, p2, 'PERSON', 0.8, pos_p2, 1, po, pl, ol, pp
         FROM kgx_docs WHERE pos_p2 IS NOT NULL
       UNION ALL
-      SELECT doc_id, o, 'PERSON', 0.8, pos_o, po, pl, ol, pp
+      SELECT doc_id, o, 'PERSON', 0.8, pos_o, 1, po, pl, ol, pp
         FROM kgx_docs WHERE pos_o IS NOT NULL
       UNION ALL
-      SELECT doc_id, l, 'PERSON', 0.8, pos_l, po, pl, ol, pp
+      SELECT doc_id, l, 'PERSON', 0.8, pos_l, 1, po, pl, ol, pp
         FROM kgx_docs WHERE pos_l IS NOT NULL AND ltwo
       UNION ALL
-      SELECT doc_id, osfx, 'ORGANIZATION', 0.9, 10, po, pl, ol, pp
+      SELECT doc_id, osfx, 'ORGANIZATION', 0.9, 10, 1, po, pl, ol, pp
         FROM kgx_docs WHERE pos_o IS NOT NULL AND osfx IS NOT NULL
       UNION ALL
-      SELECT doc_id, l, 'LOCATION', 0.9, 20, po, pl, ol, pp
+      SELECT doc_id, l, 'LOCATION', 0.9, 20, 1, po, pl, ol, pp
         FROM kgx_docs WHERE pos_l IS NOT NULL),
     canon AS (
       SELECT entity_type || '_' || lower(replace(name, ' ', '')) AS canonical_id,
              name AS canonical_name, entity_type,
              count(DISTINCT doc_id)::BIGINT AS doc_frequency,
-             count(*)::BIGINT AS mention_count,
+             sum(n_mentions)::BIGINT AS mention_count,
              round(max(confidence), 4) AS confidence
       FROM ents_raw GROUP BY 1, 2, 3),
     typed_pairs AS (
@@ -283,7 +292,7 @@ def kgx_doc_entities_sql() -> str:
     return f"""
         WITH {_corpus_cte()}
         SELECT doc_id, name, entity_type, round(confidence, 4) AS confidence,
-               1::BIGINT AS n_mentions
+               n_mentions::BIGINT AS n_mentions
         FROM ents_raw
     """
 

@@ -111,19 +111,21 @@ def _expected_for_doc(doc_id: int):
     p, p2 = kgx.KGX_PERSONS[c["p"]], kgx.KGX_PERSONS[c["p2"]]
     o, osfx = kgx.KGX_ORGS[c["o"]]
     loc, ltwo = kgx.KGX_LOCS[c["l"]]
-    ents = []
+    p_m = t.get("p_mentions", 1)
+    ents = []  # (name, type, confidence, ord, n_mentions)
     if t["pos_p"] is not None:
-        ents.append((p, "PERSON", 0.9 if t["titled"] else 0.8, t["pos_p"]))
+        ents.append((p, "PERSON", 0.9 if t["titled"] else 0.8,
+                     t["pos_p"], p_m))
     if t["pos_p2"] is not None:
-        ents.append((p2, "PERSON", 0.8, t["pos_p2"]))
+        ents.append((p2, "PERSON", 0.8, t["pos_p2"], 1))
     if t["pos_o"] is not None:
-        ents.append((o, "PERSON", 0.8, t["pos_o"]))
+        ents.append((o, "PERSON", 0.8, t["pos_o"], 1))
     if t["pos_l"] is not None and ltwo:
-        ents.append((loc, "PERSON", 0.8, t["pos_l"]))
+        ents.append((loc, "PERSON", 0.8, t["pos_l"], 1))
     if t["pos_o"] is not None and osfx:
-        ents.append((osfx, "ORGANIZATION", 0.9, 10))
+        ents.append((osfx, "ORGANIZATION", 0.9, 10, 1))
     if t["pos_l"] is not None:
-        ents.append((loc, "LOCATION", 0.9, 20))
+        ents.append((loc, "LOCATION", 0.9, 20, 1))
     ents.sort(key=lambda e: e[3])
     rels = []
     for i in range(len(ents)):
@@ -159,8 +161,8 @@ def test_expectations_match_extractor_exhaustively():
         got_ents = [(e.name, e.entity_type, round(e.confidence, 4),
                      e.n_mentions) for e in got]
         exp_ents, exp_rels = _expected_for_doc(doc_id)
-        assert got_ents == [(n, t, round(cf, 4), 1)
-                            for (n, t, cf, _) in exp_ents], (doc_id, text)
+        assert got_ents == [(n, t, round(cf, 4), nm)
+                            for (n, t, cf, _o, nm) in exp_ents], (doc_id, text)
         assert extract_relationships(got, text) == exp_rels, (doc_id, text)
 
 
