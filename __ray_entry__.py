@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_enriched_chunks": q.kg_enriched_chunks,
         "kg_atomic_facts": q.kg_atomic_facts,
         "kgx_entity_temporal": q.kgx_entity_temporal,
+        "kgx_temporal_snapshot": q.kgx_temporal_snapshot,
         "kg_yake_keywords": q.kg_yake_keywords,
         "kg_gleaning_extraction": q.kg_gleaning_extraction,
         "kg_validated_facts": q.kg_validated_facts,
@@ -271,6 +272,36 @@ def oracle_sql() -> dict[str, str]:
                    min(t)::BIGINT AS valid_from,
                    max(t)::BIGINT AS valid_to
             FROM ts GROUP BY entity_name
+        """,
+        "kgx_temporal_snapshot": f"""
+            WITH choice AS (
+              SELECT doc_id,
+                     ('0x'||substr(md5('kgx:'||doc_id||':1'),1,8))::BIGINT
+                         % {len(_kgx_sql.KGX_PERSONS)} AS p_idx,
+                     ('0x'||substr(md5('kgx:'||doc_id||':3'),1,8))::BIGINT
+                         % {len(_kgx_sql.KGX_ORGS)} AS o_idx,
+                     1900 + ('0x'||substr(md5('kgx:'||doc_id||':6'),1,8))::BIGINT % 120
+                         AS year
+              FROM documents),
+            persons(idx, pname) AS (VALUES """ + ",".join(
+                f"({i},'{n}')" for i, n in enumerate(_kgx_sql.KGX_PERSONS)
+            ) + """),
+            orgs(idx, oname) AS (VALUES """ + ",".join(
+                f"({i},'{n}')" for i, (n, _s) in enumerate(_kgx_sql.KGX_ORGS)
+            ) + """),
+            active AS (
+              SELECT p.pname AS src, o.oname AS dst
+              FROM choice c
+              JOIN persons p ON p.idx = c.p_idx
+              JOIN orgs o ON o.idx = c.o_idx
+              WHERE c.year BETWEEN 1950 AND 1999),
+            deg AS (
+              SELECT src AS node_id, count(*)::BIGINT AS degree FROM active
+                GROUP BY 1
+              UNION ALL
+              SELECT dst, count(*)::BIGINT FROM active GROUP BY 1)
+            SELECT node_id, sum(degree)::BIGINT AS degree
+            FROM deg GROUP BY node_id
         """,
         "kgx_doc_entities": _kgx_sql.kgx_doc_entities_sql(),
         "kgx_entities": _kgx_sql.kgx_entities_sql(),

@@ -688,6 +688,49 @@ def kgx_entity_temporal(sf_dir: str):
     return entity_temporal(facts)
 
 
+def kgx_temporal_snapshot(sf_dir: str, start_year: int = 1950,
+                          end_year: int = 1999):
+    """L6 temporal snapshot, driver-oracled: temporal FOUNDED edges from
+    the md5-derived corpus (person→org at the founding year), filtered to
+    the [1950, 1999] activity window, then per-node degree stats — DuckDB
+    recomputes from the same md5 arithmetic."""
+    import hashlib
+
+    from . import kgx
+    from .stages.temporal import snapshot_range, snapshot_stats
+
+    def temporal_edges(batch: pa.Table) -> pa.Table:
+        out = {"src": [], "dst": [], "edge_type": [], "timestamp": [],
+               "weight": [], "start_time": [], "end_time": []}
+        for d in batch.column("doc_id").to_pylist():
+            doc_id = int(d)
+            c = kgx.kgx_choices(doc_id)
+            year = 1900 + (int(hashlib.md5(
+                f"kgx:{doc_id}:6".encode()).hexdigest()[:8], 16) % 120)
+            out["src"].append(kgx.KGX_PERSONS[c["p"]])
+            out["dst"].append(kgx.KGX_ORGS[c["o"]][0])
+            out["edge_type"].append("FOUNDED")
+            out["timestamp"].append(year)
+            out["weight"].append(1.0)
+            out["start_time"].append(None)
+            out["end_time"].append(None)
+        return pa.Table.from_pydict(
+            {"src": pa.array(out["src"], pa.string()),
+             "dst": pa.array(out["dst"], pa.string()),
+             "edge_type": pa.array(out["edge_type"], pa.string()),
+             "timestamp": pa.array(out["timestamp"], pa.int64()),
+             "weight": pa.array(out["weight"], pa.float32()),
+             "start_time": pa.array(out["start_time"], pa.int64()),
+             "end_time": pa.array(out["end_time"], pa.int64())}
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(temporal_edges, batch_format="pyarrow")
+    snap = snapshot_range(edges, start_year, end_year)
+    return snapshot_stats(snap)
+
+
 def kg_yake_keywords(sf_dir: str):
     """YAKE keyword variant over the chunk table (config/mod.rs:409-425
     names the algorithm; scoring per Campos et al. 2020)."""
