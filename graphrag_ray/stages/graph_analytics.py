@@ -479,3 +479,85 @@ def graph_metrics(edges_ds):
         {"stat": ["density", "avg_clustering_coefficient"],
          "value": [density, clustering]}
     )
+
+
+# ---------------------------------------------------------------------------
+# L7: graph traversal (analytics.rs:281-410) — query-side helpers over the
+# collected edge list (deterministic Dijkstra + bounded-depth DFS)
+
+
+def _adjacency_from_rows(rows, weight_column=None):
+    adjacency: dict[str, list] = {}
+    for r in rows:
+        w = float(r[weight_column]) if weight_column else 1.0
+        adjacency.setdefault(r["src"], []).append((r["dst"], w))
+        adjacency.setdefault(r["dst"], []).append((r["src"], w))
+    return adjacency
+
+
+def shortest_path(edges_ds, start: str, end: str, weight_column=None):
+    """Dijkstra shortest path (analytics.rs:281-346); returns
+    (node list, total weight) or None. Ties break deterministically by
+    (distance, node id) — the reference inherits HashSet order."""
+    import heapq
+
+    cols = ["src", "dst"] + ([weight_column] if weight_column else [])
+    adjacency = _adjacency_from_rows(
+        edges_ds.select_columns(cols).take_all(), weight_column)
+    if start not in adjacency:
+        return None
+    dist = {start: 0.0}
+    prev: dict[str, str] = {}
+    done = set()
+    heap = [(0.0, start)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in done:
+            continue
+        if u == end:
+            break
+        done.add(u)
+        for v, w in adjacency.get(u, ()):
+            alt = d + w
+            if alt < dist.get(v, float("inf")):
+                dist[v] = alt
+                prev[v] = u
+                heapq.heappush(heap, (alt, v))
+    if end not in dist:
+        return None
+    path = [end]
+    while path[-1] != start:
+        path.append(prev[path[-1]])
+    path.reverse()
+    return path, dist[end]
+
+
+def all_paths(edges_ds, start: str, end: str, max_depth: int = 5,
+              weight_column=None):
+    """All simple paths up to max_depth (analytics.rs:357-410 DFS),
+    deterministic neighbor order (sorted)."""
+    cols = ["src", "dst"] + ([weight_column] if weight_column else [])
+    adjacency = _adjacency_from_rows(
+        edges_ds.select_columns(cols).take_all(), weight_column)
+    for k in adjacency:
+        adjacency[k] = sorted(adjacency[k])
+    out: list[tuple[list[str], float]] = []
+    visited: set[str] = set()
+
+    def dfs(cur: str, path: list[str], weight: float) -> None:
+        if len(path) > max_depth:
+            return
+        if cur == end:
+            out.append((list(path), weight))
+            return
+        visited.add(cur)
+        for nb, w in adjacency.get(cur, ()):
+            if nb not in visited:
+                path.append(nb)
+                dfs(nb, path, weight + w)
+                path.pop()
+        visited.discard(cur)
+
+    if start in adjacency:
+        dfs(start, [start], 0.0)
+    return out

@@ -173,3 +173,20 @@ def test_centrality_disconnected(ray_session):
     assert (df["betweenness"] == 0.0).all()
     louv = ga.louvain_communities(edges).to_pandas()
     assert louv["community_id"].nunique() == 2
+
+
+def test_shortest_path_reference_fixture(ray_session):
+    """analytics.rs:500-507: A→D over the square is 3 nodes, weight 2."""
+    path, weight = ga.shortest_path(_abcd_edges(ray_session), "A", "D")
+    assert len(path) == 3 and weight == 2.0
+    assert path[0] == "A" and path[-1] == "D"
+    assert path[1] in ("B", "C")
+    assert ga.shortest_path(_abcd_edges(ray_session), "A", "ZZZ") is None
+
+
+def test_all_paths_bounded_depth(ray_session):
+    paths = ga.all_paths(_abcd_edges(ray_session), "A", "D", max_depth=3)
+    got = sorted(p for p, _w in paths)
+    assert got == [["A", "B", "D"], ["A", "C", "D"]]
+    deeper = ga.all_paths(_abcd_edges(ray_session), "A", "D", max_depth=4)
+    assert len(deeper) == 4  # + A-B-C-D and A-C-B-D
