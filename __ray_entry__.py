@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_centrality": q.kg_centrality,
         "kg_louvain": q.kg_louvain,
         "kg_graph_metrics": q.kg_graph_metrics,
+        "kg_node2vec": q.kg_node2vec,
+        "kg_graphsage": q.kg_graphsage,
         "kg_semantic_neighbors": q.kg_semantic_neighbors,
         "kg_cooccur_edges": q.kg_cooccur_edges,
         "kg_enriched_chunks": q.kg_enriched_chunks,

@@ -951,3 +951,31 @@ def doc_length_histogram(sf_dir: str):
 
     return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
             .groupby("len_bucket").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def kg_node2vec(sf_dir: str):
+    """L5 Node2Vec embeddings over the canonical entity graph (distributed
+    walks + batch-synchronous skip-gram; graph/embeddings.rs)."""
+    from .stages.graph_embeddings import node2vec
+
+    res = _kg(sf_dir)
+    out = node2vec(res.edges, dimension=16, walk_length=10, walks_per_node=2,
+                   epochs=2)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        return pa.Table.from_pydict(
+            {"node_id": batch.column("node_id"),
+             "dim": pa.array([vecs.shape[1]] * len(vecs), pa.int32())}
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def kg_graphsage(sf_dir: str):
+    """L5 GraphSAGE mean-aggregator embeddings over the entity graph."""
+    from .stages.graph_embeddings import graphsage
+
+    res = _kg(sf_dir)
+    out = graphsage(res.edges, dimension=16, num_layers=2)
+    return out.select_columns(["node_id"])
