@@ -122,7 +122,8 @@ def _is_likely_person_word(word: str) -> bool:
 def _is_likely_person_name(name: str) -> bool:
     """entity/mod.rs:698-701: exactly two capitalized parts."""
     parts = name.split()
-    return len(parts) == 2 and all(is_capitalized(p) for p in parts)
+    return (len(parts) == 2 and parts[0][0].isupper()
+            and parts[1][0].isupper())
 
 
 def _is_likely_organization(name: str) -> bool:
@@ -130,8 +131,10 @@ def _is_likely_organization(name: str) -> bool:
     return any(ind in name for ind in ORG_INDICATORS)
 
 
+@lru_cache(maxsize=131072)
 def calculate_confidence(name: str, entity_type: str) -> float:
-    """entity/mod.rs:721-759."""
+    """entity/mod.rs:721-759. Cached — pure function of (name, type) and
+    entity names repeat heavily under any Zipf-ish corpus."""
     confidence = 0.5
     if entity_type == "PERSON":
         if "Dr." in name or "Prof." in name:

@@ -75,17 +75,32 @@ class PatternExtractor:
                     slot[2] += 1
                     slot[3] += ent.n_mentions
             if self.extract_rels and len(ents) >= 2:
-                for src, dst, rel in extract_relationships(ents, text):
-                    ekey = (src, dst, rel)
-                    eslot = edge_acc.get(ekey)
-                    if eslot is None:
-                        # [n_occurrences, n_contexts, pipe-joined context ids]
-                        edge_acc[ekey] = [1, 1, chunk_id]
-                    else:
-                        eslot[0] += 1
-                        if eslot[1] < self.max_contexts:
-                            eslot[1] += 1
-                            eslot[2] += "|" + chunk_id
+                # fused pair emission: same semantics as
+                # extract_relationships (all i<j pairs typed by the chunk's
+                # keyword table) but updating the combiner directly — the
+                # quadratic tuple list never materializes
+                from ..functions.extraction import _pair_rel_table
+
+                table = _pair_rel_table(text)
+                ids = [e.entity_id for e in ents]
+                types = [e.entity_type for e in ents]
+                n = len(ents)
+                get_edge = edge_acc.get
+                for i in range(n):
+                    src = ids[i]
+                    ti = types[i]
+                    for j in range(i + 1, n):
+                        rel = table.get((ti, types[j]), "RELATED_TO")
+                        ekey = (src, ids[j], rel)
+                        eslot = get_edge(ekey)
+                        if eslot is None:
+                            # [n_occurrences, n_contexts, context ids]
+                            edge_acc[ekey] = [1, 1, chunk_id]
+                        else:
+                            eslot[0] += 1
+                            if eslot[1] < self.max_contexts:
+                                eslot[1] += 1
+                                eslot[2] += "|" + chunk_id
 
         n_ent, n_edge = len(ent_acc), len(edge_acc)
         row_kind = ["entity"] * n_ent + ["edge"] * n_edge
