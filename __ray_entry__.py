@@ -69,6 +69,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_edges": q.kgx_edges,
         "kgx_triples": q.kgx_triples,
         "kgx_rdf_import": q.kgx_rdf_import,
+        "kgx_chunks": q.kgx_chunks,
+        "kgx_mentions": q.kgx_mentions,
+        "kgx_stats": q.kgx_stats,
+        "kgx_cooccur": q.kgx_cooccur,
+        "kgx_common_entities": q.kgx_common_entities,
+        "kgx_components": q.kgx_components,
+        "kgx_louvain": q.kgx_louvain,
+        "kgx_graph_metrics": q.kgx_graph_metrics,
+        "kgx_pagerank": q.kgx_pagerank,
         # --- KG construction (rows-only; parity gated by tests/)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
@@ -310,6 +319,15 @@ def oracle_sql() -> dict[str, str]:
         "kgx_alias_map": _kgx_sql.kgx_alias_map_sql(),
         "kgx_edges": _kgx_sql.kgx_edges_sql(),
         "kgx_triples": _kgx_sql.kgx_triples_sql(),
+        "kgx_chunks": _kgx_sql.kgx_chunks_sql(),
+        "kgx_mentions": _kgx_sql.kgx_mentions_sql(),
+        "kgx_stats": _kgx_sql.kgx_stats_sql(),
+        "kgx_cooccur": _kgx_sql.kgx_cooccur_sql(),
+        "kgx_common_entities": _kgx_sql.kgx_common_entities_sql(),
+        "kgx_components": _kgx_sql.kgx_components_sql(),
+        "kgx_louvain": _kgx_sql.kgx_louvain_sql(),
+        "kgx_graph_metrics": _kgx_sql.kgx_graph_metrics_sql(),
+        "kgx_pagerank": _kgx_sql.kgx_pagerank_sql(),
         "ann_topk": """
             SELECT vec_id::BIGINT AS vec_id,
                    round(list_cosine_similarity(embedding,

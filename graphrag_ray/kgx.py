@@ -190,8 +190,9 @@ def _corpus_cte() -> str:
                     for i, (n, s) in enumerate(KGX_ORGS))
     locs = ",".join(f"({i},{_sql_str(n)},{str(tw).lower()})"
                     for i, (n, tw) in enumerate(KGX_LOCS))
+    titles = ",".join(f"({i},{_sql_str(n)})" for i, n in enumerate(KGX_TITLES))
     tmpl = ",".join(
-        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq},{pm})".format(
+        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq},{pm},{txt})".format(
             tid=i,
             pp_=t["pos_p"] if t["pos_p"] is not None else "NULL",
             p2=t["pos_p2"] if t["pos_p2"] is not None else "NULL",
@@ -201,6 +202,7 @@ def _corpus_cte() -> str:
             po=_sql_str(t["po"]), pl=_sql_str(t["pl"]),
             ol=_sql_str(t["ol"]), pq=_sql_str(t["pp"]),
             pm=t.get("p_mentions", 1),
+            txt=_sql_str(t["text"]),
         )
         for i, t in enumerate(KGX_TEMPLATES)
     )
@@ -211,7 +213,8 @@ def _corpus_cte() -> str:
              {_hx(1)} % {np_} AS p_idx,
              {_hx(2)} % {np_} AS p2_raw,
              {_hx(3)} % {no} AS o_idx,
-             {_hx(4)} % {nl} AS l_idx
+             {_hx(4)} % {nl} AS l_idx,
+             {_hx(5)} % {nt} AS t_idx
       FROM documents),
     choice2 AS (
       SELECT *, CASE WHEN p2_raw = p_idx THEN (p2_raw + 1) % {np_}
@@ -220,19 +223,24 @@ def _corpus_cte() -> str:
     persons(idx, pname) AS (VALUES {persons}),
     orgs(idx, oname, osfx) AS (VALUES {orgs}),
     locs(idx, lname, ltwo) AS (VALUES {locs}),
-    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp, p_m)
+    titles(idx, tname) AS (VALUES {titles}),
+    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp, p_m, txt)
         AS (VALUES {tmpl}),
     kgx_docs AS (
       SELECT c.doc_id, t.pos_p, t.pos_p2, t.pos_o, t.pos_l, t.titled,
              t.po, t.pl, t.ol, t.pp, t.p_m,
              pa.pname AS p, pb.pname AS p2, o.oname AS o, o.osfx,
-             l.lname AS l, l.ltwo
+             l.lname AS l, l.ltwo,
+             replace(replace(replace(replace(replace(t.txt,
+                 '{{t}}', ti.tname), '{{p2}}', pb.pname), '{{p}}', pa.pname),
+                 '{{o}}', o.oname), '{{l}}', l.lname) AS s
       FROM choice2 c
       JOIN tmpl t USING (tid)
       JOIN persons pa ON pa.idx = c.p_idx
       JOIN persons pb ON pb.idx = c.p2_idx
       JOIN orgs o ON o.idx = c.o_idx
-      JOIN locs l ON l.idx = c.l_idx),
+      JOIN locs l ON l.idx = c.l_idx
+      JOIN titles ti ON ti.idx = c.t_idx),
     ents_raw AS (
       SELECT doc_id, p AS name, 'PERSON' AS entity_type,
              CASE WHEN titled THEN 0.9 ELSE 0.8 END AS confidence,
@@ -329,4 +337,249 @@ def kgx_triples_sql() -> str:
         SELECT src_name AS subj, rel_type AS pred, dst_name AS obj,
                n_occurrences
         FROM kgx_edge_agg
+    """
+
+
+def kgx_chunks_sql() -> str:
+    """S1/M1 chunk fidelity: one chunk per kgx doc whose content is the
+    fully rendered sentence — the oracle re-renders it with SQL replace()."""
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT doc_id || '_0' AS chunk_id, doc_id, s AS content
+        FROM kgx_docs
+    """
+
+
+def kgx_mentions_sql() -> str:
+    """M12 mention offsets: every extracted entity's non-overlapping
+    occurrence offsets in the rendered sentence (entity/mod.rs:613-625).
+
+    All slot values occur exactly once except the repeated-person template
+    (p_m=4): phase 3 fires on BOTH occurrences and each firing records both
+    offsets, so the merged entity carries [o1, o2, o1, o2]."""
+    return f"""
+        WITH {_corpus_cte()},
+        p_base AS (
+          SELECT doc_id, s, p AS name,
+                 CASE WHEN titled THEN 0.9 ELSE 0.8 END AS confidence,
+                 p_m, strpos(s, p) - 1 AS o1, length(p) AS ln
+          FROM kgx_docs WHERE pos_p IS NOT NULL),
+        p_occ AS (
+          SELECT doc_id, s, name, confidence, ln,
+                 unnest(CASE WHEN p_m = 4
+                        THEN [o1, o2, o1, o2] ELSE [o1] END) AS o
+          FROM (SELECT *, o1 + ln + strpos(substr(s, o1 + ln + 1), name) - 1
+                          AS o2
+                FROM p_base)),
+        ments AS (
+          SELECT doc_id, 'PERSON_' || lower(replace(name, ' ', '')) AS eid,
+                 o AS start_offset, o + ln AS end_offset, confidence
+          FROM p_occ
+          UNION ALL
+          SELECT doc_id, 'PERSON_' || lower(replace(p2, ' ', '')),
+                 strpos(s, p2) - 1, strpos(s, p2) - 1 + length(p2), 0.8
+          FROM kgx_docs WHERE pos_p2 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 'PERSON_' || lower(replace(o, ' ', '')),
+                 strpos(s, o) - 1, strpos(s, o) - 1 + length(o), 0.8
+          FROM kgx_docs WHERE pos_o IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 'PERSON_' || lower(replace(l, ' ', '')),
+                 strpos(s, l) - 1, strpos(s, l) - 1 + length(l), 0.8
+          FROM kgx_docs WHERE pos_l IS NOT NULL AND ltwo
+          UNION ALL
+          SELECT doc_id, 'ORGANIZATION_' || lower(osfx),
+                 strpos(s, osfx) - 1, strpos(s, osfx) - 1 + length(osfx), 0.9
+          FROM kgx_docs WHERE pos_o IS NOT NULL AND osfx IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 'LOCATION_' || lower(replace(l, ' ', '')),
+                 strpos(s, l) - 1, strpos(s, l) - 1 + length(l), 0.9
+          FROM kgx_docs WHERE pos_l IS NOT NULL)
+        SELECT eid AS entity_id, doc_id || '_0' AS chunk_id,
+               start_offset::BIGINT AS start_offset,
+               end_offset::BIGINT AS end_offset,
+               round(confidence, 4) AS confidence
+        FROM ments
+    """
+
+
+def kgx_stats_sql() -> str:
+    """G9 graph statistics (graph/mod.rs:330-352) over the kgx graph."""
+    return f"""
+        WITH {_corpus_cte()},
+        base AS (
+          SELECT (SELECT count(*) FROM canon)::DOUBLE AS n_ent,
+                 (SELECT count(*) FROM kgx_edge_agg)::DOUBLE AS n_edge,
+                 (SELECT count(*) FROM documents)::DOUBLE AS n_docs)
+        SELECT 'entity_count' AS stat, n_ent AS value FROM base
+        UNION ALL SELECT 'relationship_count', n_edge FROM base
+        UNION ALL SELECT 'document_count', n_docs FROM base
+        UNION ALL SELECT 'chunk_count', n_docs FROM base
+        UNION ALL SELECT 'average_entities_per_chunk',
+                  round(n_ent / n_docs, 4) FROM base
+        UNION ALL SELECT 'density',
+                  round(n_edge / (n_ent * (n_ent - 1)), 4) FROM base
+        UNION ALL
+        SELECT 'entity_type:' || entity_type, count(*)::DOUBLE
+        FROM canon GROUP BY entity_type
+    """
+
+
+def kgx_cooccur_sql() -> str:
+    """G8 doc co-occurrence edges: sorted distinct entity-id pairs per doc,
+    summed across docs (corpus/knowledge_graph.rs:192-240; the 2000-pair
+    cap is never reached at ≤4 entities per kgx doc)."""
+    return f"""
+        WITH {_corpus_cte()},
+        eids AS (
+          SELECT DISTINCT doc_id,
+                 entity_type || '_' || lower(replace(name, ' ', '')) AS eid
+          FROM ents_raw)
+        SELECT a.eid AS src, b.eid AS dst, count(*)::BIGINT AS n_docs,
+               'co_occurs' AS rel_type, 0.7 AS confidence
+        FROM eids a JOIN eids b ON a.doc_id = b.doc_id AND a.eid < b.eid
+        GROUP BY 1, 2
+    """
+
+
+def kgx_common_entities_sql() -> str:
+    """T4 top-k by mention count (entity/bidirectional_index.rs:315-335),
+    ties broken by canonical_id ascending."""
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT canonical_id, canonical_name, entity_type, mention_count
+        FROM canon
+        ORDER BY mention_count DESC, canonical_id ASC LIMIT 20
+    """
+
+
+def kgx_components_sql() -> str:
+    """L3 connected components + degree: the pipeline's deterministic
+    union-find (smaller id becomes root) labels every component by its
+    minimum entity id, which SQL reproduces as min reachable id; degree
+    counts incident edge rows (graph/analytics.rs)."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canon),
+        und AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                UNION SELECT dst, src FROM kgx_edge_agg),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        comp AS (SELECT a AS entity_id, min(b) AS component
+                 FROM reach GROUP BY a),
+        incid AS (SELECT src AS node FROM kgx_edge_agg
+                  UNION ALL SELECT dst FROM kgx_edge_agg),
+        deg AS (SELECT node, count(*)::BIGINT AS degree FROM incid
+                GROUP BY node)
+        SELECT c.entity_id, c.component,
+               coalesce(d.degree, 0)::BIGINT AS degree
+        FROM comp c LEFT JOIN deg d ON d.node = c.entity_id
+    """
+
+
+def kgx_louvain_sql() -> str:
+    """L3 'Louvain' as the reference ships it (analytics.rs:97-180):
+    components over edge-connected nodes, community ids in sorted-node
+    discovery order (= dense rank of the component's min node), simplified
+    modularity = internal edge ends / (2 * node count)."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        enodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM kgx_edge_agg
+            UNION ALL SELECT dst FROM kgx_edge_agg)),
+        und AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                UNION SELECT dst, src FROM kgx_edge_agg),
+        reach(a, b) AS (
+          SELECT node, node FROM enodes
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        comp AS (SELECT a AS node_id, min(b) AS root FROM reach GROUP BY a),
+        cid AS (SELECT root,
+                       (dense_rank() OVER (ORDER BY root) - 1)::BIGINT
+                           AS community_id
+                FROM (SELECT DISTINCT root FROM comp)),
+        w AS (SELECT c1.root, count(*)::BIGINT AS nrows
+              FROM kgx_edge_agg e
+              JOIN comp c1 ON c1.node_id = e.src
+              JOIN comp c2 ON c2.node_id = e.dst AND c2.root = c1.root
+              GROUP BY c1.root),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM enodes)
+        SELECT cid.community_id, comp.node_id,
+               round((2.0 * coalesce(w.nrows, 0)) / (2.0 * tot.n), 4)
+                   AS modularity
+        FROM comp
+        JOIN cid ON cid.root = comp.root
+        LEFT JOIN w ON w.root = comp.root
+        CROSS JOIN tot
+    """
+
+
+def kgx_graph_metrics_sql() -> str:
+    """L3 graph metrics (analytics.rs:432-487): density over edge-connected
+    nodes, and average clustering coefficient where neighbor lists keep
+    multi-edge multiplicity but triangle membership tests the distinct
+    neighbor set — mirrored via the (mult, distinct) split below."""
+    return f"""
+        WITH {_corpus_cte()},
+        dirs AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                 UNION ALL SELECT dst, src FROM kgx_edge_agg),
+        adj AS (SELECT a, b, count(*)::BIGINT AS mult FROM dirs GROUP BY a, b),
+        nbr AS (SELECT DISTINCT a, b FROM dirs),
+        kdeg AS (SELECT a, sum(mult)::DOUBLE AS k FROM adj GROUP BY a),
+        tri AS (SELECT x.a AS v, sum(x.mult * y.mult)::DOUBLE AS t
+                FROM adj x
+                JOIN adj y ON y.a = x.b
+                JOIN nbr s ON s.a = x.a AND s.b = y.b
+                GROUP BY x.a),
+        pern AS (SELECT kd.a, coalesce(t.t, 0.0) / (kd.k * (kd.k - 1)) AS c
+                 FROM kdeg kd LEFT JOIN tri t ON t.v = kd.a
+                 WHERE kd.k >= 2),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM kdeg),
+        ee AS (SELECT count(*)::DOUBLE AS m FROM kgx_edge_agg)
+        SELECT 'density' AS stat,
+               round(2.0 * ee.m / (nn.n * (nn.n - 1)), 4) AS value
+        FROM nn, ee
+        UNION ALL
+        SELECT 'avg_clustering_coefficient',
+               round(coalesce(avg(c), 0.0), 4) FROM pern
+    """
+
+
+def kgx_pagerank_sql() -> str:
+    """L2 PageRank as a recursive-CTE power iteration mirroring the
+    pipeline's vectorized task (stages/graph_analytics.py:_pagerank_task /
+    graph/pagerank.rs): undirected edges contribute both directions with
+    multi-edge weight, damping 0.85, uniform reset, dangling mass
+    redistributed, L1 early-stop at 1e-6, ≤100 iterations. Arithmetic is
+    mirrored op-for-op (score * (1/deg), (1.0-0.85) * reset) so the only
+    divergence is float summation order — orders of magnitude below the
+    round-4 comparison grid."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canon),
+        dirs AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                 UNION ALL SELECT dst, src FROM kgx_edge_agg),
+        oinv AS (SELECT a, 1.0::DOUBLE / count(*) AS inv FROM dirs GROUP BY a),
+        cst AS (SELECT 1.0::DOUBLE / count(*) AS reset FROM nodes),
+        pr(iter, node, score, prev) AS (
+          SELECT 0, node, (SELECT reset FROM cst), 0.0::DOUBLE FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, p.node,
+                 (1.0::DOUBLE - 0.85::DOUBLE) * c.reset
+                 + 0.85::DOUBLE * (
+                     coalesce((SELECT sum(q.score * oi.inv)
+                               FROM pr q
+                               JOIN dirs d ON d.a = q.node AND d.b = p.node
+                               JOIN oinv oi ON oi.a = q.node), 0.0)
+                     + coalesce((SELECT sum(q2.score) FROM pr q2
+                                 LEFT JOIN oinv o2 ON o2.a = q2.node
+                                 WHERE o2.a IS NULL), 0.0) * c.reset),
+                 p.score
+          FROM pr p CROSS JOIN cst c
+          WHERE p.iter < 100
+            AND (SELECT sum(abs(q3.score - q3.prev)) FROM pr q3) >= 1e-6)
+        SELECT node AS entity_id, round(score, 4) AS score
+        FROM pr WHERE iter = (SELECT max(iter) FROM pr)
     """

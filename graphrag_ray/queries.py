@@ -523,6 +523,132 @@ def kgx_triples(sf_dir: str):
     )
 
 
+def kgx_chunks(sf_dir: str):
+    """Chunk-content fidelity over the kgx corpus (one chunk per doc; the
+    oracle re-renders each sentence with SQL replace())."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "doc_id": pa.array(
+                    [int(d) for d in batch.column("doc_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "content": batch.column("content"),
+            }
+        )
+
+    return _kgx(sf_dir).chunks.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_mentions(sf_dir: str):
+    """M12 mention offsets over the kgx corpus (driver-oracled: the SQL
+    side recomputes each entity's occurrence offsets with strpos)."""
+    from .stages.extract import make_mentions_batch_fn
+
+    ds = _kgx(sf_dir).chunks.map_batches(
+        make_mentions_batch_fn(0.7, ("PERSON", "ORGANIZATION", "LOCATION")),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "entity_id": batch.column("entity_id"),
+                "chunk_id": batch.column("chunk_id"),
+                "start_offset": batch.column("start_offset"),
+                "end_offset": batch.column("end_offset"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_stats(sf_dir: str):
+    """G9 graph statistics over the kgx graph (driver-oracled twin of
+    kg_stats — same stage code, SQL-derivable expectation)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    df = ga.graph_stats(res.entities, res.edges, n_docs, res.chunks.count())
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
+
+
+def kgx_cooccur(sf_dir: str):
+    """G8 co-occurrence edges over the kgx corpus (driver-oracled twin of
+    kg_cooccur_edges)."""
+    from .stages import graph_analytics as ga
+
+    ds = ga.doc_cooccurrence_edges(_kgx(sf_dir).extraction)
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "n_docs": batch.column("n_docs"),
+                "rel_type": batch.column("rel_type"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_common_entities(sf_dir: str):
+    """T4 top-k common entities over the kgx graph (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    return ga.common_entities(_kgx(sf_dir).entities)
+
+
+def kgx_components(sf_dir: str):
+    """L3 connected components + degree over the kgx graph
+    (driver-oracled: union-find root == min id of the component)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.connected_components(res.entities, res.edges)
+
+
+def kgx_louvain(sf_dir: str):
+    """L3 Louvain-as-shipped over the kgx graph (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.louvain_communities(_kgx(sf_dir).edges).to_pandas()
+    df["modularity"] = _round4(df["modularity"].to_numpy())
+    return df
+
+
+def kgx_graph_metrics(sf_dir: str):
+    """L3 density + clustering coefficient over the kgx graph
+    (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.graph_metrics(_kgx(sf_dir).edges)
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
+
+
+def kgx_pagerank(sf_dir: str):
+    """L2 PageRank over the kgx graph (driver-oracled: the SQL twin runs
+    the same damped power iteration as a recursive CTE)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    df = ga.pagerank(res.entities, res.edges).to_pandas()
+    df["score"] = _round4(df["score"].to_numpy())
+    return df
+
+
 def kgx_rdf_import(sf_dir: str):
     """S2 RDF import, driver-oracled: a Turtle file is derived
     deterministically from the documents' md5 choices (kgx.py), imported

@@ -205,8 +205,36 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_entities, kgx.kgx_entities_sql()),
         (q.kgx_edges, kgx.kgx_edges_sql()),
         (q.kgx_triples, kgx.kgx_triples_sql()),
+        (q.kgx_chunks, kgx.kgx_chunks_sql()),
+        (q.kgx_mentions, kgx.kgx_mentions_sql()),
+        (q.kgx_stats, kgx.kgx_stats_sql()),
+        (q.kgx_cooccur, kgx.kgx_cooccur_sql()),
+        (q.kgx_common_entities, kgx.kgx_common_entities_sql()),
+        (q.kgx_components, kgx.kgx_components_sql()),
+        (q.kgx_louvain, kgx.kgx_louvain_sql()),
+        (q.kgx_graph_metrics, kgx.kgx_graph_metrics_sql()),
+        (q.kgx_pagerank, kgx.kgx_pagerank_sql()),
     ]
     for fn, sql in pairs:
-        got = canon(fn(sf).to_pandas())
+        res = fn(sf)
+        got = canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
         exp = canon(con.execute(sql).fetchdf())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_repeated_person_mention_offsets():
+    """The repeated-person template fires phase 3 on BOTH occurrences and
+    each firing records both offsets → the merged mention list is
+    [o1, o2, o1, o2] (entity/mod.rs:613-625 + :788-809 merge)."""
+    reps = [d for d in range(200) if kgx.kgx_choices(d)["tid"] == 10]
+    assert reps, "no repeated-person docs in range"
+    for d in reps[:3]:
+        text = kgx.kgx_sentence(d)
+        name = kgx.KGX_PERSONS[kgx.kgx_choices(d)["p"]]
+        ents = {e.name: e for e in extract_entities(text, 0.7)}
+        o1 = text.find(name)
+        o2 = text.find(name, o1 + len(name))
+        assert ents[name].mentions == [
+            (o1, o1 + len(name)), (o2, o2 + len(name)),
+            (o1, o1 + len(name)), (o2, o2 + len(name)),
+        ]
