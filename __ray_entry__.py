@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_louvain": q.kgx_louvain,
         "kgx_graph_metrics": q.kgx_graph_metrics,
         "kgx_pagerank": q.kgx_pagerank,
+        "kgx_atomic_facts": q.kgx_atomic_facts,
+        "kgx_validated_facts": q.kgx_validated_facts,
+        "kgx_gleaning": q.kgx_gleaning,
         # --- KG construction (rows-only; parity gated by tests/)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
@@ -328,6 +331,9 @@ def oracle_sql() -> dict[str, str]:
         "kgx_louvain": _kgx_sql.kgx_louvain_sql(),
         "kgx_graph_metrics": _kgx_sql.kgx_graph_metrics_sql(),
         "kgx_pagerank": _kgx_sql.kgx_pagerank_sql(),
+        "kgx_atomic_facts": _kgx_sql.kgx_atomic_facts_sql(),
+        "kgx_validated_facts": _kgx_sql.kgx_validated_facts_sql(),
+        "kgx_gleaning": _kgx_sql.kgx_gleaning_sql(),
         "ann_topk": """
             SELECT vec_id::BIGINT AS vec_id,
                    round(list_cosine_similarity(embedding,

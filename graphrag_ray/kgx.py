@@ -76,39 +76,50 @@ KGX_LOCS = (
 KGX_TITLES = ("Dr.", "Prof.")
 
 # Hand-written expectations per template: sentence slot positions
-# (pos_* = 1-based sentence order, None = absent) and the four context
-# relation types (entity/mod.rs:841-879) derived from the template words.
+# (pos_* = 1-based sentence order, None = absent), the four context
+# relation types (entity/mod.rs:841-879) derived from the template words,
+# and the atomic fact the mock ATOM decomposer's sentence regex yields
+# (stages/atomic_facts.py _FACT_RE): (subj_slot, predicate, obj_slot) or
+# None when no "<Subject> <verb phrase> <Object>" shape matches.
 KGX_TEMPLATES = (
     dict(text="{p} works for {o} in {l}.", pos_p=1, pos_p2=None, pos_o=2,
          pos_l=3, titled=False, po="WORKS_FOR", pl="ASSOCIATED_WITH",
-         ol="LOCATED_IN", pp="KNOWS"),
+         ol="LOCATED_IN", pp="KNOWS", fact=("p", "works for", "o")),
     dict(text="{p} founded {o} two years ago.", pos_p=1, pos_p2=None,
          pos_o=2, pos_l=None, titled=False, po="LEADS",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS",
+         fact=("p", "founded", "o")),
     dict(text="{p} is employed by {o}.", pos_p=1, pos_p2=None, pos_o=2,
          pos_l=None, titled=False, po="WORKS_FOR", pl="ASSOCIATED_WITH",
-         ol="LOCATED_IN", pp="KNOWS"),
+         ol="LOCATED_IN", pp="KNOWS", fact=("p", "is employed by", "o")),
     dict(text="{p} was born in {l} long ago.", pos_p=1, pos_p2=None,
          pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
-         pl="BORN_IN", ol="LOCATED_IN", pp="KNOWS"),
+         pl="BORN_IN", ol="LOCATED_IN", pp="KNOWS",
+         fact=("p", "was born in", "l")),
     dict(text="{p} lives in {l} with family.", pos_p=1, pos_p2=None,
          pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
-         pl="LOCATED_IN", ol="LOCATED_IN", pp="KNOWS"),
+         pl="LOCATED_IN", ol="LOCATED_IN", pp="KNOWS",
+         fact=("p", "lives in", "l")),
     dict(text="{p} married {p2} last spring.", pos_p=1, pos_p2=2,
          pos_o=None, pos_l=None, titled=False, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="MARRIED_TO"),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="MARRIED_TO",
+         fact=("p", "married", "p2")),
     dict(text="{p} and {p2} are colleague researchers.", pos_p=1, pos_p2=2,
          pos_o=None, pos_l=None, titled=False, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="COLLEAGUE_OF"),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="COLLEAGUE_OF",
+         fact=None),  # "are" is not a fact verb
     dict(text="{o} is headquartered in {l}.", pos_p=None, pos_p2=None,
          pos_o=1, pos_l=2, titled=False, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="HEADQUARTERED_IN", pp="KNOWS"),
+         pl="ASSOCIATED_WITH", ol="HEADQUARTERED_IN", pp="KNOWS",
+         fact=None),  # "is headquartered in" is not a fact verb
     dict(text="{t} {p} joined {o} recently.", pos_p=1, pos_p2=None,
          pos_o=2, pos_l=None, titled=True, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS",
+         fact=("p", "joined", "o")),  # "Dr." fails the subj regex; p wins
     dict(text="{p} visited {l} and then met {p2}.", pos_p=1, pos_p2=3,
          pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS"),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS",
+         fact=("p", "visited", "l")),  # "met" has no capitalized subject
     # repeated-person template: phase 3 fires on BOTH occurrences, each
     # emission counts text.count(name)=2 mentions, the per-chunk dedup
     # merge sums them → n_mentions = 4 (entity/mod.rs:788-809 semantics);
@@ -116,7 +127,8 @@ KGX_TEMPLATES = (
     # single-mention templates
     dict(text="{p} visited {l} and later {p} returned.", pos_p=1, pos_p2=None,
          pos_o=None, pos_l=2, titled=False, po="ASSOCIATED_WITH",
-         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS", p_mentions=4),
+         pl="ASSOCIATED_WITH", ol="LOCATED_IN", pp="KNOWS", p_mentions=4,
+         fact=("p", "visited", "l")),  # "returned" is not a fact verb
 )
 
 
@@ -192,7 +204,8 @@ def _corpus_cte() -> str:
                     for i, (n, tw) in enumerate(KGX_LOCS))
     titles = ",".join(f"({i},{_sql_str(n)})" for i, n in enumerate(KGX_TITLES))
     tmpl = ",".join(
-        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq},{pm},{txt})".format(
+        "({tid},{pp_},{p2},{po_},{pl_},{ti},{po},{pl},{ol},{pq},{pm},{txt},"
+        "{fs},{fp},{fo})".format(
             tid=i,
             pp_=t["pos_p"] if t["pos_p"] is not None else "NULL",
             p2=t["pos_p2"] if t["pos_p2"] is not None else "NULL",
@@ -203,6 +216,9 @@ def _corpus_cte() -> str:
             ol=_sql_str(t["ol"]), pq=_sql_str(t["pp"]),
             pm=t.get("p_mentions", 1),
             txt=_sql_str(t["text"]),
+            fs=_sql_str(t["fact"][0] if t["fact"] else None),
+            fp=_sql_str(t["fact"][1] if t["fact"] else None),
+            fo=_sql_str(t["fact"][2] if t["fact"] else None),
         )
         for i, t in enumerate(KGX_TEMPLATES)
     )
@@ -224,11 +240,12 @@ def _corpus_cte() -> str:
     orgs(idx, oname, osfx) AS (VALUES {orgs}),
     locs(idx, lname, ltwo) AS (VALUES {locs}),
     titles(idx, tname) AS (VALUES {titles}),
-    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp, p_m, txt)
+    tmpl(tid, pos_p, pos_p2, pos_o, pos_l, titled, po, pl, ol, pp, p_m, txt,
+         f_subj, f_pred, f_obj)
         AS (VALUES {tmpl}),
     kgx_docs AS (
       SELECT c.doc_id, t.pos_p, t.pos_p2, t.pos_o, t.pos_l, t.titled,
-             t.po, t.pl, t.ol, t.pp, t.p_m,
+             t.po, t.pl, t.ol, t.pp, t.p_m, t.f_subj, t.f_pred, t.f_obj,
              pa.pname AS p, pb.pname AS p2, o.oname AS o, o.osfx,
              l.lname AS l, l.ltwo,
              replace(replace(replace(replace(replace(t.txt,
@@ -400,6 +417,83 @@ def kgx_mentions_sql() -> str:
                end_offset::BIGINT AS end_offset,
                round(confidence, 4) AS confidence
         FROM ments
+    """
+
+
+def kgx_atomic_facts_sql() -> str:
+    """M10/A5 atomic facts: the mock ATOM decomposer's sentence regex
+    (stages/atomic_facts.py _FACT_RE) yields exactly one hand-derived
+    (subj, verb-phrase, obj) fact for 9 of 11 templates and none for the
+    other two; no kgx tail carries a temporal marker."""
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT doc_id || '_0' AS chunk_id,
+               CASE f_subj WHEN 'p' THEN p WHEN 'p2' THEN p2
+                           WHEN 'o' THEN o WHEN 'l' THEN l END AS subj,
+               upper(replace(f_pred, ' ', '_')) AS pred,
+               CASE f_obj WHEN 'p' THEN p WHEN 'p2' THEN p2
+                          WHEN 'o' THEN o WHEN 'l' THEN l END AS obj,
+               NULL::VARCHAR AS temporal_marker,
+               NULL::BIGINT AS timestamp,
+               0.8::DOUBLE AS confidence
+        FROM kgx_docs WHERE f_pred IS NOT NULL
+    """
+
+
+def kgx_validated_facts_sql() -> str:
+    """A4 triple reflection over the kgx facts: every fact's subj and obj
+    are verbatim slot values of the same sentence, so the mock validator
+    accepts all of them at confidence 0.9."""
+    return f"""
+        WITH {_corpus_cte()}
+        SELECT doc_id || '_0' AS chunk_id,
+               CASE f_subj WHEN 'p' THEN p WHEN 'p2' THEN p2
+                           WHEN 'o' THEN o WHEN 'l' THEN l END AS subj,
+               upper(replace(f_pred, ' ', '_')) AS pred,
+               CASE f_obj WHEN 'p' THEN p WHEN 'p2' THEN p2
+                          WHEN 'o' THEN o WHEN 'l' THEN l END AS obj,
+               true AS is_valid,
+               0.9::DOUBLE AS validation_confidence
+        FROM kgx_docs WHERE f_pred IS NOT NULL
+    """
+
+
+def kgx_gleaning_sql() -> str:
+    """A1/A2 gleaning (MockLLM at min_confidence 0.7) over the kgx corpus.
+
+    The mock answers with pattern-extractor results serialized through a
+    name-keyed JSON round trip, so the one name shared by two entities —
+    a two-word location extracted as both PERSON and LOCATION — resolves
+    to the LAST entity with that name (the LOCATION): the expected edge
+    set is typed_pairs with such PERSON endpoints rewritten to the
+    LOCATION id, then de-duplicated. The per-name first-wins relationship
+    dedup never drops a pair because no template assigns the same relation
+    type to the (P,P)/(P,L) or (O,P)/(O,L) pair kinds when a two-word
+    location is present (pp != pl and po != ol hold template-wide)."""
+    return f"""
+        WITH {_corpus_cte()},
+        two_word_locs AS (SELECT lname FROM locs WHERE ltwo),
+        gl_edges AS (
+          SELECT DISTINCT
+            CASE WHEN src_name IN (SELECT lname FROM two_word_locs)
+                      AND src = 'PERSON_' || lower(replace(src_name, ' ', ''))
+                 THEN 'LOCATION_' || lower(replace(src_name, ' ', ''))
+                 ELSE src END AS src_id,
+            CASE WHEN dst_name IN (SELECT lname FROM two_word_locs)
+                      AND dst = 'PERSON_' || lower(replace(dst_name, ' ', ''))
+                 THEN 'LOCATION_' || lower(replace(dst_name, ' ', ''))
+                 ELSE dst END AS dst_id,
+            rel_type
+          FROM typed_pairs)
+        SELECT 'entity' AS row_kind, doc_id::VARCHAR AS doc_id,
+               entity_type || '_' || lower(replace(name, ' ', '')) AS entity_id,
+               name, entity_type,
+               NULL::VARCHAR AS src_id, NULL::VARCHAR AS dst_id,
+               NULL::VARCHAR AS rel_type
+        FROM ents_raw
+        UNION ALL
+        SELECT 'edge', NULL, NULL, NULL, NULL, src_id, dst_id, rel_type
+        FROM gl_edges
     """
 
 

@@ -649,6 +649,122 @@ def kgx_pagerank(sf_dir: str):
     return df
 
 
+def kgx_atomic_facts(sf_dir: str):
+    """M10/A5 atomic facts over the kgx corpus (driver-oracled: the SQL
+    twin renders each template's single hand-derived fact)."""
+    from .stages.atomic_facts import facts_batch
+
+    ds = _kgx(sf_dir).chunks.map_batches(facts_batch, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("confidence"), "confidence",
+            pa.array(_round4(conf), pa.float64()),
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_validated_facts(sf_dir: str):
+    """A4 triple reflection over the kgx facts (driver-oracled: subj/obj
+    are verbatim slot values, so the mock validator accepts everything —
+    the oracle checks nothing is dropped and the pred transform)."""
+    from .stages.atomic_facts import extract_facts
+    from .stages.validate import TripleValidationStage
+
+    def facts_with_context(batch: pa.Table) -> pa.Table:
+        out = {"chunk_id": [], "subj": [], "pred": [], "obj": [],
+               "context_text": []}
+        for chunk_id, text in zip(batch.column("chunk_id").to_pylist(),
+                                  batch.column("content").to_pylist()):
+            for f in extract_facts(text):
+                out["chunk_id"].append(chunk_id)
+                out["subj"].append(f["subj"])
+                out["pred"].append(f["pred"].upper().replace(" ", "_"))
+                out["obj"].append(f["obj"])
+                out["context_text"].append(text)
+        return pa.Table.from_pydict(out)
+
+    candidates = _kgx(sf_dir).chunks.map_batches(
+        facts_with_context, batch_format="pyarrow")
+    validated = candidates.map_batches(
+        TripleValidationStage, batch_format="pyarrow", concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("validation_confidence").to_numpy(
+            zero_copy_only=False)
+        batch = batch.set_column(
+            batch.schema.get_field_index("validation_confidence"),
+            "validation_confidence", pa.array(_round4(conf), pa.float64()),
+        )
+        return batch.select(["chunk_id", "subj", "pred", "obj", "is_valid",
+                             "validation_confidence"])
+
+    return validated.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_gleaning(sf_dir: str):
+    """A1/A2 gleaning extraction (MockLLM, min_confidence 0.7) over the kgx
+    corpus, aggregated batch-invariantly: per-doc entity rows plus the
+    globally distinct edge triple set (driver-oracled — the SQL twin
+    derives the expected rows incl. the name-keyed JSON round trip's
+    two-word-location PERSON→LOCATION endpoint rewrite)."""
+    from ray.data.aggregate import Count
+
+    from .stages.llm_extract import GleaningExtractor, MockLLM
+
+    out = _kgx(sf_dir).chunks.map_batches(
+        GleaningExtractor,
+        fn_constructor_kwargs={"llm": MockLLM(min_confidence=0.7)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def ent_project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["entity"] * n, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "entity_id": batch.column("entity_id"),
+                "name": batch.column("name"),
+                "entity_type": batch.column("entity_type"),
+                "src_id": pa.array([None] * n, pa.string()),
+                "dst_id": pa.array([None] * n, pa.string()),
+                "rel_type": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    def edge_project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["edge"] * n, pa.string()),
+                "doc_id": pa.array([None] * n, pa.string()),
+                "entity_id": pa.array([None] * n, pa.string()),
+                "name": pa.array([None] * n, pa.string()),
+                "entity_type": pa.array([None] * n, pa.string()),
+                "src_id": batch.column("src_id"),
+                "dst_id": batch.column("dst_id"),
+                "rel_type": batch.column("rel_type"),
+            }
+        )
+
+    ents = out.map_batches(ent_project, batch_format="pyarrow")
+    edges = (
+        out.filter(lambda r: r["row_kind"] == "edge")
+        .groupby(["src_id", "dst_id", "rel_type"])
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+        .map_batches(edge_project, batch_format="pyarrow")
+    )
+    return ents.union(edges)
+
+
 def kgx_rdf_import(sf_dir: str):
     """S2 RDF import, driver-oracled: a Turtle file is derived
     deterministically from the documents' md5 choices (kgx.py), imported

@@ -214,6 +214,9 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_louvain, kgx.kgx_louvain_sql()),
         (q.kgx_graph_metrics, kgx.kgx_graph_metrics_sql()),
         (q.kgx_pagerank, kgx.kgx_pagerank_sql()),
+        (q.kgx_atomic_facts, kgx.kgx_atomic_facts_sql()),
+        (q.kgx_validated_facts, kgx.kgx_validated_facts_sql()),
+        (q.kgx_gleaning, kgx.kgx_gleaning_sql()),
     ]
     for fn, sql in pairs:
         res = fn(sf)
