@@ -641,6 +641,98 @@ def kgx_graph_metrics_sql() -> str:
     """
 
 
+def kgx_media_meta_sql() -> str:
+    """Media loader metadata (stages/media.py MediaBytesLoader._fetch):
+    width = 64 + h[0] % 192, height = 64 + h[1] % 192,
+    duration = 1000 + int(h[2:4]) % 29000 over md5(media_ref) bytes —
+    re-derived here from the same md5 hex."""
+    return """
+        SELECT doc_id::VARCHAR AS doc_id,
+               'media://' || doc_id AS media_ref,
+               (64 + ('0x' || substr(md5('media://' || doc_id), 1, 2))::BIGINT
+                     % 192)::INT AS width,
+               (64 + ('0x' || substr(md5('media://' || doc_id), 3, 2))::BIGINT
+                     % 192)::INT AS height,
+               (1000 + ('0x' || substr(md5('media://' || doc_id), 5, 4))::BIGINT
+                       % 29000)::BIGINT AS duration_ms
+        FROM documents
+    """
+
+
+def kgx_media_frames_sql() -> str:
+    """1-fps frame-sampling explode: timestamps 0, 1000, ... < duration."""
+    return """
+        WITH meta AS (
+          SELECT doc_id::VARCHAR AS doc_id,
+                 'media://' || doc_id AS media_ref,
+                 1000 + ('0x' || substr(md5('media://' || doc_id), 5, 4))::BIGINT
+                        % 29000 AS duration_ms
+          FROM documents)
+        SELECT doc_id, media_ref,
+               (ts // 1000)::INT AS frame_idx,
+               ts::BIGINT AS ts_ms
+        FROM meta, unnest(generate_series(0, duration_ms - 1, 1000)) AS g(ts)
+    """
+
+
+def kgx_centrality_sql() -> str:
+    """L3 degree/betweenness/closeness (analytics.rs:182-279) over the kgx
+    graph. On the unit-weight graph the pipeline's deterministic Dijkstra
+    ((dist, id) heap order, strict relaxation) yields parent(v) = the
+    minimum-id neighbor one BFS level closer to the source, so each
+    source's shortest-path tree — and hence the subtree-size betweenness
+    accumulation — is reproducible in SQL: betweenness(v) = #{(s, t) :
+    v is a proper ancestor of t in s's tree, v != s} / ((n-1)(n-2)/2)."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        dirs AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                 UNION ALL SELECT dst, src FROM kgx_edge_agg),
+        cnodes AS (SELECT DISTINCT a AS v FROM dirs),
+        nn AS (SELECT count(*)::BIGINT AS n FROM cnodes),
+        walk(s, v, d) AS (
+          SELECT v, v, 0 FROM cnodes
+          UNION
+          SELECT w.s, di.b, w.d + 1
+          FROM walk w JOIN dirs di ON di.a = w.v CROSS JOIN nn
+          WHERE w.d + 1 < nn.n),
+        dist AS (SELECT s, v, min(d)::BIGINT AS d FROM walk GROUP BY s, v),
+        par AS (
+          SELECT dv.s, dv.v, min(du.v) AS p
+          FROM dist dv
+          JOIN dirs di ON di.b = dv.v
+          JOIN dist du ON du.s = dv.s AND du.v = di.a AND du.d = dv.d - 1
+          WHERE dv.d > 0
+          GROUP BY dv.s, dv.v),
+        anc(s, a, t) AS (
+          SELECT s, p, v FROM par
+          UNION
+          SELECT an.s, p.p, an.t
+          FROM anc an JOIN par p ON p.s = an.s AND p.v = an.a),
+        bc AS (SELECT a AS v, count(*)::DOUBLE AS btw FROM anc
+               WHERE a <> s GROUP BY a),
+        clo AS (
+          SELECT s AS v,
+                 CASE WHEN count(*) > 1 AND sum(d) > 0
+                      THEN (count(*) - 1)::DOUBLE / sum(d)::DOUBLE
+                      ELSE 0.0 END AS c
+          FROM dist GROUP BY s),
+        degr AS (SELECT a AS v, count(*)::DOUBLE AS dg FROM dirs GROUP BY a)
+        SELECT n.v AS node_id,
+               round(CASE WHEN nn.n > 1 THEN degr.dg / (nn.n - 1)
+                          ELSE 0.0 END, 4) AS degree,
+               round(CASE WHEN nn.n > 2
+                          THEN coalesce(bc.btw, 0.0)
+                               / ((nn.n - 1) * (nn.n - 2) / 2.0)
+                          ELSE 0.0 END, 4) AS betweenness,
+               round(clo.c, 4) AS closeness
+        FROM cnodes n
+        CROSS JOIN nn
+        JOIN degr ON degr.v = n.v
+        JOIN clo ON clo.v = n.v
+        LEFT JOIN bc ON bc.v = n.v
+    """
+
+
 def kgx_pagerank_sql() -> str:
     """L2 PageRank as a recursive-CTE power iteration mirroring the
     pipeline's vectorized task (stages/graph_analytics.py:_pagerank_task /

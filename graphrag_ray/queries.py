@@ -638,6 +638,17 @@ def kgx_graph_metrics(sf_dir: str):
     return df
 
 
+def kgx_centrality(sf_dir: str):
+    """L3 centralities over the kgx graph (driver-oracled: the SQL twin
+    rebuilds each source's deterministic shortest-path tree)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.centrality_scores(_kgx(sf_dir).edges).to_pandas()
+    for c in ("degree", "betweenness", "closeness"):
+        df[c] = _round4(df[c].to_numpy())
+    return df
+
+
 def kgx_pagerank(sf_dir: str):
     """L2 PageRank over the kgx graph (driver-oracled: the SQL twin runs
     the same damped power iteration as a recursive CTE)."""
@@ -763,6 +774,54 @@ def kgx_gleaning(sf_dir: str):
         .map_batches(edge_project, batch_format="pyarrow")
     )
     return ents.union(edges)
+
+
+def _kgx_media_rows(sf_dir: str):
+    """md5-addressable media rows (one image span per doc) — the kgx
+    counterpart of the media explode, with refs DuckDB can re-derive."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = [str(int(d)) for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "media_ref": pa.array([f"media://{d}" for d in ids],
+                                      pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "span_index": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(to_media, batch_format="pyarrow")
+
+
+def kgx_media_meta(sf_dir: str):
+    """Media bytes-loader metadata over md5-addressable refs
+    (driver-oracled: width/height/duration are md5-byte arithmetic the SQL
+    twin recomputes; the binary payload plumbing runs for real)."""
+    from .stages.media import MediaBytesLoader
+
+    loaded = _kgx_media_rows(sf_dir).map_batches(
+        MediaBytesLoader, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4),
+    )
+    return loaded.select_columns(
+        ["doc_id", "media_ref", "width", "height", "duration_ms"])
+
+
+def kgx_media_frames(sf_dir: str):
+    """Video frame sampling over md5-addressable refs (driver-oracled:
+    the SQL twin re-derives each duration and explodes the 1-fps frame
+    timestamps with generate_series)."""
+    from .stages.media import MediaBytesLoader, make_frame_sampler
+
+    loaded = _kgx_media_rows(sf_dir).map_batches(
+        MediaBytesLoader, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4),
+    )
+    return loaded.map_batches(make_frame_sampler(1.0), batch_format="pyarrow")
 
 
 def kgx_rdf_import(sf_dir: str):

@@ -217,6 +217,9 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_atomic_facts, kgx.kgx_atomic_facts_sql()),
         (q.kgx_validated_facts, kgx.kgx_validated_facts_sql()),
         (q.kgx_gleaning, kgx.kgx_gleaning_sql()),
+        (q.kgx_centrality, kgx.kgx_centrality_sql()),
+        (q.kgx_media_meta, kgx.kgx_media_meta_sql()),
+        (q.kgx_media_frames, kgx.kgx_media_frames_sql()),
     ]
     for fn, sql in pairs:
         res = fn(sf)
