@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
-        "ann_lsh_topk": q.ann_lsh_topk,          # rows-only (approximate)
-        "ann_ivf_topk": q.ann_ivf_topk,          # rows-only (approximate)
+        "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
+        "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
         #     (SQL-oracled end-to-end: extract → canonicalize → edges)
         "kgx_doc_entities": q.kgx_doc_entities,
@@ -348,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "rrf_fusion": """
             WITH cos AS (
               SELECT vec_id,
@@ -451,6 +452,90 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sig s USING (doc_id)
         """,
     }
+
+
+def _ann_ivf_sql(k_cent: int = 16, iters: int = 10, nprobe: int = 4,
+                 sample_n: int = 1024) -> str:
+    """IVF top-k oracle: re-derives the strided-init float64 Lloyd
+    quantizer (stages/ann.py train_ivf_centroids) in SQL — sample =
+    ``vec_id < 1024 ORDER BY vec_id``, init = every ⌊n/k⌋-th row, then
+    ``iters`` unrolled assign/update rounds (assignment ties broken by
+    centroid index, matching np.argmin; empty cells keep their centroid) —
+    probes the query's nprobe nearest cells and scores survivors with the
+    same float32-compatible cosine as ann_topk. The only divergence from
+    the pipeline is float summation order, far inside the assignment
+    margins."""
+    d2 = ("list_sum(list_transform(generate_series(1, array_length(s.v)), "
+          "j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))")
+    parts = [f"""
+        samp AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+                 embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < {sample_n}),
+        prm AS (SELECT least({k_cent}, count(*))::BIGINT AS k,
+                       greatest(1, count(*) // {k_cent})::BIGINT AS stride
+                FROM samp),
+        c0 AS MATERIALIZED (SELECT (sid // stride)::INT AS c, v
+               FROM samp, prm
+               WHERE sid % stride = 0 AND sid // stride < k)"""]
+    for i in range(iters):
+        parts.append(f"""
+        a{i} AS MATERIALIZED (
+          SELECT sid, c FROM (
+            SELECT sid, c, row_number() OVER (PARTITION BY sid
+                                              ORDER BY d2, c) AS rn
+            FROM (SELECT s.sid AS sid, ct.c AS c, {d2} AS d2
+                  FROM samp s CROSS JOIN c{i} ct) z1) z2
+          WHERE rn = 1),
+        c{i + 1} AS MATERIALIZED (
+          SELECT p.c, coalesce(m.v, p.v) AS v
+          FROM c{i} p LEFT JOIN (
+            SELECT c, list(mv ORDER BY dim) AS v FROM (
+              SELECT aa.c AS c, g.dim AS dim, avg(s.v[g.dim]) AS mv
+              FROM a{i} aa
+              JOIN samp s ON s.sid = aa.sid
+              CROSS JOIN (SELECT unnest(generate_series(1,
+                              (SELECT array_length(v) FROM samp LIMIT 1)))
+                          AS dim) g
+              GROUP BY aa.c, g.dim) z3
+            GROUP BY c) m ON m.c = p.c)""")
+    cf = f"c{iters}"
+    parts.append(f"""
+        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id = 0),
+        probe AS (
+          SELECT c FROM (
+            SELECT c, row_number() OVER (ORDER BY d2, c) AS rn
+            FROM (SELECT ct.c AS c,
+                         list_sum(list_transform(
+                             generate_series(1, array_length(s.v)),
+                             j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))
+                             AS d2
+                  FROM qv s CROSS JOIN {cf} ct) z4) z5
+          WHERE rn <= {nprobe}),
+        alla AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, c) AS rn
+            FROM (SELECT s.vec_id AS vec_id, ct.c AS c,
+                         list_sum(list_transform(
+                             generate_series(1, array_length(s.v)),
+                             j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))
+                             AS d2
+                  FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings) s
+                  CROSS JOIN {cf} ct) z6) z7
+          WHERE rn = 1),
+        cand AS (SELECT vec_id FROM alla
+                 WHERE c IN (SELECT c FROM probe))""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT e.vec_id::BIGINT AS vec_id,
+               round(list_cosine_similarity(e.embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)
+               )::DOUBLE, 4) AS sim
+        FROM embeddings e JOIN cand USING (vec_id)
+        ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """)
 
 
 def _ann_lsh_sql() -> str:

@@ -232,11 +232,18 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 
 
 def _ivf_sample(sf_dir: str, n: int = 1024) -> np.ndarray:
-    """Quantizer training sample = first n rows, read via one streamed
-    batch (never the whole table)."""
-    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batch = next(f.iter_batches(batch_size=n, columns=["embedding"]))
-    return np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+    """Quantizer training sample = rows with vec_id < n in vec_id order,
+    read with predicate pushdown (row-group pruned, never the whole
+    table) — a sample definition the DuckDB oracle states as
+    ``WHERE vec_id < n ORDER BY vec_id``."""
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    order = np.argsort(
+        np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64))
+    return np.array(tbl.column("embedding").to_pylist(),
+                    dtype=np.float32)[order]
 
 
 def ann_topk(sf_dir: str, k: int = 10):

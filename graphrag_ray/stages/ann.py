@@ -191,24 +191,27 @@ def make_lsh_topk_partial_fn(query: np.ndarray, k: int, dim: int, radius: int = 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate search — the other scale path
 
-IVF_SEED = 11
-
 
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
                         iterations: int = 10) -> np.ndarray:
-    """Seeded Lloyd k-means on a driver-side sample (the IVF coarse
-    quantizer). Deterministic: fixed seed, fixed iteration count."""
-    rng = np.random.RandomState(IVF_SEED)
-    n = len(sample)
+    """Strided-init Lloyd k-means on a driver-side sample (the IVF coarse
+    quantizer). Deterministic AND engine-reproducible: the init takes every
+    ⌊n/k⌋-th sample row (a seeded RNG draw would be numpy-private
+    Fisher-Yates, unreproducible in the DuckDB oracle) and all arithmetic
+    is float64, so the driver's SQL twin re-derives the same centroids up
+    to summation order."""
+    s = np.asarray(sample, dtype=np.float64)
+    n = len(s)
     if n == 0:
-        return np.zeros((0, 0), dtype=np.float32)
+        return np.zeros((0, 0), dtype=np.float64)
     k = min(n_centroids, n)
-    centroids = sample[rng.choice(n, size=k, replace=False)].astype(np.float32)
+    stride = max(1, n // k)
+    centroids = s[[i * stride for i in range(k)]].copy()
     for _ in range(iterations):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((s[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         for c in range(k):
-            members = sample[assign == c]
+            members = s[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return centroids
@@ -217,9 +220,13 @@ def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
 def make_ivf_topk_partial_fn(query: np.ndarray, k: int,
                              centroids: np.ndarray, nprobe: int = 4):
     """Score only rows assigned to the query's ``nprobe`` nearest
-    centroids — per-batch candidate pruning, exact cosine on survivors."""
+    centroids — per-batch candidate pruning, exact cosine on survivors.
+    Cell assignment runs in float64 (oracle-reproducible, matching the
+    float64 quantizer); the survivor cosine stays on the float32 path."""
+    q64 = query.astype(np.float64)
     q = query.astype(np.float32)
-    qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    c64 = np.asarray(centroids, dtype=np.float64)
+    qd = ((c64 - q64[None, :]) ** 2).sum(axis=1)
     probe = set(np.argsort(qd, kind="stable")[:nprobe].tolist())
 
     def ivf_partial(batch: pa.Table) -> pa.Table:
@@ -228,9 +235,9 @@ def make_ivf_topk_partial_fn(query: np.ndarray, k: int,
         empty = pa.Table.from_pydict(
             {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
         )
-        if len(mat) == 0 or len(centroids) == 0:
+        if len(mat) == 0 or len(c64) == 0:
             return empty
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((mat.astype(np.float64)[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         mask = np.isin(assign, list(probe))
         if not mask.any():
