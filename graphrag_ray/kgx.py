@@ -641,6 +641,59 @@ def kgx_graph_metrics_sql() -> str:
     """
 
 
+def kgx_enriched_sql() -> str:
+    """M4 enrichment oracle: TF-IDF keywords re-derived in SQL
+    (keyword_extraction.rs:37-116 — tokenize keeping [alnum-_], len>2,
+    non-stopword, non-digit; tf = cnt/total, idf = max(0, ln(N/df)),
+    top-5 by (score DESC, term)); single-sentence chunks make the
+    extractive summary the sentence itself and chapter NULL."""
+    from .stages.enrich import STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+        WITH {_corpus_cte()},
+        toks AS (
+          SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(list_transform(regexp_split_to_array(s, '\\s+'),
+                       w -> lower(regexp_replace(w, '[^0-9A-Za-z_-]', '',
+                                                 'g')))) AS t
+            FROM kgx_docs) z
+          WHERE t <> '' AND length(t) > 2 AND t NOT IN ({stop_in})
+            AND NOT regexp_matches(t, '^[0-9]+$')),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM toks GROUP BY term),
+        cnts AS (SELECT doc_id, term, count(*)::BIGINT AS cnt
+                 FROM toks GROUP BY 1, 2),
+        tots AS (SELECT doc_id, count(*)::BIGINT AS total
+                 FROM toks GROUP BY 1),
+        ndocs AS (SELECT count(*)::BIGINT AS n FROM documents),
+        sc AS (
+          SELECT c.doc_id, c.term,
+                 (c.cnt::DOUBLE / t.total)
+                 * greatest(0.0, ln(nd.n::DOUBLE / d.df)) AS score
+          FROM cnts c
+          JOIN tots t USING (doc_id)
+          JOIN dfreq d USING (term)
+          CROSS JOIN ndocs nd),
+        topk AS (
+          SELECT doc_id, term, score FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rn
+            FROM sc) z WHERE rn <= 5),
+        kw AS (SELECT doc_id,
+                      array_to_string(
+                          list(term ORDER BY score DESC, term), '|') AS kws
+               FROM topk GROUP BY doc_id)
+        SELECT d.doc_id || '_0' AS chunk_id,
+               coalesce(k.kws, '') AS keywords,
+               d.s AS summary,
+               NULL::VARCHAR AS chapter
+        FROM kgx_docs d LEFT JOIN kw k USING (doc_id)
+    """
+
+
 def kgx_media_meta_sql() -> str:
     """Media loader metadata (stages/media.py MediaBytesLoader._fetch):
     width = 64 + h[0] % 192, height = 64 + h[1] % 192,

@@ -783,6 +783,31 @@ def kgx_gleaning(sf_dir: str):
     return ents.union(edges)
 
 
+def kgx_enriched(sf_dir: str):
+    """M4 chunk enrichment over the kgx corpus (driver-oracled: TF-IDF
+    keyword ranking, trivial single-sentence summary and chapter are all
+    SQL-recomputable; keywords pipe-joined for a stable value compare)."""
+    from .stages.enrich import enrich_chunks
+
+    res = _kgx(sf_dir)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    ds = enrich_chunks(res.chunks.materialize(), total_docs=n_docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        kws = batch.column("keywords").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "keywords": pa.array(["|".join(k) for k in kws], pa.string()),
+                "summary": batch.column("summary"),
+                "chapter": batch.column("chapter"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _kgx_media_rows(sf_dir: str):
     """md5-addressable media rows (one image span per doc) — the kgx
     counterpart of the media explode, with refs DuckDB can re-derive."""
