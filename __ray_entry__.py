@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_pagerank": q.kgx_pagerank,
         "kgx_centrality": q.kgx_centrality,
         "kgx_enriched": q.kgx_enriched,
+        "kgx_yake": q.kgx_yake,
         "kgx_media_meta": q.kgx_media_meta,
         "kgx_media_frames": q.kgx_media_frames,
         "kgx_atomic_facts": q.kgx_atomic_facts,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "kgx_pagerank": _kgx_sql.kgx_pagerank_sql(),
         "kgx_centrality": _kgx_sql.kgx_centrality_sql(),
         "kgx_enriched": _kgx_sql.kgx_enriched_sql(),
+        "kgx_yake": _kgx_sql.kgx_yake_sql(),
         "kgx_media_meta": _kgx_sql.kgx_media_meta_sql(),
         "kgx_media_frames": _kgx_sql.kgx_media_frames_sql(),
         "kgx_atomic_facts": _kgx_sql.kgx_atomic_facts_sql(),

@@ -694,6 +694,115 @@ def kgx_enriched_sql() -> str:
     """
 
 
+def kgx_yake_sql() -> str:
+    """YAKE keyword oracle (stages/enrich.py yake_keywords, Campos et al.
+    2020): every per-term feature — casing, median global position,
+    frequency vs mean+std, distinct window-2 neighbors, sentence
+    dispersion — is recomputed in SQL over the rendered sentences
+    (sentence split mirrors the lookbehind regex via a marker replace,
+    RE2 having no lookbehind), with the score formula mirrored op-for-op;
+    ordering is (score ASC, term ASC), lower = better."""
+    from .stages.enrich import STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+        WITH {_corpus_cte()},
+        sraw AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(s, '([.!?])\\s+',
+                                             '\\1@@SPLIT@@', 'g'),
+                              '@@SPLIT@@') AS parts
+          FROM kgx_docs),
+        sents AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS si,
+                 parts[g] AS stext
+          FROM sraw, unnest(generate_series(1, array_length(parts))) t(g)
+          WHERE trim(parts[g]) <> ''),
+        stoks AS (
+          SELECT doc_id, si,
+                 regexp_extract_all(stext,
+                     '[A-Za-z][A-Za-z0-9_'']*') AS tok
+          FROM sents),
+        occ AS (
+          SELECT doc_id, si, g - 1 AS ti, tok[g] AS w, lower(tok[g]) AS lw,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY si, g) - 1 AS gpos
+          FROM stoks, unnest(generate_series(1, array_length(tok))) t(g)),
+        tfs AS (
+          SELECT doc_id, lw, count(*)::BIGINT AS f,
+                 count(*) FILTER (WHERE w = upper(w) AND length(w) > 1)
+                     ::BIGINT AS fu,
+                 count(*) FILTER (WHERE NOT (w = upper(w) AND length(w) > 1)
+                     AND substr(w, 1, 1) = upper(substr(w, 1, 1))
+                     AND ti <> 0)::BIGINT AS fp,
+                 count(DISTINCT si)::BIGINT AS nsent
+          FROM occ GROUP BY 1, 2),
+        medp AS (
+          SELECT doc_id, lw, gpos AS med_pos FROM (
+            SELECT doc_id, lw, gpos,
+                   row_number() OVER (PARTITION BY doc_id, lw
+                                      ORDER BY gpos) AS rn,
+                   count(*) OVER (PARTITION BY doc_id, lw) AS cnt
+            FROM occ) z WHERE rn = cnt // 2 + 1),
+        neigh AS (
+          SELECT o.doc_id, o.lw,
+                 count(DISTINCT n.lw) FILTER (
+                     WHERE n.ti BETWEEN o.ti - 2 AND o.ti - 1) AS nleft,
+                 count(DISTINCT n.lw) FILTER (
+                     WHERE n.ti BETWEEN o.ti + 1 AND o.ti + 2) AS nright
+          FROM occ o LEFT JOIN occ n
+            ON n.doc_id = o.doc_id AND n.si = o.si
+           AND n.ti BETWEEN o.ti - 2 AND o.ti + 2 AND n.ti <> o.ti
+          GROUP BY 1, 2),
+        dstat AS (
+          SELECT doc_id,
+                 avg(f) FILTER (WHERE keep) AS mean_tf,
+                 sqrt(coalesce(var_pop(f) FILTER (WHERE keep), 0.0))
+                     AS std_tf,
+                 max(f) AS max_tf
+          FROM (SELECT doc_id, f,
+                       lw NOT IN ({stop_in}) AND length(lw) > 2 AS keep
+                FROM tfs) z GROUP BY doc_id),
+        nsents AS (SELECT doc_id, count(DISTINCT si)::BIGINT AS n_sent
+                   FROM occ GROUP BY doc_id),
+        sc AS (
+          SELECT t.doc_id, t.lw AS term,
+                 ((1.0 + (nb.nleft::DOUBLE / t.f + nb.nright::DOUBLE / t.f)
+                       * t.f / d.max_tf)
+                  * ln(ln(3.0 + m.med_pos)))
+                 / (greatest(t.fu, t.fp)::DOUBLE / (1.0 + ln(t.f::DOUBLE))
+                    + (t.f / (d.mean_tf + d.std_tf + 1e-9))
+                      / (1.0 + (nb.nleft::DOUBLE / t.f
+                                + nb.nright::DOUBLE / t.f)
+                             * t.f / d.max_tf)
+                    + (t.nsent::DOUBLE / ns.n_sent)
+                      / (1.0 + (nb.nleft::DOUBLE / t.f
+                                + nb.nright::DOUBLE / t.f)
+                             * t.f / d.max_tf)
+                    + 1e-9) AS score
+          FROM tfs t
+          JOIN medp m USING (doc_id, lw)
+          JOIN neigh nb USING (doc_id, lw)
+          JOIN dstat d USING (doc_id)
+          JOIN nsents ns USING (doc_id)
+          WHERE t.lw NOT IN ({stop_in}) AND length(t.lw) > 2),
+        topk AS (
+          SELECT doc_id, term, score FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score ASC, term ASC) AS rn
+            FROM sc) z WHERE rn <= 5),
+        kw AS (SELECT doc_id,
+                      array_to_string(list(term ORDER BY score ASC, term ASC),
+                                      '|') AS kws
+               FROM topk GROUP BY doc_id)
+        SELECT d.doc_id || '_0' AS chunk_id,
+               coalesce(k.kws, '') AS keywords
+        FROM kgx_docs d LEFT JOIN kw k USING (doc_id)
+    """
+
+
 def kgx_media_meta_sql() -> str:
     """Media loader metadata (stages/media.py MediaBytesLoader._fetch):
     width = 64 + h[0] % 192, height = 64 + h[1] % 192,

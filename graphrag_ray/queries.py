@@ -808,6 +808,29 @@ def kgx_enriched(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def kgx_yake(sf_dir: str):
+    """YAKE keywords over the kgx corpus (driver-oracled: the SQL twin
+    recomputes every YAKE feature and the score formula op-for-op)."""
+    from .stages.enrich import enrich_chunks
+
+    res = _kgx(sf_dir)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    ds = enrich_chunks(res.chunks.materialize(), total_docs=n_docs,
+                       algorithm="yake")
+
+    def project(batch: pa.Table) -> pa.Table:
+        kws = batch.column("keywords").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "keywords": pa.array(["|".join(k) for k in kws], pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _kgx_media_rows(sf_dir: str):
     """md5-addressable media rows (one image span per doc) — the kgx
     counterpart of the media explode, with refs DuckDB can re-derive."""
