@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_centrality": q.kgx_centrality,
         "kgx_enriched": q.kgx_enriched,
         "kgx_yake": q.kgx_yake,
+        "kgx_incremental": q.kgx_incremental,
+        "kgx_graphml_import": q.kgx_graphml_import,
         "kgx_media_meta": q.kgx_media_meta,
         "kgx_media_frames": q.kgx_media_frames,
         "kgx_atomic_facts": q.kgx_atomic_facts,
@@ -339,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "kgx_centrality": _kgx_sql.kgx_centrality_sql(),
         "kgx_enriched": _kgx_sql.kgx_enriched_sql(),
         "kgx_yake": _kgx_sql.kgx_yake_sql(),
+        "kgx_incremental": _kgx_sql.kgx_triples_sql(),
+        "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_media_meta": _kgx_sql.kgx_media_meta_sql(),
         "kgx_media_frames": _kgx_sql.kgx_media_frames_sql(),
         "kgx_atomic_facts": _kgx_sql.kgx_atomic_facts_sql(),

@@ -803,6 +803,37 @@ def kgx_yake_sql() -> str:
     """
 
 
+def kgx_graphml_import_sql() -> str:
+    """S2 GraphML oracle: node rows from the declared pools, edge counts
+    from the same md5 choice arithmetic the file was generated with."""
+    persons = ",".join(f"({i},{_sql_str(n)})"
+                       for i, n in enumerate(KGX_PERSONS))
+    orgs = ",".join(f"({i},{_sql_str(n)})"
+                    for i, (n, _s) in enumerate(KGX_ORGS))
+    return f"""
+        WITH persons(idx, pname) AS (VALUES {persons}),
+        orgs(idx, oname) AS (VALUES {orgs}),
+        choice AS (
+          SELECT doc_id,
+                 {_hx(0)} % {len(KGX_TEMPLATES)} AS tid,
+                 {_hx(1)} % {len(KGX_PERSONS)} AS p_idx,
+                 {_hx(3)} % {len(KGX_ORGS)} AS o_idx
+          FROM documents)
+        SELECT 'entity' AS row_kind, 'p' || idx AS entity_id, pname AS name,
+               'person' AS entity_type, NULL::VARCHAR AS src,
+               NULL::VARCHAR AS dst, NULL::VARCHAR AS rel_type,
+               NULL::BIGINT AS n
+        FROM persons
+        UNION ALL
+        SELECT 'entity', 'o' || idx, oname, 'org', NULL, NULL, NULL, NULL
+        FROM orgs
+        UNION ALL
+        SELECT 'relationship', NULL, NULL, NULL,
+               'p' || p_idx, 'o' || o_idx, 'r' || tid, count(*)::BIGINT
+        FROM choice GROUP BY 5, 6, 7
+    """
+
+
 def kgx_media_meta_sql() -> str:
     """Media loader metadata (stages/media.py MediaBytesLoader._fetch):
     width = 64 + h[0] % 192, height = 64 + h[1] % 192,

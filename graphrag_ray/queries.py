@@ -808,6 +808,120 @@ def kgx_enriched(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def kgx_graphml_import(sf_dir: str):
+    """S2 GraphML import, driver-oracled: a GraphML file (node
+    declarations with name/type data keys + one edge per doc from the md5
+    choices) goes through the distributed parser; entity rows and
+    aggregated relationship counts are both md5-recomputable in SQL."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Count
+
+    from . import kgx
+    from .sources.importer import import_graph_files
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    lines = ['<?xml version="1.0"?>',
+             '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+             '<key id="d0" for="node" attr.name="name"/>',
+             '<key id="d1" for="node" attr.name="type"/>',
+             '<key id="d2" for="edge" attr.name="type"/>',
+             '<graph edgedefault="directed">']
+    for i, name in enumerate(kgx.KGX_PERSONS):
+        lines.append(f'<node id="p{i}"><data key="d0">{name}</data>'
+                     f'<data key="d1">person</data></node>')
+    for i, (name, _sfx) in enumerate(kgx.KGX_ORGS):
+        lines.append(f'<node id="o{i}"><data key="d0">{name}</data>'
+                     f'<data key="d1">org</data></node>')
+    for d in sorted(doc_ids):
+        c = kgx.kgx_choices(int(d))
+        lines.append(f'<edge source="p{c["p"]}" target="o{c["o"]}">'
+                     f'<data key="d2">r{c["tid"]}</data></edge>')
+    lines.append("</graph></graphml>")
+    content = "\n".join(lines)
+    tag = hashlib.md5(content.encode()).hexdigest()[:12]
+    path = f"/tmp/graphrag_ray_gml_{tag}.graphml"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(content)
+    rows = import_graph_files(path, fmt="graphml")
+    ents = (rows.filter(lambda r: r["row_kind"] == "entity")
+            .select_columns(["entity_id", "name", "entity_type"]))
+
+    def ent_project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["entity"] * n, pa.string()),
+                "entity_id": batch.column("entity_id"),
+                "name": batch.column("name"),
+                "entity_type": batch.column("entity_type"),
+                "src": pa.array([None] * n, pa.string()),
+                "dst": pa.array([None] * n, pa.string()),
+                "rel_type": pa.array([None] * n, pa.string()),
+                "n": pa.array([None] * n, pa.int64()),
+            }
+        )
+
+    rels = (rows.filter(lambda r: r["row_kind"] == "relationship")
+            .select_columns(["src", "dst", "rel_type"])
+            .groupby(["src", "dst", "rel_type"])
+            .aggregate(Count(alias_name="n")))
+
+    def rel_project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["relationship"] * n, pa.string()),
+                "entity_id": pa.array([None] * n, pa.string()),
+                "name": pa.array([None] * n, pa.string()),
+                "entity_type": pa.array([None] * n, pa.string()),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "rel_type": batch.column("rel_type"),
+                "n": batch.column("n"),
+            }
+        )
+
+    return (ents.map_batches(ent_project, batch_format="pyarrow")
+            .union(rels.map_batches(rel_project, batch_format="pyarrow")))
+
+
+def kgx_incremental(sf_dir: str):
+    """§2.10 incremental build, driver-oracled: extract the even-doc half
+    first (the 'previous run'), then incrementally add the odd-doc half —
+    union the persisted extraction partials and re-run only the
+    canonicalization → edges tail. The resulting triples must equal the
+    full-corpus expectation (the same oracle as kgx_triples), which pins
+    the incremental path's semantics to a from-scratch rebuild."""
+    import pyarrow.compute as pc
+
+    from . import kgx
+    from .pipelines.incremental import (extraction_for_docs,
+                                        incremental_update)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def spans_half(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1),
+                            parity)
+            return kgx.kgx_spans_batch(batch.filter(keep))
+
+        return fn
+
+    old_ex = extraction_for_docs(
+        docs.map_batches(spans_half(0), batch_format="pyarrow"), KGX_CFG)
+    res = incremental_update(
+        old_ex, docs.map_batches(spans_half(1), batch_format="pyarrow"),
+        KGX_CFG)
+    return res.triples.select_columns(["subj", "pred", "obj",
+                                       "n_occurrences"])
+
+
 def kgx_yake(sf_dir: str):
     """YAKE keywords over the kgx corpus (driver-oracled: the SQL twin
     recomputes every YAKE feature and the score formula op-for-op)."""

@@ -220,6 +220,8 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_centrality, kgx.kgx_centrality_sql()),
         (q.kgx_enriched, kgx.kgx_enriched_sql()),
         (q.kgx_yake, kgx.kgx_yake_sql()),
+        (q.kgx_incremental, kgx.kgx_triples_sql()),
+        (q.kgx_graphml_import, kgx.kgx_graphml_import_sql()),
         (q.kgx_media_meta, kgx.kgx_media_meta_sql()),
         (q.kgx_media_frames, kgx.kgx_media_frames_sql()),
     ]
