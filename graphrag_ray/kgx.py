@@ -803,6 +803,29 @@ def kgx_yake_sql() -> str:
     """
 
 
+def kgx_layout_sql() -> str:
+    """S8 oracle: the two heading rows per doc (markdown for even doc_ids,
+    HTML for odd), with start offsets derived from component lengths."""
+    return f"""
+        WITH {_corpus_cte()},
+        lay AS (
+          SELECT doc_id, p, l, s, doc_id % 2 = 0 AS is_md FROM kgx_docs)
+        SELECT doc_id::VARCHAR AS doc_id, 0 AS section_idx, 1 AS level,
+               CASE WHEN is_md THEN 'Intro ' || p
+                    ELSE 'Main ' || p END AS title,
+               0::BIGINT AS start_offset
+        FROM lay
+        UNION ALL
+        SELECT doc_id::VARCHAR, 1, 2,
+               CASE WHEN is_md THEN 'More ' || l ELSE 'Sub ' || l END,
+               CASE WHEN is_md
+                    THEN length('# Intro ' || p) + 1 + length(s) + 1
+                    ELSE length('<h1>Main ' || p || '</h1><p>' || s
+                                || '</p>') END::BIGINT
+        FROM lay
+    """
+
+
 def kgx_graphml_import_sql() -> str:
     """S2 GraphML oracle: node rows from the declared pools, edge counts
     from the same md5 choice arithmetic the file was generated with."""

@@ -889,6 +889,41 @@ def kgx_graphml_import(sf_dir: str):
             .union(rels.map_batches(rel_project, batch_format="pyarrow")))
 
 
+def kgx_layout(sf_dir: str):
+    """S8 layout parsers, driver-oracled: even docs get a markdown layout,
+    odd docs an HTML layout, both built from the md5 slot choices around
+    the rendered kgx sentence; the distributed section parser's
+    (level, title, start_offset) rows are recomputed in SQL from the
+    template component lengths."""
+    from . import kgx
+    from .stages.layout import sections_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            c = kgx.kgx_choices(d)
+            p = kgx.KGX_PERSONS[c["p"]]
+            loc = kgx.KGX_LOCS[c["l"]][0]
+            s = kgx.kgx_sentence(d)
+            if d % 2 == 0:
+                text = f"# Intro {p}\n{s}\n## More {loc}\n{s}\n"
+            else:
+                text = f"<h1>Main {p}</h1><p>{s}</p><h2>Sub {loc}</h2>"
+            ids.append(str(d))
+            texts.append(text)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    return docs.map_batches(to_text, batch_format="pyarrow").map_batches(
+        sections_batch, batch_format="pyarrow")
+
+
 def kgx_incremental(sf_dir: str):
     """§2.10 incremental build, driver-oracled: extract the even-doc half
     first (the 'previous run'), then incrementally add the odd-doc half —
