@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_incremental": q.kgx_incremental,
         "kgx_graphml_import": q.kgx_graphml_import,
         "kgx_layout": q.kgx_layout,
+        "kgx_community_summaries": q.kgx_community_summaries,
         "kgx_media_meta": q.kgx_media_meta,
         "kgx_media_frames": q.kgx_media_frames,
         "kgx_atomic_facts": q.kgx_atomic_facts,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "kgx_incremental": _kgx_sql.kgx_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_layout": _kgx_sql.kgx_layout_sql(),
+        "kgx_community_summaries": _kgx_sql.kgx_community_summaries_sql(),
         "kgx_media_meta": _kgx_sql.kgx_media_meta_sql(),
         "kgx_media_frames": _kgx_sql.kgx_media_frames_sql(),
         "kgx_atomic_facts": _kgx_sql.kgx_atomic_facts_sql(),

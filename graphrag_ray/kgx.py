@@ -803,6 +803,56 @@ def kgx_yake_sql() -> str:
     """
 
 
+def kgx_community_summaries_sql() -> str:
+    """A9 oracle: rebuild the component partition (min-reachable root →
+    dense id in root order) and the summarizer's exact string format —
+    header lines, per-type '- TYPE: first5[, and N more]' lines sorted by
+    type, members sorted by entity id."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canon),
+        und AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                UNION SELECT dst, src FROM kgx_edge_agg),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        comp AS (SELECT a AS entity_id, min(b) AS root FROM reach GROUP BY a),
+        cid AS (SELECT root,
+                       (dense_rank() OVER (ORDER BY root) - 1)::BIGINT
+                           AS community_id
+                FROM (SELECT DISTINCT root FROM comp)),
+        memb AS (
+          SELECT cid.community_id, comp.entity_id, c.canonical_name AS name,
+                 c.entity_type
+          FROM comp JOIN cid USING (root)
+          JOIN canon c ON c.canonical_id = comp.entity_id),
+        tline AS (
+          SELECT community_id, entity_type,
+                 '- ' || entity_type || ': '
+                 || array_to_string(
+                        (list(name ORDER BY entity_id))[1:5], ', ')
+                 || CASE WHEN count(*) > 5
+                         THEN ' and ' || (count(*) - 5) || ' more'
+                         ELSE '' END AS line
+          FROM memb GROUP BY community_id, entity_type),
+        body AS (
+          SELECT community_id,
+                 array_to_string(list(line ORDER BY entity_type), chr(10))
+                     AS tlines
+          FROM tline GROUP BY community_id),
+        head AS (
+          SELECT community_id, count(*)::BIGINT AS entity_count
+          FROM memb GROUP BY community_id)
+        SELECT 0::BIGINT AS level, h.community_id,
+               'Community ' || h.community_id || ' (Level 0)' || chr(10)
+               || 'Contains ' || h.entity_count || ' entities:' || chr(10)
+               || b.tlines AS summary,
+               h.entity_count
+        FROM head h JOIN body b USING (community_id)
+    """
+
+
 def kgx_layout_sql() -> str:
     """S8 oracle: the two heading rows per doc (markdown for even doc_ids,
     HTML for odd), with start offsets derived from component lengths."""

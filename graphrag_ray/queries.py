@@ -889,6 +889,32 @@ def kgx_graphml_import(sf_dir: str):
             .union(rels.map_batches(rel_project, batch_format="pyarrow")))
 
 
+def kgx_community_summaries(sf_dir: str):
+    """A9 extractive community summaries, driver-oracled: the REAL
+    summarizer (stages/community.py _summaries — sorted members, per-type
+    top-5 lines, 'and N more' overflow) runs over the kgx graph's
+    connected-component partition (dense ids in root order), which SQL can
+    rebuild; Leiden itself stays pytest-gated (its local-move order is not
+    SQL-expressible)."""
+    from .stages import graph_analytics as ga
+    from .stages.community import _summaries
+
+    res = _kgx(sf_dir)
+    comp = ga.connected_components(res.entities, res.edges).to_pandas()
+    roots = sorted(comp["component"].unique())
+    rid = {r: i for i, r in enumerate(roots)}
+    partition = {e: rid[c] for e, c in zip(comp["entity_id"],
+                                           comp["component"])}
+    ent = res.entities.select_columns(
+        ["canonical_id", "canonical_name", "entity_type"]).to_pandas()
+    meta = {i: (n, t) for i, n, t in zip(ent["canonical_id"],
+                                         ent["canonical_name"],
+                                         ent["entity_type"])}
+    import pandas as pd
+
+    return pd.DataFrame(_summaries(partition, meta))
+
+
 def kgx_layout(sf_dir: str):
     """S8 layout parsers, driver-oracled: even docs get a markdown layout,
     odd docs an HTML layout, both built from the md5 slot choices around

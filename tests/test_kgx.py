@@ -223,6 +223,7 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_incremental, kgx.kgx_triples_sql()),
         (q.kgx_graphml_import, kgx.kgx_graphml_import_sql()),
         (q.kgx_layout, kgx.kgx_layout_sql()),
+        (q.kgx_community_summaries, kgx.kgx_community_summaries_sql()),
         (q.kgx_media_meta, kgx.kgx_media_meta_sql()),
         (q.kgx_media_frames, kgx.kgx_media_frames_sql()),
     ]
