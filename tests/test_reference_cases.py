@@ -171,3 +171,107 @@ def test_leiden_config_defaults_parity():
     assert cfg.leiden_resolution == 1.0
     assert cfg.leiden_seed == 42
     assert cfg.leiden_max_iterations == 100
+
+
+# ---------------------------------------------------------------------------
+# graph/analytics.rs + graph/traversal.rs inline fixtures, ported with
+# HAND-DERIVED exact expectations for this engine's deterministic tie-breaks
+# (the reference asserts weaker properties; values below were derived on
+# paper from the documented (distance, node-id) ordering).
+
+_DIAMOND = [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")]
+_CHAIN = [("A", "B"), ("B", "C"), ("A", "D")]  # traversal.rs fixture
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    return ray.data.from_items([{"src": a, "dst": b} for a, b in pairs])
+
+
+def test_shortest_path_diamond_reference_case(ray_session):
+    # analytics.rs test_shortest_path: 3 nodes, weight 2.0; our (dist, id)
+    # heap order pins the B branch: A -> B -> D
+    from graphrag_ray.stages.graph_analytics import shortest_path
+
+    path, weight = shortest_path(_edges_ds(_DIAMOND), "A", "D")
+    assert path == ["A", "B", "D"]
+    assert weight == 2.0
+
+
+def test_all_paths_diamond_exact(ray_session):
+    # analytics.rs:357-410 DFS semantics, sorted neighbor order → exact
+    # enumeration order and weights
+    from graphrag_ray.stages.graph_analytics import all_paths
+
+    out = all_paths(_edges_ds(_DIAMOND), "A", "D", max_depth=5)
+    assert out == [
+        (["A", "B", "C", "D"], 3.0),
+        (["A", "B", "D"], 2.0),
+        (["A", "C", "B", "D"], 3.0),
+        (["A", "C", "D"], 2.0),
+    ]
+
+
+def test_all_paths_chain_reference_case(ray_session):
+    # traversal.rs test_find_all_paths: exactly one A→C path via B
+    from graphrag_ray.stages.graph_analytics import all_paths
+
+    out = all_paths(_edges_ds(_CHAIN), "A", "C", max_depth=5)
+    assert out == [(["A", "B", "C"], 2.0)]
+
+
+def test_centrality_diamond_exact(ray_session):
+    # hand-derived: every source's shortest-path tree routes through the
+    # min-id predecessor, so only B accumulates betweenness (sources A and
+    # D each route their far corner through B): bc = {B: 2} / norm 3
+    from graphrag_ray.stages.graph_analytics import centrality_scores
+
+    df = centrality_scores(_edges_ds(_DIAMOND)).to_pandas().set_index("node_id")
+    assert abs(df.loc["A", "degree"] - 2 / 3) < 1e-12
+    assert abs(df.loc["B", "degree"] - 1.0) < 1e-12
+    assert abs(df.loc["B", "betweenness"] - 2 / 3) < 1e-12
+    assert df.loc["A", "betweenness"] == 0.0
+    assert df.loc["C", "betweenness"] == 0.0
+    assert abs(df.loc["A", "closeness"] - 0.75) < 1e-12
+    assert abs(df.loc["B", "closeness"] - 1.0) < 1e-12
+    assert abs(df.loc["D", "closeness"] - 0.75) < 1e-12
+
+
+def test_graph_metrics_diamond_exact(ray_session):
+    # density = 2*5/(4*3); clustering = (1 + 2/3 + 2/3 + 1)/4
+    from graphrag_ray.stages.graph_analytics import graph_metrics
+
+    df = graph_metrics(_edges_ds(_DIAMOND)).set_index("stat")
+    assert abs(df.loc["density", "value"] - 5 / 6) < 1e-12
+    assert abs(df.loc["avg_clustering_coefficient", "value"] - 5 / 6) < 1e-12
+
+
+def test_louvain_diamond_reference_case(ray_session):
+    # analytics.rs test_community_detection: one component of 4 nodes;
+    # shipped modularity = internal edge ends / (2 * node count) = 10/8
+    from graphrag_ray.stages.graph_analytics import louvain_communities
+
+    df = louvain_communities(_edges_ds(_DIAMOND)).to_pandas()
+    assert sorted(df["node_id"]) == ["A", "B", "C", "D"]
+    assert set(df["community_id"]) == {0}
+    assert all(abs(m - 1.25) < 1e-12 for m in df["modularity"])
+
+
+def test_pagerank_reference_properties(ray_session):
+    # pagerank.rs test_pagerank_convergence / test_personalized_pagerank:
+    # scores sum to 1, all nodes scored, and a personalized reset biased
+    # 0.8 toward A lifts A significantly above uniform
+    import ray.data
+
+    from graphrag_ray.stages.graph_analytics import pagerank
+
+    ents = ray.data.from_items(
+        [{"canonical_id": n} for n in ("A", "B", "C")])
+    edges = _edges_ds([("A", "B"), ("A", "C"), ("B", "C")])
+    df = pagerank(ents, edges).to_pandas()
+    assert abs(df["score"].sum() - 1.0) < 1e-6
+    assert len(df) == 3
+    pdf = pagerank(ents, edges,
+                   personalization={"A": 0.8, "B": 0.2}).to_pandas()
+    assert pdf.set_index("entity_id").loc["A", "score"] > 1 / 3
