@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
+        "bm25_topk": q.bm25_topk,                # SQL-oracled (T2 keyword retrieval)
         "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
         "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_graphml_import": q.kgx_graphml_import,
         "kgx_layout": q.kgx_layout,
         "kgx_community_summaries": q.kgx_community_summaries,
+        "kgx_ppr": q.kgx_ppr,
         "kgx_media_meta": q.kgx_media_meta,
         "kgx_media_frames": q.kgx_media_frames,
         "kgx_atomic_facts": q.kgx_atomic_facts,
@@ -347,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_layout": _kgx_sql.kgx_layout_sql(),
         "kgx_community_summaries": _kgx_sql.kgx_community_summaries_sql(),
+        "kgx_ppr": _kgx_sql.kgx_ppr_sql(),
         "kgx_media_meta": _kgx_sql.kgx_media_meta_sql(),
         "kgx_media_frames": _kgx_sql.kgx_media_frames_sql(),
         "kgx_atomic_facts": _kgx_sql.kgx_atomic_facts_sql(),
@@ -360,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "bm25_topk": _kgx_sql.bm25_topk_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "rrf_fusion": """
             WITH cos AS (

@@ -1035,3 +1035,86 @@ def kgx_pagerank_sql() -> str:
         SELECT node AS entity_id, round(score, 4) AS score
         FROM pr WHERE iter = (SELECT max(iter) FROM pr)
     """
+
+
+def bm25_topk_sql(query_terms=("spark", "table", "join", "vector"),
+                  k: int = 10) -> str:
+    """BM25 oracle (retrieval/bm25.rs semantics re-derived in SQL): the
+    same tokenizer, Lucene idf = ln(N/df)+1, normalized tf in the
+    saturation term, k1=1.2 b=0.75; ordering by (round4 score DESC,
+    doc_id) matches the engine's pinned tie-break."""
+    from .stages.retrieval import BM25_STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in sorted(BM25_STOPWORDS))
+    qvals = ",".join(f"('{t}')" for t in query_terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       w -> regexp_replace(w, '[^a-z0-9]', '', 'g'))) AS t
+            FROM documents) z
+          WHERE t <> '' AND length(t) > 2 AND t NOT IN ({stop_in})),
+        dl AS (SELECT d.doc_id, coalesce(x.c, 0)::DOUBLE AS doclen
+               FROM documents d LEFT JOIN
+                 (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) x
+                 USING (doc_id)),
+        g AS (SELECT count(*)::DOUBLE AS n,
+                     sum(doclen) / count(*) AS avgdl FROM dl),
+        q(term) AS (VALUES {qvals}),
+        tf AS (SELECT t.doc_id, t.term, count(*)::DOUBLE AS f
+               FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum((ln(g.n / dfq.df) + 1.0)
+                     * ((tf.f / dl.doclen) * (1.2::DOUBLE + 1.0))
+                     / ((tf.f / dl.doclen)
+                        + 1.2::DOUBLE * (1.0 - 0.75::DOUBLE
+                            + 0.75::DOUBLE * dl.doclen / g.avgdl)))
+                     AS score
+          FROM tf JOIN dl USING (doc_id) CROSS JOIN g JOIN dfq USING (term)
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(score, 4) AS score
+        FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT {k}
+    """
+
+
+def kgx_ppr_sql(k: int = 10) -> str:
+    """Personalized-PageRank retrieval oracle: the kgx_pagerank recursive
+    power iteration with the reset vector concentrated on the
+    lexicographically first canonical entity, top-k by (round4 score DESC,
+    entity id)."""
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canon),
+        dirs AS (SELECT src AS a, dst AS b FROM kgx_edge_agg
+                 UNION ALL SELECT dst, src FROM kgx_edge_agg),
+        oinv AS (SELECT a, 1.0::DOUBLE / count(*) AS inv FROM dirs GROUP BY a),
+        cst AS (SELECT 1.0::DOUBLE / count(*) AS invn FROM nodes),
+        rv AS (SELECT node,
+                      CASE WHEN node = (SELECT min(node) FROM nodes)
+                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS r
+               FROM nodes),
+        pr(iter, node, score, prev) AS (
+          SELECT 0, node, (SELECT invn FROM cst), 0.0::DOUBLE FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, p.node,
+                 (1.0::DOUBLE - 0.85::DOUBLE) * rv.r
+                 + 0.85::DOUBLE * (
+                     coalesce((SELECT sum(q.score * oi.inv)
+                               FROM pr q
+                               JOIN dirs d ON d.a = q.node AND d.b = p.node
+                               JOIN oinv oi ON oi.a = q.node), 0.0)
+                     + coalesce((SELECT sum(q2.score) FROM pr q2
+                                 LEFT JOIN oinv o2 ON o2.a = q2.node
+                                 WHERE o2.a IS NULL), 0.0) * rv.r),
+                 p.score
+          FROM pr p JOIN rv ON rv.node = p.node
+          WHERE p.iter < 100
+            AND (SELECT sum(abs(q3.score - q3.prev)) FROM pr q3) >= 1e-6)
+        SELECT node AS entity_id, round(score, 4) AS score
+        FROM pr WHERE iter = (SELECT max(iter) FROM pr)
+        ORDER BY round(score, 4) DESC, node LIMIT {k}
+    """

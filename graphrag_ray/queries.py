@@ -889,6 +889,37 @@ def kgx_graphml_import(sf_dir: str):
             .union(rels.map_batches(rel_project, batch_format="pyarrow")))
 
 
+def kgx_ppr(sf_dir: str, k: int = 10):
+    """T2/HippoRAG-style personalized-PageRank retrieval over the kgx
+    graph (retrieval/hipporag_ppr.rs, pagerank_retrieval.rs): reset mass
+    concentrated on the lexicographically first canonical entity (the
+    deterministic 'query seed'); top-k nodes by (round4 score DESC, id).
+    Driver-oracled by the recursive-CTE power iteration with the
+    indicator reset vector."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    seed = min(r["canonical_id"] for r in
+               res.entities.select_columns(["canonical_id"]).take_all())
+    df = ga.pagerank(res.entities, res.edges,
+                     personalization={seed: 1.0}).to_pandas()
+    df["score"] = _round4(df["score"].to_numpy())
+    return (df.sort_values(["score", "entity_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def bm25_topk(sf_dir: str, query: str = "spark table join vector",
+              k: int = 10):
+    """T2 keyword retrieval: distributed BM25 ranking over the documents
+    table (retrieval/bm25.rs semantics — Lucene idf, normalized tf,
+    k1=1.2 b=0.75), SQL-oracled."""
+    from .stages.retrieval import bm25_topk as _bm25
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return _bm25(docs, query, k=k)
+
+
 def kgx_community_summaries(sf_dir: str):
     """A9 extractive community summaries, driver-oracled: the REAL
     summarizer (stages/community.py _summaries — sorted members, per-type

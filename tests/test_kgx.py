@@ -224,6 +224,8 @@ def test_kgx_surface_matches_oracle_sql(ray_session):
         (q.kgx_graphml_import, kgx.kgx_graphml_import_sql()),
         (q.kgx_layout, kgx.kgx_layout_sql()),
         (q.kgx_community_summaries, kgx.kgx_community_summaries_sql()),
+        (q.kgx_ppr, kgx.kgx_ppr_sql()),
+        (q.bm25_topk, kgx.bm25_topk_sql()),
         (q.kgx_media_meta, kgx.kgx_media_meta_sql()),
         (q.kgx_media_frames, kgx.kgx_media_frames_sql()),
     ]
