@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
         "embedding_near_dup": q.embedding_near_dup,
+        "dedup_semantic_keep": q.dedup_semantic_keep,
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
@@ -363,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "dedup_semantic_keep": _kgx_sql.dedup_semantic_keep_sql(),
         "bm25_topk": _kgx_sql.bm25_topk_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "rrf_fusion": """

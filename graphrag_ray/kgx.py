@@ -1118,3 +1118,25 @@ def kgx_ppr_sql(k: int = 10) -> str:
         FROM pr WHERE iter = (SELECT max(iter) FROM pr)
         ORDER BY round(score, 4) DESC, node LIMIT {k}
     """
+
+
+def dedup_semantic_keep_sql(threshold: float = 0.45) -> str:
+    """Semantic-dedup oracle: the near-dup pair predicate (round4 cosine
+    >= threshold) plus a recursive min-label closure — keep_id = minimum
+    vec_id reachable through the near-dup graph (singletons keep
+    themselves), matching the union-find's smaller-id-roots invariant."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.embedding,
+                    b.embedding)::DOUBLE, 4) >= {threshold}),
+        und AS (SELECT va AS a, vb AS b FROM pairs
+                UNION SELECT vb, va FROM pairs),
+        reach(a, b) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+        SELECT a::BIGINT AS vec_id, min(b)::BIGINT AS keep_id
+        FROM reach GROUP BY a
+    """

@@ -215,6 +215,31 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
     )
 
 
+def dedup_semantic_keep(sf_dir: str, threshold: float = 0.45):
+    """Semantic dedup to cluster representatives: the distributed
+    embedding near-dup pairs feed a union-find (smaller id roots, so the
+    representative is the cluster's minimum vec_id) and every vector maps
+    to its keep_id — singletons keep themselves. SQL-oracled via the same
+    pair predicate + recursive min-label closure."""
+    from .stages.graph_analytics import _components_task
+
+    tbls = [t for t in ray.get(
+        embedding_near_dup(sf_dir, threshold).to_arrow_refs()) if t.num_rows]
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"]).column("vec_id").to_pylist()
+    edges = []
+    if tbls:
+        pt = pa.concat_tables(tbls, promote_options="default")
+        edges = list(zip(pt.column("vec_a").to_pylist(),
+                         pt.column("vec_b").to_pylist()))
+    df = ray.get(_components_task.remote(ids, edges))
+    out = df[["entity_id", "component"]].rename(
+        columns={"entity_id": "vec_id", "component": "keep_id"})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["keep_id"] = out["keep_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
