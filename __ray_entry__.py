@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
         "bm25_topk": q.bm25_topk,                # SQL-oracled (T2 keyword retrieval)
+        "hybrid_topk": q.hybrid_topk,            # SQL-oracled (T2 hybrid retrieval)
         "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
         "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "dedup_semantic_keep": _kgx_sql.dedup_semantic_keep_sql(),
         "bm25_topk": _kgx_sql.bm25_topk_sql(),
+        "hybrid_topk": _kgx_sql.hybrid_topk_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "rrf_fusion": """
             WITH cos AS (

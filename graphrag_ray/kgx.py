@@ -1140,3 +1140,29 @@ def dedup_semantic_keep_sql(threshold: float = 0.45) -> str:
         SELECT a::BIGINT AS vec_id, min(b)::BIGINT AS keep_id
         FROM reach GROUP BY a
     """
+
+
+def hybrid_topk_sql(k: int = 60, top_n: int = 10) -> str:
+    """Hybrid retrieval oracle: RRF over the BM25 ranking (bm25_topk_sql
+    at k=100) and the cosine ranking, both re-ranked deterministically by
+    (score DESC, id)."""
+    return f"""
+        WITH kw AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM ({bm25_topk_sql(k=100)})),
+        cos AS (
+          SELECT vec_id,
+                 round(list_cosine_similarity(embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                 )::DOUBLE, 4) AS sim
+          FROM embeddings ORDER BY sim DESC, vec_id LIMIT 100),
+        cr AS (SELECT vec_id,
+                      row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+               FROM cos),
+        u AS (SELECT doc_id AS id, r FROM kw
+              UNION ALL SELECT vec_id, r FROM cr),
+        s AS (SELECT id, sum(1.0 / ({k} + r)) AS score FROM u GROUP BY id)
+        SELECT id::BIGINT AS doc_id, round(score, 6) AS rrf
+        FROM s ORDER BY rrf DESC, doc_id LIMIT {top_n}
+    """

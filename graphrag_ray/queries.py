@@ -1480,6 +1480,36 @@ def rrf_fusion(sf_dir: str, k: int = 60, top_n: int = 10):
     return out.reset_index(drop=True)
 
 
+def hybrid_topk(sf_dir: str, k: int = 60, top_n: int = 10):
+    """T2 hybrid retrieval (retrieval/hybrid.rs shape): the distributed
+    BM25 keyword ranking over documents fused with the cosine vector
+    ranking over the id-aligned embeddings via RRF. SQL-oracled by
+    composing the two oracled ranking expressions."""
+    from .stages.retrieval import bm25_topk as _bm25
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    kw = _bm25(docs, "spark table join vector", k=100)
+    qv = _query_vector(sf_dir)
+    cos_partials = _embeddings(sf_dir).map_batches(
+        ann.make_topk_partial_fn(qv, 100), batch_format="pyarrow")
+    cos_top = ann.finalize_topk(cos_partials, 100)
+    scores: dict[int, float] = {}
+    for rank, vid in enumerate(cos_top["vec_id"].tolist(), start=1):
+        scores[vid] = scores.get(vid, 0.0) + 1.0 / (k + rank)
+    for rank, did in enumerate(kw["doc_id"].tolist(), start=1):
+        scores[did] = scores.get(did, 0.0) + 1.0 / (k + rank)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"doc_id": list(scores.keys()),
+         "rrf": [float(np.floor(s * 1e6 + 0.5) / 1e6)
+                 for s in scores.values()]}
+    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(top_n)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # join-pattern operators over the relational tables (J-family, SQL-oracled)
 

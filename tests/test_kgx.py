@@ -252,3 +252,18 @@ def test_repeated_person_mention_offsets():
             (o1, o1 + len(name)), (o2, o2 + len(name)),
             (o1, o1 + len(name)), (o2, o2 + len(name)),
         ]
+
+
+def test_template_rel_types_distinct_for_twoword_locs():
+    """The kgx_gleaning oracle relies on the name-keyed relationship dedup
+    never collapsing two pairs: when a two-word location is extracted as
+    both PERSON and LOCATION, the (x, loc) pair exists once per instance
+    with types (pp vs pl) for person x and (po vs ol) for the org — these
+    must DIFFER template-wide or the first-wins dedup would silently drop
+    a row. Guards future template edits."""
+    for t in kgx.KGX_TEMPLATES:
+        if t["pos_l"] is not None:
+            if t["pos_p"] is not None or t["pos_p2"] is not None:
+                assert t["pp"] != t["pl"], t["text"]
+            if t["pos_o"] is not None:
+                assert t["po"] != t["ol"], t["text"]
