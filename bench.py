@@ -33,6 +33,12 @@ import time
 # before ray.init so worker processes inherit it.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("ARROW_IO_THREADS", "2")
+# At ≥1.9M chunks the default object store (≈43% of RAM) spills mid-pipeline
+# and the extract/edges stages go superlinear (116 s vs a linear 70 s at
+# synth_factor=512); 55% keeps the working set resident — measured in
+# BASELINE.md's data-scale table. On a multi-node cluster this maps to the
+# per-node object_store_memory setting.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55")
 
 FACTOR = int(os.environ.get("GRAFT_SYNTH_FACTOR", "256"))
 
