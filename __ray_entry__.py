@@ -21,6 +21,34 @@ _TERM_VALUES = "(VALUES ('spark'),('table'),('join'),('window'),('stream'),('vec
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
+_SIMHASH_SQL = """
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv
+                  FROM w),
+            bits AS (
+              SELECT doc_id, i AS bit,
+                     sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id,
+                     (sum(CASE WHEN acc > 0 AND bit < 63
+                               THEN (1::BIGINT << bit) ELSE 0 END)
+                      + sum(CASE WHEN acc > 0 AND bit = 63
+                                 THEN -9223372036854775808::HUGEINT
+                                 ELSE 0 END))::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+        """
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: spans adapter →
     chunk → extract → canonicalize → edges → triples."""
@@ -52,7 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_join": q.customer_order_join,
         # --- dedup family
         "dedup_exact": q.dedup_exact,           # SQL-oracled
-        "dedup_simhash": q.dedup_simhash,        # rows-only (signature table)
+        "dedup_simhash": q.dedup_simhash,        # SQL-oracled (signature table)
+        "dedup_simhash_pairs": q.dedup_simhash_pairs,  # SQL-oracled (banded Hamming pairs)
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
         "embedding_near_dup": q.embedding_near_dup,
@@ -445,31 +474,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY 1, 2
         """,
-        "dedup_simhash": """
-            WITH toks AS (
-              SELECT doc_id, list_distinct(list_filter(
-                         regexp_split_to_array(trim(lower(text)), '\\s+'),
-                         x -> x <> '')) AS t
-              FROM documents),
-            w AS (SELECT doc_id, unnest(t) AS word FROM toks),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv
-                  FROM w),
-            bits AS (
-              SELECT doc_id, i AS bit,
-                     sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
-              GROUP BY doc_id, i),
-            sig AS (
-              SELECT doc_id,
-                     (sum(CASE WHEN acc > 0 AND bit < 63
-                               THEN (1::BIGINT << bit) ELSE 0 END)
-                      + sum(CASE WHEN acc > 0 AND bit = 63
-                                 THEN -9223372036854775808::HUGEINT
-                                 ELSE 0 END))::BIGINT AS simhash
-              FROM bits GROUP BY doc_id)
-            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
-            FROM documents d LEFT JOIN sig s USING (doc_id)
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": f"""
+            WITH sigs AS ({_SIMHASH_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
     }
 

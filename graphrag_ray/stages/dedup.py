@@ -361,3 +361,66 @@ def make_ngram_finalize_fn(threshold: float):
         )
 
     return finalize
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS via band partitioning. Splitting the 64-bit
+# signature into 4 disjoint 16-bit bands guarantees (pigeonhole) that any
+# pair within Hamming distance ≤ 3 collides on at least one exact band —
+# so unlike LSH this candidate generation has recall 1 for the emitted
+# predicate and the exact all-pairs DuckDB oracle must match bit-for-bit.
+
+
+def simhash_band_rows(batch: pa.Table, n_bands: int = 4) -> pa.Table:
+    """simhash rows → one row per (band index, band value)."""
+    ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("simhash").to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    out_band, out_val, out_id, out_sig = [], [], [], []
+    for b in range(n_bands):
+        vals = (sigs >> np.uint64(b * width)) & mask
+        out_band.extend([b] * len(ids))
+        out_val.extend(vals.astype(np.int64).tolist())
+        out_id.extend(ids)
+        out_sig.extend(sigs.view(np.int64).tolist())
+    return pa.Table.from_pydict(
+        {
+            "band": pa.array(out_band, pa.int32()),
+            "band_val": pa.array(out_val, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "simhash": pa.array(out_sig, pa.int64()),
+        }
+    )
+
+
+def make_simhash_pairs_fn(max_hamming: int = 3):
+    """Per band group: all (i<j) pairs within the Hamming budget."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sigs = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            if len(ids) < 2:
+                break
+            x = sigs[i] ^ sigs[i + 1:]
+            h = np.array([int(v).bit_count() for v in x], dtype=np.int64)
+            keep = np.nonzero(h <= max_hamming)[0]
+            for j in keep:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_h.append(int(h[j]))
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return pairs
