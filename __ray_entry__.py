@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_yake": q.kgx_yake,
         "kgx_incremental": q.kgx_incremental,
         "kgx_graphml_import": q.kgx_graphml_import,
+        "kgx_csv_import": q.kgx_csv_import,
         "kgx_layout": q.kgx_layout,
         "kgx_community_summaries": q.kgx_community_summaries,
         "kgx_ppr": q.kgx_ppr,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "kgx_yake": _kgx_sql.kgx_yake_sql(),
         "kgx_incremental": _kgx_sql.kgx_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
+        "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),
         "kgx_layout": _kgx_sql.kgx_layout_sql(),
         "kgx_community_summaries": _kgx_sql.kgx_community_summaries_sql(),
         "kgx_ppr": _kgx_sql.kgx_ppr_sql(),

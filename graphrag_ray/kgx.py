@@ -1166,3 +1166,24 @@ def hybrid_topk_sql(k: int = 60, top_n: int = 10) -> str:
         SELECT id::BIGINT AS doc_id, round(score, 6) AS rrf
         FROM s ORDER BY rrf DESC, doc_id LIMIT {top_n}
     """
+
+
+def kgx_csv_import_sql() -> str:
+    """S2 CSV-import oracle: expected grouped entity rows from the same
+    md5 choice arithmetic the CSV was generated with."""
+    persons = ",".join(f"({i},{_sql_str(n)})"
+                       for i, n in enumerate(KGX_PERSONS))
+    return f"""
+        WITH persons(idx, pname) AS (VALUES {persons}),
+        choice AS (
+          SELECT doc_id,
+                 {_hx(1)} % {len(KGX_PERSONS)} AS p_idx,
+                 round(({_hx(6)} % 100) / 100.0, 2) AS conf
+          FROM documents)
+        SELECT 'PERSON_' || lower(replace(p.pname, ' ', '')) AS entity_id,
+               p.pname AS name, 'PERSON' AS entity_type,
+               count(*)::BIGINT AS n,
+               round(max(c.conf)::DOUBLE, 4) AS max_conf
+        FROM choice c JOIN persons p ON p.idx = c.p_idx
+        GROUP BY 1, 2, 3
+    """

@@ -850,6 +850,46 @@ def kgx_enriched(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def kgx_csv_import(sf_dir: str):
+    """S2 CSV import, driver-oracled: a CSV of (name, type, confidence)
+    rows derived from the md5 choices goes through the distributed CSV
+    reader + entity parser; the grouped result (count + max confidence)
+    is md5-recomputable in SQL."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Count, Max
+
+    from . import kgx
+    from .sources.importer import import_entities
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    lines = ["name,type,confidence"]
+    for d in sorted(doc_ids):
+        c = kgx.kgx_choices(int(d))
+        conf = (kgx._h(int(d), 6) % 100) / 100.0
+        lines.append(f"{kgx.KGX_PERSONS[c['p']]},person,{conf:.2f}")
+    content = "\n".join(lines) + "\n"
+    tag = hashlib.md5(content.encode()).hexdigest()[:12]
+    path = f"/tmp/graphrag_ray_csv_{tag}.csv"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(content)
+    ents, _errors = import_entities(path)
+    agg = (ents.groupby(["entity_id", "name", "entity_type"])
+           .aggregate(Count(alias_name="n"),
+                      Max("confidence", alias_name="max_conf")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("max_conf").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("max_conf"), "max_conf",
+            pa.array(_round4(conf), pa.float64()))
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
 def kgx_graphml_import(sf_dir: str):
     """S2 GraphML import, driver-oracled: a GraphML file (node
     declarations with name/type data keys + one edge per doc from the md5
