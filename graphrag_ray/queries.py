@@ -234,27 +234,34 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
 
 def dedup_semantic_keep(sf_dir: str, threshold: float = 0.45):
     """Semantic dedup to cluster representatives: the distributed
-    embedding near-dup pairs feed a union-find (smaller id roots, so the
-    representative is the cluster's minimum vec_id) and every vector maps
-    to its keep_id — singletons keep themselves. SQL-oracled via the same
-    pair predicate + recursive min-label closure."""
-    from .stages.graph_analytics import _components_task
+    embedding near-dup pairs feed DISTRIBUTED hash-to-min label
+    propagation (stages/dedup.py semantic_components_labels) — the pair
+    set and the corpus id list never land on the driver (VERDICT r02 #5).
+    The converged label table (dup nodes only, tiny by construction) is
+    broadcast once and keep_id maps onto the vec_id column per batch;
+    singletons keep themselves. SQL-oracled via the same pair predicate +
+    recursive min-label closure."""
+    import pyarrow.compute as pc
 
-    tbls = [t for t in ray.get(
-        embedding_near_dup(sf_dir, threshold).to_arrow_refs()) if t.num_rows]
-    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id"]).column("vec_id").to_pylist()
-    edges = []
-    if tbls:
-        pt = pa.concat_tables(tbls, promote_options="default")
-        edges = list(zip(pt.column("vec_a").to_pylist(),
-                         pt.column("vec_b").to_pylist()))
-    df = ray.get(_components_task.remote(ids, edges))
-    out = df[["entity_id", "component"]].rename(
-        columns={"entity_id": "vec_id", "component": "keep_id"})
-    out["vec_id"] = out["vec_id"].astype("int64")
-    out["keep_id"] = out["keep_id"].astype("int64")
-    return out.reset_index(drop=True)
+    pairs = embedding_near_dup(sf_dir, threshold).materialize()
+    labels = dedup.semantic_components_labels(pairs)
+    lbl_blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    lbl = (pa.concat_tables(lbl_blocks, promote_options="default")
+           if lbl_blocks else
+           pa.table({"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}))
+    lbl_ref = ray.put(lbl)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lbl_ref)
+        vid = batch.column("vec_id").cast(pa.int64())
+        idx = pc.index_in(vid, lt.column("node"))
+        keep = pc.coalesce(pc.take(lt.column("label"), idx), vid)
+        return pa.table({"vec_id": vid, "keep_id": keep.cast(pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

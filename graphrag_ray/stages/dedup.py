@@ -395,8 +395,19 @@ def simhash_band_rows(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     )
 
 
-def make_simhash_pairs_fn(max_hamming: int = 3):
-    """Per band group: all (i<j) pairs within the Hamming budget."""
+def make_simhash_pairs_fn(max_hamming: int = 3, n_bands: int = 4):
+    """Per band group: all (i<j) pairs within the Hamming budget.
+
+    The pigeonhole recall-1 guarantee (any pair at Hamming ≤ max_hamming
+    collides on ≥1 exact band) only holds when max_hamming ≤ n_bands - 1;
+    validate at construction so a looser budget can't silently lose pairs.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            f"(got {n_bands}): band collision only guarantees recall for "
+            "Hamming <= n_bands - 1"
+        )
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -424,3 +435,101 @@ def make_simhash_pairs_fn(max_hamming: int = 3):
         )
 
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components over near-dup pairs (semantic dedup).
+# VERDICT r02 #5: the previous shape collected every pair table AND the
+# full vec_id list to the driver and union-found there — O(N) driver
+# memory. This is iterated hash-to-min label propagation: per round, the
+# (small) label table co-locates with the edge rows in ONE bucketed
+# exchange (vectorized index_in join inside each bucket group), the
+# per-node min is a hash aggregate, and the driver only ever sees the
+# scalar label-sum used for fixpoint detection (labels are monotonically
+# non-increasing positive ints, so an unchanged sum == fixpoint).
+
+
+def semantic_components_labels(pairs_ds, num_buckets: int = 32,
+                               max_iters: int = 50):
+    """Near-dup pair rows (vec_a, vec_b) → Dataset (node, label) for every
+    node appearing in ≥1 pair, label = the component's minimum node id.
+    Singletons are implicit (callers default keep_id = own id)."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64())
+        b = batch.column("vec_b").cast(pa.int64())
+        return pa.table({
+            "node": pa.chunked_array([a, b]).combine_chunks(),
+            "other": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    edges = pairs_ds.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+        }))
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "label": batch.column("node")})
+
+    labels = (edges.map_batches(seed, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+
+    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(((keys * np.uint64(2654435761))
+                         % np.uint64(1 << 32) % np.uint64(num_buckets))
+                        .astype(np.int32))
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": bucket_of(batch.column("node")),
+            "node": batch.column("node").cast(pa.int64()),
+            "other": pa.nulls(batch.num_rows, pa.int64()),
+            "label": batch.column("label").cast(pa.int64()),
+        })
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": bucket_of(batch.column("node")),
+            "node": batch.column("node"),
+            "other": batch.column("other"),
+            "label": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def propagate(batch: pa.Table) -> pa.Table:
+        is_label = pc.is_valid(batch.column("label"))
+        lab = batch.filter(is_label)
+        edg = batch.filter(pc.invert(is_label))
+        idx = pc.index_in(edg.column("node"), lab.column("node"))
+        neigh_label = pc.take(lab.column("label"), idx)
+        return pa.table({
+            "node": pa.chunked_array(
+                [edg.column("other"), lab.column("node")]).combine_chunks(),
+            "label": pa.chunked_array(
+                [neigh_label, lab.column("label")]).combine_chunks(),
+        })
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (labels.map_batches(tag_labels, batch_format="pyarrow")
+                .union(edges_tagged)
+                .groupby("bucket")
+                .map_groups(propagate, batch_format="pyarrow"))
+        labels = (msgs.groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur = labels.aggregate(Sum("label", alias_name="label_sum"))["label_sum"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

@@ -109,20 +109,27 @@ def hopping_window_agg(events_ds, window_hours: int = 6, hop_hours: int = 3):
     with fan-out bounded by the window/hop ratio."""
     window_us = window_hours * 3600 * 1_000_000
     hop_us = hop_hours * 3600 * 1_000_000
-    n_hops = max(1, window_us // hop_us)
+    # ceil, not floor: when hop doesn't divide the window (e.g. 6h/4h) an
+    # event can fall inside ceil(window/hop) candidate windows; floor would
+    # silently aggregate a shorter window than labeled. Candidates beyond
+    # the true membership are filtered below (w*hop + window > ts).
+    n_hops = max(1, -(-window_us // hop_us))
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
         values = batch.column("value").to_numpy(zero_copy_only=False)
         first = ts // hop_us - (n_hops - 1)
-        # every window id in [ts//hop - n_hops + 1, ts//hop] covers ts
-        # (window w spans [w*hop, w*hop + n_hops*hop)) — vectorized explode
+        # candidate window ids in [ts//hop - n_hops + 1, ts//hop]; window w
+        # spans [w*hop, w*hop + window_us) — keep candidates that truly
+        # cover ts (always all of them when hop divides window).
         window = np.concatenate([first + k for k in range(n_hops)])
+        ts_rep = np.tile(ts, n_hops)
+        keep = window * hop_us + window_us > ts_rep
         df = pd.DataFrame({
-            "user_id": np.tile(users, n_hops),
-            "window_id": window,
-            "value": np.tile(values, n_hops),
+            "user_id": np.tile(users, n_hops)[keep],
+            "window_id": window[keep],
+            "value": np.tile(values, n_hops)[keep],
         })
         g = df.groupby(["user_id", "window_id"], sort=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")

@@ -191,6 +191,14 @@ class ImageResizeStage:
                                    batch.column("width").to_pylist(),
                                    batch.column("height").to_pylist()):
             img = self._decode(payload, w, hgt).astype(np.float32)
+            # images smaller than the target would crop to 0 rows/cols and
+            # the block-mean would emit NaNs — upsample by pixel repetition
+            # first (nearest-neighbor) so every input has >= t per axis.
+            if img.shape[0] < t:
+                img = np.repeat(img, -(-t // img.shape[0]), axis=0)
+            if img.shape[1] < t:
+                img = np.repeat(img, -(-t // img.shape[1]), axis=1)
+            hgt, w = img.shape
             # crop to a multiple of target, then block-mean (vectorized)
             ch, cw = (hgt // t) * t, (w // t) * t
             img = img[:ch, :cw]
@@ -212,15 +220,27 @@ def make_frame_sampler(fps_sample: float = 1.0):
 
     def sample_frames(batch: pa.Table) -> pa.Table:
         out = {"doc_id": [], "media_ref": [], "frame_idx": [], "ts_ms": []}
-        step_ms = int(1000 / fps_sample)
         for doc_id, ref, dur in zip(batch.column("doc_id").to_pylist(),
                                     batch.column("media_ref").to_pylist(),
                                     batch.column("duration_ms").to_pylist()):
-            for i, ts in enumerate(range(0, int(dur), step_ms)):
+            # per-index timestamps (round(i*1000/fps)) rather than an int
+            # step accumulator: no drift at non-divisor rates (fps=3 →
+            # 0,333,667,1000…) and no zero-step at fps_sample > 1000 —
+            # sub-ms rates clamp to one frame per ms (ts is ms-granular).
+            i, emitted, prev_ts, dur_i = 0, 0, -1, int(dur)
+            while True:
+                ts = round(i * 1000 / fps_sample)
+                if ts >= dur_i:
+                    break
+                i += 1
+                if ts == prev_ts:
+                    continue
+                prev_ts = ts
                 out["doc_id"].append(doc_id)
                 out["media_ref"].append(ref)
-                out["frame_idx"].append(i)
+                out["frame_idx"].append(emitted)
                 out["ts_ms"].append(ts)
+                emitted += 1
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out["doc_id"], pa.string()),

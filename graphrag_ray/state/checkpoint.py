@@ -72,7 +72,20 @@ def dataset_fingerprint(ds) -> str:
     if files:
         sig = [(f, *_stat_sig(f)) for f in files]
     else:
-        sig = [("rows", ds.count())]
+        # Non-file dataset: fingerprint the schema plus a bounded row
+        # sample (first 64 rows). A bare row count would let a changed
+        # corpus with an identical count silently reuse stale stage
+        # checkpoints, and forcing ds.count() executes the whole upstream
+        # plan; the prefix sample only executes the first block(s).
+        sig = [("schema", str(ds.schema()))]
+        try:
+            head = ds.limit(64).take_batch(64, batch_format="pyarrow")
+            sig.append(("head", [
+                (name, [str(v) for v in col.to_pylist()])
+                for name, col in zip(head.column_names, head.columns)
+            ]))
+        except Exception:  # noqa: BLE001 - empty datasets
+            sig.append(("head", []))
     return hashlib.sha256(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
 
 

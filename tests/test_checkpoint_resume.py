@@ -119,3 +119,18 @@ def test_changed_input_invalidates(docs_ds, ray_session):
     assert res3.report["checkpoint_stages_skipped"] == [
         "extraction", "canonical", "edges"]
     assert triples_set(res2) == triples_set(res3)
+
+
+def test_fingerprint_distinguishes_same_rowcount(ray_session):
+    """ADVICE r02: non-file datasets with equal row counts but different
+    content must fingerprint differently (content sample, not count)."""
+    import ray as _ray
+
+    from graphrag_ray.state.checkpoint import dataset_fingerprint
+
+    a = _ray.data.from_items([{"doc_id": "a", "text": "alpha"}] * 5)
+    b = _ray.data.from_items([{"doc_id": "a", "text": "beta"}] * 5)
+    assert dataset_fingerprint(a) != dataset_fingerprint(b)
+    # deterministic for identical content
+    a2 = _ray.data.from_items([{"doc_id": "a", "text": "alpha"}] * 5)
+    assert dataset_fingerprint(a) == dataset_fingerprint(a2)

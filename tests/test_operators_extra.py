@@ -443,3 +443,91 @@ def test_strict_mode_raises(ray_session):
                        "kind": ["image"], "span_index": [0]})
     with _pytest.raises(NotImplementedError):
         loader(batch)
+
+
+def test_hopping_window_non_divisible(ray_session):
+    """ADVICE r02: window=6h hop=4h — an event must land in every window
+    that truly covers it (ceil(window/hop) candidates, filtered), not the
+    floor(window/hop) undercount."""
+    import pyarrow as _pa
+    import ray as _ray
+
+    from graphrag_ray.stages.events import hopping_window_agg
+
+    hour = 3_600_000_000
+    ts_list = [0, 1 * hour, 4 * hour + 1, 7 * hour, 11 * hour + 5]
+    ds = _ray.data.from_arrow(_pa.table({
+        "user_id": _pa.array([7] * len(ts_list), _pa.int64()),
+        "ts": _pa.array(ts_list, _pa.int64()),
+        "value": _pa.array([1.0] * len(ts_list), _pa.float64()),
+    }))
+    rows = hopping_window_agg(ds, window_hours=6, hop_hours=4).take_all()
+    got = {(r["window_id"]): (r["n_events"], r["sum_value"]) for r in rows}
+    # brute force: window w spans [w*4h, w*4h + 6h)
+    window_us, hop_us = 6 * hour, 4 * hour
+    expect = {}
+    for ts in ts_list:
+        w = ts // hop_us
+        while w * hop_us + window_us > ts:
+            if w * hop_us <= ts:
+                n, s = expect.get(w, (0, 0.0))
+                expect[w] = (n + 1, s + 1.0)
+            w -= 1
+    assert got == expect
+
+
+def test_simhash_pairs_hamming_budget_validated():
+    """ADVICE r02: max_hamming beyond the band recall guarantee must fail
+    loudly at construction, not silently lose pairs."""
+    import pytest as _pytest
+
+    from graphrag_ray.stages.dedup import make_simhash_pairs_fn
+
+    make_simhash_pairs_fn(max_hamming=3, n_bands=4)  # boundary ok
+    with _pytest.raises(ValueError):
+        make_simhash_pairs_fn(max_hamming=4, n_bands=4)
+
+
+def test_frame_sampler_non_divisor_fps():
+    """ADVICE r02: fps=3 must not drift (333,667,1000... not 333,666,999)
+    and huge fps must not die on a zero step."""
+    import pyarrow as _pa
+
+    from graphrag_ray.stages.media import make_frame_sampler
+
+    batch = _pa.table({
+        "doc_id": _pa.array(["d"], _pa.string()),
+        "media_ref": _pa.array(["lance://v"], _pa.string()),
+        "duration_ms": _pa.array([2001], _pa.int64()),
+    })
+    out = make_frame_sampler(fps_sample=3.0)(batch)
+    assert out.column("ts_ms").to_pylist() == [0, 333, 667, 1000, 1333, 1667, 2000]
+    big = make_frame_sampler(fps_sample=2000.0)(_pa.table({
+        "doc_id": _pa.array(["d"], _pa.string()),
+        "media_ref": _pa.array(["lance://v"], _pa.string()),
+        "duration_ms": _pa.array([3], _pa.int64()),
+    }))
+    assert big.column("ts_ms").to_pylist() == [0, 1, 2]
+
+
+def test_image_resize_smaller_than_target():
+    """ADVICE r02: an image below the target size must upsample (no NaNs /
+    empty-axis mean)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from graphrag_ray.stages.media import ImageResizeStage
+
+    stage = ImageResizeStage(target=16)
+    batch = _pa.table({
+        "doc_id": _pa.array(["d"], _pa.string()),
+        "media_ref": _pa.array(["lance://i"], _pa.string()),
+        "payload": _pa.array([b"\x80" * 12], _pa.binary()),
+        "width": _pa.array([3], _pa.int64()),
+        "height": _pa.array([4], _pa.int64()),
+    })
+    out = stage(batch)
+    px = np.asarray(out.column("pixels").to_pylist()[0])
+    assert px.shape == (256,)
+    assert not np.isnan(px).any()
+    assert ((0.0 <= px) & (px <= 1.0)).all()
