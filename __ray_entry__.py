@@ -100,6 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_alias_map": q.kgx_alias_map,
         "kgx_edges": q.kgx_edges,
         "kgx_triples": q.kgx_triples,
+        # --- kgx_fuzzy: same pipeline over the near-miss variant corpus —
+        #     the greedy FUZZY clustering path is exercised for real
+        "kgx_fuzzy_entities": q.kgx_fuzzy_entities,
+        "kgx_fuzzy_alias_map": q.kgx_fuzzy_alias_map,
+        "kgx_fuzzy_edges": q.kgx_fuzzy_edges,
+        "kgx_fuzzy_triples": q.kgx_fuzzy_triples,
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -166,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx as _kgx_sql
+    from graphrag_ray import kgx_fuzzy as _kgxf_sql
 
     return {
         "doc_token_stats": f"""
@@ -378,6 +385,10 @@ def oracle_sql() -> dict[str, str]:
         "kgx_enriched": _kgx_sql.kgx_enriched_sql(),
         "kgx_yake": _kgx_sql.kgx_yake_sql(),
         "kgx_incremental": _kgx_sql.kgx_triples_sql(),
+        "kgx_fuzzy_entities": _kgxf_sql.kgx_fuzzy_entities_sql(),
+        "kgx_fuzzy_alias_map": _kgxf_sql.kgx_fuzzy_alias_map_sql(),
+        "kgx_fuzzy_edges": _kgxf_sql.kgx_fuzzy_edges_sql(),
+        "kgx_fuzzy_triples": _kgxf_sql.kgx_fuzzy_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),
         "kgx_layout": _kgx_sql.kgx_layout_sql(),

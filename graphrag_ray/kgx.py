@@ -186,18 +186,22 @@ def kgx_spans_batch(batch: pa.Table) -> pa.Table:
 # DuckDB oracle SQL (expectation constants rendered as VALUES tables)
 
 
-def _hx(i: int) -> str:
-    return f"('0x'||substr(md5('kgx:'||doc_id||':{i}'),1,8))::BIGINT"
+def _hx(i: int, prefix: str = "kgx") -> str:
+    return f"('0x'||substr(md5('{prefix}:'||doc_id||':{i}'),1,8))::BIGINT"
 
 
 def _sql_str(s: str | None) -> str:
     return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
 
 
-def _corpus_cte() -> str:
-    np_, no, nl, nt = (len(KGX_PERSONS), len(KGX_ORGS), len(KGX_LOCS),
+def _corpus_cte(person_pool: tuple[str, ...] = KGX_PERSONS,
+                prefix: str = "kgx") -> str:
+    """Corpus-expectation CTE scaffold; ``person_pool``/``prefix`` let the
+    kgx_fuzzy twin reuse the whole template machinery over its own
+    variant-bearing pool and hash salt (kgx_fuzzy.py)."""
+    np_, no, nl, nt = (len(person_pool), len(KGX_ORGS), len(KGX_LOCS),
                        len(KGX_TITLES))
-    persons = ",".join(f"({i},{_sql_str(n)})" for i, n in enumerate(KGX_PERSONS))
+    persons = ",".join(f"({i},{_sql_str(n)})" for i, n in enumerate(person_pool))
     orgs = ",".join(f"({i},{_sql_str(n)},{_sql_str(s)})"
                     for i, (n, s) in enumerate(KGX_ORGS))
     locs = ",".join(f"({i},{_sql_str(n)},{str(tw).lower()})"
@@ -225,12 +229,12 @@ def _corpus_cte() -> str:
     return f"""
     choice AS (
       SELECT doc_id,
-             {_hx(0)} % {len(KGX_TEMPLATES)} AS tid,
-             {_hx(1)} % {np_} AS p_idx,
-             {_hx(2)} % {np_} AS p2_raw,
-             {_hx(3)} % {no} AS o_idx,
-             {_hx(4)} % {nl} AS l_idx,
-             {_hx(5)} % {nt} AS t_idx
+             {_hx(0, prefix)} % {len(KGX_TEMPLATES)} AS tid,
+             {_hx(1, prefix)} % {np_} AS p_idx,
+             {_hx(2, prefix)} % {np_} AS p2_raw,
+             {_hx(3, prefix)} % {no} AS o_idx,
+             {_hx(4, prefix)} % {nl} AS l_idx,
+             {_hx(5, prefix)} % {nt} AS t_idx
       FROM documents),
     choice2 AS (
       SELECT *, CASE WHEN p2_raw = p_idx THEN (p2_raw + 1) % {np_}

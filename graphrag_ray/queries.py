@@ -567,6 +567,59 @@ def kgx_alias_map(sf_dir: str):
     return _kgx(sf_dir).alias_map
 
 
+_KGXF_CACHE: dict[str, object] = {}
+
+
+def _kgxf(sf_dir: str):
+    """KG build over the FUZZY oracle corpus (kgx_fuzzy.py): the person pool
+    carries near-miss variant groups so the greedy fuzzy clustering
+    (functions/linking.py, reference corpus/entity_linker.rs:213-273) is
+    actually exercised by a hard driver oracle — the kgx pools are
+    collision-free by design and reduce to exact grouping."""
+    res = _KGXF_CACHE.get(sf_dir)
+    if res is None:
+        from . import kgx_fuzzy
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(kgx_fuzzy.kgxf_spans_batch, batch_format="pyarrow")
+        res = _KGXF_CACHE[sf_dir] = build_kg(docs, KGX_CFG)
+    return res
+
+
+def kgx_fuzzy_entities(sf_dir: str):
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "canonical_id": batch.column("canonical_id"),
+                "canonical_name": batch.column("canonical_name"),
+                "entity_type": batch.column("entity_type"),
+                "doc_frequency": batch.column("doc_frequency"),
+                "mention_count": batch.column("mention_count"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return _kgxf(sf_dir).entities.map_batches(project, batch_format="pyarrow")
+
+
+def kgx_fuzzy_alias_map(sf_dir: str):
+    return _kgxf(sf_dir).alias_map
+
+
+def kgx_fuzzy_edges(sf_dir: str):
+    return _kgxf(sf_dir).edges.select_columns(
+        ["src", "dst", "rel_type", "n_occurrences"]
+    )
+
+
+def kgx_fuzzy_triples(sf_dir: str):
+    return _kgxf(sf_dir).triples.select_columns(
+        ["subj", "pred", "obj", "n_occurrences"]
+    )
+
+
 def kgx_edges(sf_dir: str):
     return _kgx(sf_dir).edges.select_columns(
         ["src", "dst", "rel_type", "n_occurrences"]
