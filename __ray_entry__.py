@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
         "embedding_near_dup": q.embedding_near_dup,
+        "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_centrality": q.kg_centrality,
         "kg_louvain": q.kg_louvain,
         "kg_graph_metrics": q.kg_graph_metrics,
+        "kg_relationship_hierarchy": q.kg_relationship_hierarchy,
         "kg_node2vec": q.kg_node2vec,
         "kg_graphsage": q.kg_graphsage,
         "kg_semantic_neighbors": q.kg_semantic_neighbors,
@@ -268,6 +270,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "embedding_near_dup": """
+            SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.45
+        """,
+        # same EXACT oracle: the banded path must reach full recall
+        "embedding_near_dup_bucketed": """
             SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
                    round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

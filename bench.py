@@ -157,6 +157,47 @@ def run_bench() -> dict:
     return result
 
 
+# Median-of-N fresh-process runs (default 3): the VM's run-to-run spread is
+# large (BENCH_r02 regressed 1.5x on unrelated stateless queries — host
+# contention, not code), so a single-shot reading is noise, not signal.
+# Each run is a fresh process (cold Ray session, cold imports) exactly as
+# the driver invokes it; the reported numbers are element-wise medians.
+BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2.0
+
+
+def run_bench_median() -> dict:
+    """Spawn BENCH_RUNS fresh-process single runs; report per-metric
+    medians (plus the raw per-run walls for variance transparency)."""
+    runs: list[dict] = []
+    env = dict(os.environ, GRAFT_BENCH_CHILD="1")
+    for _ in range(BENCH_RUNS):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        runs.append(json.loads(out.strip().splitlines()[-1]))
+    result = dict(runs[len(runs) // 2])  # counts/config from any run
+    result["queries"] = {
+        k: round(_median([r["queries"][k] for r in runs]), 3)
+        for k in runs[0]["queries"]
+    }
+    headline = result["queries"]["kg_full"]
+    result["value"] = headline
+    result["n_runs"] = len(runs)
+    result["run_walls"] = [r["value"] for r in runs]
+    for key, count in (("triples_per_sec", result["n_triples"]),
+                       ("chunks_per_sec", result["n_chunks"]),
+                       ("docs_per_sec", result["n_docs"])):
+        result[key] = round(count / headline, 1)
+    return result
+
+
 # Default N→4N pair: 2→8. A pure-CPU control (multiprocessing busy-loop)
 # shows this VM saturates beyond ~12 concurrent CPUs (efficiency ceiling
 # 0.76 at 16, 0.66 at 32 even for embarrassingly parallel work), so 2→8 is
@@ -170,7 +211,7 @@ def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=N then 4N (cluster-size proxy)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CHILD="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -197,5 +238,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif BENCH_RUNS > 1 and not os.environ.get("GRAFT_BENCH_CHILD"):
+        print(json.dumps(run_bench_median()))
     else:
         print(json.dumps(run_bench()))

@@ -118,13 +118,23 @@ def term_cooccur(sf_dir: str):
 
 
 def top_terms(sf_dir: str, k: int = 20):
-    """T4 analogue: global top-k terms by count (partial per batch → small
-    groupby → tiny driver-side sort)."""
+    """T4 analogue: global top-k terms by count. The keyed aggregate holds
+    EXACT per-term counts with terms disjoint across blocks, so a per-block
+    local top-k is an exact combiner — the driver merges ≤ k·n_blocks
+    candidate rows instead of the whole vocabulary (VERDICT r02 #7; the
+    open-vocab ``to_pandas`` was the unbounded driver payload)."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df_ = batch.to_pandas()
+        df_ = df_.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
     agg = (
         _docs(sf_dir)
         .map_batches(text_analysis.tokenize_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
     )
     df = agg.to_pandas().sort_values(["n", "term"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
@@ -229,6 +239,28 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45):
         ann.make_block_pair_near_dup_fn(refs, threshold),
         batch_size=1,
         batch_format="pyarrow",
+    )
+
+
+def embedding_near_dup_bucketed(sf_dir: str, threshold: float = 0.45):
+    """Embedding near-dup via LSH band buckets + exact within-bucket verify
+    — the SCALE-DEFAULT shape (VERDICT r02 #6): vectors shuffle once into
+    band buckets (groupby), each bucket all-pairs-verifies locally, and a
+    final (vec_a, vec_b) groupby drops multi-band duplicates. No O(N²/B²)
+    task fan-out, no block-ref table on the driver. Oracled against the
+    SAME exact SQL predicate as embedding_near_dup: the default band
+    geometry (32 bands × 3 bits, deterministic planes) was validated to
+    full recall at τ=0.45 on every testdata scale and the equality is
+    pytest-asserted."""
+    dim = len(_query_vector(sf_dir))
+    rows = _embeddings(sf_dir).map_batches(
+        ann.make_near_dup_band_rows_fn(dim), batch_format="pyarrow"
+    )
+    pairs = rows.groupby("bucket").map_groups(
+        ann.make_bucket_verify_fn(threshold), batch_format="pyarrow"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        ann.dedup_candidate_pairs, batch_format="pyarrow"
     )
 
 
@@ -1324,6 +1356,18 @@ def kg_graph_metrics(sf_dir: str):
 
     res = _kg(sf_dir)
     return ga.graph_metrics(res.edges)
+
+
+def kg_relationship_hierarchy(sf_dir: str):
+    """L4 hierarchical relationship clustering: per-level clusters over the
+    relationship-similarity graph with fallback summaries + cohesion
+    (graph/hierarchical_relationships.rs; rows-only driver check, exact
+    semantics pytest-fixed in tests/test_community.py)."""
+    from .stages.community import relationship_hierarchy
+
+    res = _kg(sf_dir)
+    _members, clusters = relationship_hierarchy(res.edges)
+    return clusters
 
 
 def kg_cooccur_edges(sf_dir: str):

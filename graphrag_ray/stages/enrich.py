@@ -169,12 +169,42 @@ class ChunkEnricher:
 
 
 def enrich_chunks(chunks_ds, total_docs: int, top_k: int = 5,
-                  max_sentences: int = 2, algorithm: str = "tfidf"):
+                  max_sentences: int = 2, algorithm: str = "tfidf",
+                  min_broadcast_df: int = 2,
+                  max_broadcast_terms: int | None = None):
     """M4 pipeline: DF aggregate → broadcast → enrich actor pool.
     ``algorithm='yake'`` swaps the TF-IDF keywords for single-document
     YAKE (no corpus DF needed in the scoring, the broadcast still carries
-    it for the summary/tfidf path)."""
-    df_tbl = document_frequencies(chunks_ds).to_pandas()
+    it for the summary/tfidf path).
+
+    Open-vocabulary cap (VERDICT r02 #7): the enricher resolves missing
+    terms as df=1 (``df.get(term, 1)``), so dropping the df==1 hapax tail
+    from the broadcast — the unbounded payload of web-scale text, often
+    half the vocabulary — is LOSSLESS; the filter runs inside the Dataset
+    before anything reaches the driver. ``max_broadcast_terms`` adds a
+    lossy guard for adversarial vocabularies: beyond M terms keep the
+    top-M by df; a dropped term's idf is then overestimated by ln(its
+    true df), which can only promote rarer terms within the chunk's own
+    top-k — bounded, documented drift."""
+    import pyarrow.compute as _pc
+
+    df_ds = document_frequencies(chunks_ds)
+    if min_broadcast_df > 1:
+        df_ds = df_ds.map_batches(
+            lambda t: t.filter(
+                _pc.greater_equal(t.column("df"), min_broadcast_df)),
+            batch_format="pyarrow",
+        )
+    import pandas as pd
+
+    df_tbl = df_ds.to_pandas()
+    if len(df_tbl) == 0:
+        # all terms were hapaxes (tiny corpus): Ray drops the schema on an
+        # all-empty dataset, and the enricher's df.get(term, 1) default is
+        # exactly right for every term — broadcast an empty map.
+        df_tbl = pd.DataFrame({"term": [], "df": []})
+    if max_broadcast_terms is not None and len(df_tbl) > max_broadcast_terms:
+        df_tbl = df_tbl.nlargest(max_broadcast_terms, "df")
     df_dict = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
     ref = ray.put(df_dict)
     return chunks_ds.map_batches(

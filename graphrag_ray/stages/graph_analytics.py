@@ -306,8 +306,12 @@ def doc_cooccurrence_edges(extraction_ds, max_pairs_per_doc: int = 2000,
 # L3: centralities + Louvain-style communities + graph metrics
 # (behavioral transcription of graph/analytics.rs:69-487; same
 # collected-graph disposition as PageRank — the canonical entity graph is
-# tiny relative to the corpus. Betweenness is inherently all-pairs; at a
-# 100× entity graph the swap-in is source-sampled Brandes, same adapter.)
+# tiny relative to the corpus. Betweenness/closeness are DISTRIBUTED: the
+# CSR graph broadcasts once and per-source Dijkstras fan out as one task
+# per source batch (_centrality_sources_task); above max_exact_sources the
+# sources are sampled — source-sampled Brandes — so the V× multiplier
+# stops being the scale killer. _centrality_task below is the single-task
+# reference form kept for parity tests.)
 
 
 @ray.remote
@@ -385,14 +389,137 @@ def _centrality_task(edges):
     )
 
 
-def centrality_scores(edges_ds, weight_column: str | None = None):
-    """L3 centralities over the (collected) canonical edge list."""
+@ray.remote
+def _centrality_sources_task(graph, src_indices):
+    """One batch of Dijkstra sources over the broadcast CSR graph.
+
+    Returns mergeable partials: betweenness accumulator (subtree-size
+    counts per node), and incoming-distance (count, sum) per node — on an
+    undirected graph d(s,v) = d(v,s), so closeness(v) =
+    reachable(v)/total_dist(v) equals dist_cnt[v]/dist_sum[v] computed
+    from the sources' trees; with ALL nodes as sources this is exactly the
+    reference's per-node closeness (analytics.rs:250-279), with sampled
+    sources it is the restricted-sample estimator (both counts scale
+    linearly, so the ratio is consistent)."""
+    import heapq
+
+    nodes, indptr, nbrs, wts = graph
+    n = len(nodes)
+    bc = np.zeros(n, dtype=np.float64)
+    dist_cnt = np.zeros(n, dtype=np.int64)
+    dist_sum = np.zeros(n, dtype=np.float64)
+    for s in src_indices:
+        s = int(s)
+        dist = {s: 0.0}
+        prev: dict[int, int] = {}
+        done: set[int] = set()
+        heap = [(0.0, s)]
+        order: list[int] = []
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in done:
+                continue
+            done.add(u)
+            order.append(u)
+            for k in range(indptr[u], indptr[u + 1]):
+                v = int(nbrs[k])
+                alt = d + wts[k]
+                if alt < dist.get(v, float("inf")):
+                    dist[v] = alt
+                    prev[v] = u
+                    heapq.heappush(heap, (alt, v))
+        size = {v: 1 for v in done}
+        for v in reversed(order):
+            p = prev.get(v)
+            if p is not None:
+                size[p] += size[v]
+        for v in done:
+            if v != s:
+                interior = size[v] - 1
+                if interior > 0:
+                    bc[v] += interior
+                dist_cnt[v] += 1
+                dist_sum[v] += dist[v]
+    return bc, dist_cnt, dist_sum
+
+
+def centrality_scores(edges_ds, weight_column: str | None = None, *,
+                      source_batches: int | None = None,
+                      max_exact_sources: int = 4096, seed: int = 42):
+    """L3 centralities (analytics.rs:182-279), DISTRIBUTED per source batch.
+
+    The per-source Dijkstra loop is embarrassingly parallel: the CSR graph
+    is broadcast once (``ray.put``), sources fan out as one task per batch,
+    and the partials (betweenness accumulators, incoming-distance sums)
+    merge by addition on the driver. Beyond ``max_exact_sources`` nodes the
+    V× multiplier of exact betweenness stops scaling — sources are then
+    SAMPLED (seeded, without replacement) and betweenness scaled by n/k
+    (source-sampled Brandes estimator); closeness becomes the
+    restricted-sample ratio. Exact results below the threshold are
+    bit-identical to the single-task form (same (dist, sorted-node-rank)
+    tie-breaks), which kgx_centrality oracles."""
     cols = ["src", "dst"] + ([weight_column] if weight_column else [])
     rows = edges_ds.select_columns(cols).take_all()
     edges = [(r["src"], r["dst"],
               float(r[weight_column]) if weight_column else 1.0)
              for r in rows]
-    return ray.data.from_pandas(ray.get(_centrality_task.remote(edges)))
+    adjacency: dict[str, list] = {}
+    degrees: dict[str, int] = {}
+    for a, b, w in edges:
+        adjacency.setdefault(a, []).append((b, w))
+        adjacency.setdefault(b, []).append((a, w))
+        degrees[a] = degrees.get(a, 0) + 1
+        degrees[b] = degrees.get(b, 0) + 1
+    nodes = sorted(adjacency)
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node_id": [], "degree": [], "betweenness": [], "closeness": []}))
+    idx_of = {v: i for i, v in enumerate(nodes)}
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    for i, v in enumerate(nodes):
+        indptr[i + 1] = indptr[i] + len(adjacency[v])
+    nbrs = np.empty(indptr[-1], dtype=np.int64)
+    wts = np.empty(indptr[-1], dtype=np.float64)
+    pos = indptr[:-1].copy()
+    for v in nodes:
+        i = idx_of[v]
+        for u, w in adjacency[v]:
+            nbrs[pos[i]] = idx_of[u]
+            wts[pos[i]] = w
+            pos[i] += 1
+
+    if n <= max_exact_sources:
+        sources = np.arange(n)
+        scale = 1.0
+    else:
+        rng = np.random.RandomState(seed)
+        sources = np.sort(rng.choice(n, max_exact_sources, replace=False))
+        scale = n / float(len(sources))
+    graph_ref = ray.put((nodes, indptr, nbrs, wts))
+    n_batches = source_batches or max(1, min(len(sources), 32))
+    futures = [
+        _centrality_sources_task.remote(graph_ref, batch)
+        for batch in np.array_split(sources, n_batches) if len(batch)
+    ]
+    bc = np.zeros(n, dtype=np.float64)
+    dist_cnt = np.zeros(n, dtype=np.int64)
+    dist_sum = np.zeros(n, dtype=np.float64)
+    for bcp, dc, ds_ in ray.get(futures):
+        bc += bcp
+        dist_cnt += dc
+        dist_sum += ds_
+    norm = (n - 1) * (n - 2) / 2.0 if n > 2 else 0.0
+    closeness = np.where(dist_sum > 0, dist_cnt / np.where(dist_sum > 0,
+                                                           dist_sum, 1.0), 0.0)
+    return ray.data.from_pandas(pd.DataFrame(
+        {
+            "node_id": nodes,
+            "degree": [degrees[v] / (n - 1) if n > 1 else 0.0 for v in nodes],
+            "betweenness": bc * scale / norm if norm else np.zeros(n),
+            "closeness": closeness,
+        }
+    ))
 
 
 @ray.remote

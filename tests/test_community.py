@@ -117,3 +117,54 @@ def test_hierarchical_levels(ray_session):
         assert set(cdf[cdf["level"] == lvl]["entity_id"]) == set(nodes)
     sdf = sums.to_pandas()
     assert set(sdf["level"]) == set(cdf["level"])
+
+
+def test_relationship_hierarchy_two_level_fixture(ray_session):
+    """L4 hand-derived fixture (hierarchical_relationships.rs semantics):
+    without temporal data the similarity graph is per-type cliques
+    (same type = 0.5 > 0.3; shared endpoint alone = 0.3, NOT > 0.3), so
+    - r0=(A,B,WORKS_FOR), r1=(C,D,WORKS_FOR) form one 2-clique,
+    - r2=(A,E,KNOWS) shares endpoint A with r0 but different type → isolated,
+    - r3=(F,G,LOCATED_IN) isolated.
+    min_cluster_size=2 keeps only the WORKS_FOR cluster at each level;
+    its cohesion = 0.2 + 0.6·(1 internal edge / 1 possible) = 0.8; both
+    resolution levels re-cluster the same graph → identical membership."""
+    import ray.data as rd
+    from graphrag_ray.stages.community import relationship_hierarchy
+
+    edges = rd.from_items([
+        {"src": "A", "dst": "B", "rel_type": "WORKS_FOR"},
+        {"src": "C", "dst": "D", "rel_type": "WORKS_FOR"},
+        {"src": "A", "dst": "E", "rel_type": "KNOWS"},
+        {"src": "F", "dst": "G", "rel_type": "LOCATED_IN"},
+    ])
+    members, clusters = relationship_hierarchy(
+        edges, resolutions=(1.0, 0.5), min_cluster_size=2)
+    m = members.to_pandas()
+    c = clusters.to_pandas()
+    assert sorted(c["cluster_id"]) == ["L0C0", "L1C0"]
+    for _, row in c.iterrows():
+        assert row["size"] == 2
+        assert row["summary"] == f"Cluster {row['cluster_id']} with 2 relationships"
+        assert abs(row["cohesion"] - 0.8) < 1e-9
+    for lvl in (0, 1):
+        got = sorted(m[m["level"] == lvl]["rel_id"])
+        assert got == ["A_B_WORKS_FOR", "C_D_WORKS_FOR"]
+
+
+def test_relationship_hierarchy_min_cluster_one_keeps_singletons(ray_session):
+    import ray.data as rd
+    from graphrag_ray.stages.community import relationship_hierarchy
+
+    edges = rd.from_items([
+        {"src": "A", "dst": "B", "rel_type": "WORKS_FOR"},
+        {"src": "C", "dst": "D", "rel_type": "WORKS_FOR"},
+        {"src": "A", "dst": "E", "rel_type": "KNOWS"},
+    ])
+    members, clusters = relationship_hierarchy(
+        edges, resolutions=(1.0,), min_cluster_size=1)
+    c = clusters.to_pandas().set_index("cluster_id")
+    # singleton cluster is perfectly cohesive (reference :605-607)
+    singles = c[c["size"] == 1]
+    assert len(singles) == 1 and (singles["cohesion"] == 1.0).all()
+    assert len(c) == 2

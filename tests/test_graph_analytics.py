@@ -190,3 +190,60 @@ def test_all_paths_bounded_depth(ray_session):
     assert got == [["A", "B", "D"], ["A", "C", "D"]]
     deeper = ga.all_paths(_abcd_edges(ray_session), "A", "D", max_depth=4)
     assert len(deeper) == 4  # + A-B-C-D and A-C-B-D
+
+
+def test_centrality_distributed_matches_single_task(ray_session):
+    """Fan-out per source batch (the round-3 distribution of the per-source
+    Dijkstra loop) must equal the single-task reference form exactly on a
+    1k-node random graph — multi-task execution, same tie-breaks."""
+    import numpy as np
+    import ray as _ray
+    import ray.data as rd
+    from graphrag_ray.stages.graph_analytics import (
+        _centrality_task,
+        centrality_scores,
+    )
+
+    rng = np.random.RandomState(7)
+    n_nodes = 1000
+    pairs = set()
+    while len(pairs) < 2500:
+        a, b = rng.randint(0, n_nodes, 2)
+        if a != b:
+            pairs.add((f"n{a:04d}", f"n{b:04d}"))
+    edges = sorted(pairs)
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = (
+        centrality_scores(ds, source_batches=16)
+        .to_pandas().set_index("node_id").sort_index()
+    )
+    want = (
+        _ray.get(_centrality_task.remote([(a, b, 1.0) for a, b in edges]))
+        .set_index("node_id").sort_index()
+    )
+    assert (got.index == want.index).all()
+    for col in ("degree", "betweenness", "closeness"):
+        assert np.allclose(got[col].to_numpy(), want[col].to_numpy(),
+                           atol=1e-12), col
+
+
+def test_centrality_source_sampling_deterministic(ray_session):
+    """Sampled mode (n > max_exact_sources) runs multi-task and is
+    deterministic under the pinned seed; the n/k-scaled estimator stays
+    close to exact on a structured graph."""
+    import numpy as np
+    import ray.data as rd
+    from graphrag_ray.stages.graph_analytics import centrality_scores
+
+    # hub-and-spoke over 300 nodes: hub betweenness dominates
+    edges = [{"src": "hub", "dst": f"s{i:03d}"} for i in range(299)]
+    ds = rd.from_items(edges)
+    a = centrality_scores(ds, max_exact_sources=60, seed=3).to_pandas()
+    b = centrality_scores(ds, max_exact_sources=60, seed=3).to_pandas()
+    assert a.equals(b)
+    exact = centrality_scores(ds).to_pandas().set_index("node_id")
+    est = a.set_index("node_id")
+    # hub is the unique dominant betweenness node in both
+    assert est["betweenness"].idxmax() == "hub"
+    assert abs(est.loc["hub", "betweenness"]
+               - exact.loc["hub", "betweenness"]) < 0.05
