@@ -54,13 +54,28 @@ class PatternExtractor:
         self.max_contexts = max_contexts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.extraction import _pair_rel_table
+
         chunk_ids = batch.column("chunk_id").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         contents = batch.column("content").to_pylist()
 
         # in-batch combiners
         ent_acc: dict[tuple[str, str, str], list] = {}  # (doc,name,type) -> [id,conf,n_rows,n_mentions]
-        edge_acc: dict[tuple[str, str, str], list] = {}  # (src,dst,rel) -> [n,contexts]
+        # edge combiner keyed by a packed int (src_i<<34 | dst_i<<8 | rel_i)
+        # over per-batch interned ids — the quadratic pair loop is the
+        # hottest code in the whole pipeline and a single small-int dict op
+        # is ~2× a 3-string-tuple one. Same accumulation semantics as the
+        # tuple-keyed form (counts exact, contexts = first max_contexts
+        # chunk ids in encounter order).
+        edge_acc: dict[int, list] = {}
+        id_intern: dict[str, int] = {}   # entity_id -> packed index
+        id_list: list[str] = []
+        rel_intern: dict[str, int] = {}  # rel type -> small index
+        rel_list: list[str] = []
+        type_intern: dict[str, int] = {}
+        type_list: list[str] = []
+        max_contexts = self.max_contexts
 
         for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, contents):
             ents = extract_entities(text, self.min_confidence, self.entity_types,
@@ -79,28 +94,52 @@ class PatternExtractor:
                 # extract_relationships (all i<j pairs typed by the chunk's
                 # keyword table) but updating the combiner directly — the
                 # quadratic tuple list never materializes
-                from ..functions.extraction import _pair_rel_table
-
                 table = _pair_rel_table(text)
-                ids = [e.entity_id for e in ents]
-                types = [e.entity_type for e in ents]
                 n = len(ents)
+                int_ids = []
+                t_idx = []
+                for e in ents:
+                    ii = id_intern.get(e.entity_id)
+                    if ii is None:
+                        ii = id_intern[e.entity_id] = len(id_list)
+                        id_list.append(e.entity_id)
+                    int_ids.append(ii)
+                    ti = type_intern.get(e.entity_type)
+                    if ti is None:
+                        ti = type_intern[e.entity_type] = len(type_list)
+                        type_list.append(e.entity_type)
+                    t_idx.append(ti)
+                # per-chunk (type_i, type_j) -> interned rel matrix
+                nt = len(type_list)
+                rel_m = []
+                for a in range(nt):
+                    row = []
+                    for b in range(nt):
+                        r = table.get((type_list[a], type_list[b]), "RELATED_TO")
+                        ri = rel_intern.get(r)
+                        if ri is None:
+                            ri = rel_intern[r] = len(rel_list)
+                            rel_list.append(r)
+                        row.append(ri)
+                    rel_m.append(row)
                 get_edge = edge_acc.get
                 for i in range(n):
-                    src = ids[i]
-                    ti = types[i]
+                    hi = int_ids[i] << 34
+                    row = rel_m[t_idx[i]]
                     for j in range(i + 1, n):
-                        rel = table.get((ti, types[j]), "RELATED_TO")
-                        ekey = (src, ids[j], rel)
+                        ekey = hi | (int_ids[j] << 8) | row[t_idx[j]]
                         eslot = get_edge(ekey)
                         if eslot is None:
                             # [n_occurrences, n_contexts, context ids]
                             edge_acc[ekey] = [1, 1, chunk_id]
                         else:
                             eslot[0] += 1
-                            if eslot[1] < self.max_contexts:
+                            if eslot[1] < max_contexts:
                                 eslot[1] += 1
                                 eslot[2] += "|" + chunk_id
+
+        # packed-key invariants (26-bit dst index, 8-bit rel index)
+        assert len(id_list) < (1 << 26) and len(rel_list) < 256
 
         n_ent, n_edge = len(ent_acc), len(edge_acc)
         row_kind = ["entity"] * n_ent + ["edge"] * n_edge
@@ -111,9 +150,9 @@ class PatternExtractor:
         conf: list = [v[1] for v in ent_acc.values()] + [self.relationship_confidence] * n_edge
         n_rows: list = [v[2] for v in ent_acc.values()] + [None] * n_edge
         n_mentions: list = [v[3] for v in ent_acc.values()] + [None] * n_edge
-        src: list = [None] * n_ent + [k[0] for k in edge_acc]
-        dst: list = [None] * n_ent + [k[1] for k in edge_acc]
-        rel: list = [None] * n_ent + [k[2] for k in edge_acc]
+        src: list = [None] * n_ent + [id_list[k >> 34] for k in edge_acc]
+        dst: list = [None] * n_ent + [id_list[(k >> 8) & 0x3FFFFFF] for k in edge_acc]
+        rel: list = [None] * n_ent + [rel_list[k & 0xFF] for k in edge_acc]
         n_occ: list = [None] * n_ent + [v[0] for v in edge_acc.values()]
         contexts: list = [None] * n_ent + [v[2] for v in edge_acc.values()]
 
