@@ -175,8 +175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx as _kgx_sql
     from graphrag_ray import kgx_fuzzy as _kgxf_sql
+    from graphrag_ray import synth_oracle as _syn_sql
 
     return {
+        # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
+        # respec of synth.py makes the real kg corpus SQL-derivable, so
+        # the flagship pipeline's chunk offsets and media span structure
+        # get HARD oracles (text assembly + recursive-CTE chunker replay
+        # on the DuckDB side; the Ray side runs the actual distributed
+        # pipeline).
+        "kg_chunks": _syn_sql.kg_chunks_sql(),
+        "media_features": _syn_sql.media_features_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

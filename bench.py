@@ -55,7 +55,8 @@ def ensure_corpus(sf_dir: str) -> str:
     import ray
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/graft_bench_corpus/{tag}_f{FACTOR}"
+    # v2: named-md5-draw synth respec (synth_oracle.py) changed the corpus
+    out = f"/tmp/graft_bench_corpus/{tag}_f{FACTOR}_v2"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     from graphrag_ray.pipelines.kg import spans_dataset_from_flat_parquet

@@ -99,3 +99,101 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+# ---------------------------------------------------------------------------
+# File-driven configuration (reference: config/loader.rs:28-107 — format by
+# extension, sectioned tables flattened onto one config struct, defaults for
+# missing keys, hard error on missing file; config/json5_loader.rs — JSON5
+# comments + trailing commas).
+
+_LIST_FIELDS = {"entity_types"}
+
+
+def _strip_json5(text: str) -> str:
+    """Minimal JSON5 → JSON: strip // and /* */ comments (outside strings)
+    and trailing commas — the subset the reference's json5 configs use."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+            out.append(c)
+        elif c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (text[i] == "*" and text[i + 1] == "/"):
+                i += 1
+            i += 2
+            continue
+        else:
+            out.append(c)
+        i += 1
+    import re
+
+    return re.sub(r",(\s*[}\]])", r"\1", "".join(out))
+
+
+def _flatten_sections(raw: dict) -> dict:
+    """Reference configs group keys into sections ([chunking], [entities],
+    ...); section names are organizational — keys map onto the one flat
+    PipelineConfig. Nested dicts are flattened one level; a key defined in
+    two sections is an error."""
+    flat: dict = {}
+    for key, value in raw.items():
+        items = value.items() if isinstance(value, dict) else [(key, value)]
+        for k, v in items:
+            if k in flat:
+                raise ValueError(f"config key defined twice: {k!r}")
+            flat[k] = v
+    return flat
+
+
+def load_config(path: str, **overrides) -> PipelineConfig:
+    """Load a PipelineConfig from a .toml / .json / .json5 file.
+
+    Unknown keys are a hard error (lists them — a typo'd knob must not
+    silently no-op); missing keys keep dataclass defaults; ``overrides``
+    (e.g. CLI flags) win over file values. This is the ``ray job submit``
+    config surface: ``python -m graphrag_ray.job --config pipeline.toml``.
+    """
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Configuration file not found: {path}")
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, "rb") as f:
+        data = f.read()
+    if ext == ".toml" or ext == "":
+        import tomllib
+
+        raw = tomllib.loads(data.decode())
+    elif ext == ".json":
+        raw = json.loads(data.decode())
+    elif ext == ".json5":
+        raw = json.loads(_strip_json5(data.decode()))
+    else:
+        raise ValueError(f"unsupported config format: {ext!r} "
+                         "(supported: .toml, .json, .json5)")
+    flat = _flatten_sections(raw)
+    flat.update(overrides)
+    valid = {f.name for f in PipelineConfig.__dataclass_fields__.values()}
+    unknown = sorted(set(flat) - valid)
+    if unknown:
+        raise ValueError(f"unknown config keys: {unknown}; valid keys: "
+                         f"{sorted(valid)}")
+    for k in _LIST_FIELDS & set(flat):
+        flat[k] = tuple(flat[k])
+    return PipelineConfig(**flat)

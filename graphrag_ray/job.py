@@ -32,11 +32,14 @@ def main(argv: list[str] | None = None) -> dict:
     parser.add_argument("--run-id", default="run0")
     parser.add_argument("--resume", action="store_true",
                         help="reuse valid stage checkpoints under --output")
-    parser.add_argument("--chunk-size", type=int, default=1000)
-    parser.add_argument("--chunk-overlap", type=int, default=200)
-    parser.add_argument("--chunking-strategy", default="legacy",
+    parser.add_argument("--config", default=None,
+                        help="pipeline config file (.toml/.json/.json5, "
+                             "config/loader.rs parity); CLI flags win")
+    parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument("--chunk-overlap", type=int, default=None)
+    parser.add_argument("--chunking-strategy", default=None,
                         choices=["legacy", "hierarchical"])
-    parser.add_argument("--min-confidence", type=float, default=0.7)
+    parser.add_argument("--min-confidence", type=float, default=None)
     parser.add_argument("--no-communities", action="store_true")
     args = parser.parse_args(argv)
 
@@ -49,20 +52,29 @@ def main(argv: list[str] | None = None) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .config import PipelineConfig
+    from .config import PipelineConfig, load_config
     from .pipelines.kg import build_kg, read_spans_documents
     from .sources.workspace import save_workspace
     from .stages.community import detect_communities
 
-    cfg = PipelineConfig(
-        chunk_size=args.chunk_size,
-        chunk_overlap=args.chunk_overlap,
-        chunking_strategy=args.chunking_strategy,
-        min_confidence=args.min_confidence,
+    # file config (if any) < explicit CLI flags < job-owned fields
+    overrides = {
+        k: v for k, v in (
+            ("chunk_size", args.chunk_size),
+            ("chunk_overlap", args.chunk_overlap),
+            ("chunking_strategy", args.chunking_strategy),
+            ("min_confidence", args.min_confidence),
+        ) if v is not None
+    }
+    overrides.update(
         out_dir=os.path.join(args.output, "_checkpoints"),
         run_id=args.run_id,
         checkpoint=args.resume,
     )
+    if args.config:
+        cfg = load_config(args.config, **overrides)
+    else:
+        cfg = PipelineConfig(**overrides)
 
     t0 = time.perf_counter()
     docs = read_spans_documents(args.input)

@@ -133,10 +133,22 @@ class GleaningExtractor:
     rest of the pipeline (canonicalization, edges) is extractor-agnostic.
     """
 
-    def __init__(self, llm=None, max_gleaning_rounds: int = 3,
+    def __init__(self, llm=None, ollama: dict | None = None,
+                 max_gleaning_rounds: int = 3,
                  entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
                  relationship_confidence: float = 0.5, max_contexts: int = 8):
-        self.llm = llm if llm is not None else MockLLM()
+        # A6 live seam: ``ollama={"base_url": ...}`` builds the real HTTP
+        # backend HERE, once per actor — kwargs (a plain dict) ship through
+        # fn_constructor_kwargs where a constructed client (thread locks in
+        # the rate limiter) could not. MockLLM stays the no-backend default.
+        if llm is None:
+            if ollama is not None:
+                from ..state.httpclient import OllamaLLMBackend
+
+                llm = OllamaLLMBackend(**ollama)
+            else:
+                llm = MockLLM()
+        self.llm = llm
         self.max_rounds = max_gleaning_rounds
         self.entity_types = entity_types
         self.relationship_confidence = relationship_confidence
@@ -236,13 +248,40 @@ class GlinerStubExtractor:
 
     def __init__(self, min_confidence: float = 0.7,
                  entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION"),
-                 relationship_confidence: float = 0.5, max_contexts: int = 8):
+                 relationship_confidence: float = 0.5, max_contexts: int = 8,
+                 onnx_model_path: str | None = None):
+        # A3 live seam: with ``onnx_model_path`` and onnxruntime importable,
+        # the actor loads a real ONNX session once per actor (the reference
+        # builds its session the same way, entity/gliner_extractor.rs:32-78).
+        # The sandbox ships neither onnxruntime nor GLiNER weights, so the
+        # session path is exercised only for its load/error behavior here;
+        # the span-decode itself is a declared STRICT seam (same policy as
+        # the media decode stages).
+        self.session = None
+        if onnx_model_path is not None:
+            try:
+                import onnxruntime  # noqa: F401  (not in this sandbox)
+            except ImportError as e:
+                raise RuntimeError(
+                    "GLiNER ONNX path requested but onnxruntime is not "
+                    "installed; omit onnx_model_path for the pattern fallback"
+                ) from e
+            self.session = onnxruntime.InferenceSession(
+                onnx_model_path, providers=["CPUExecutionProvider"])
         from .extract import PatternExtractor
 
-        # "model load" happens here, once per actor
+        # fallback "model load" happens here, once per actor
         self.model = PatternExtractor(
             min_confidence, entity_types, True, relationship_confidence, max_contexts
         )
 
+    def _onnx_batch(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "STRICT seam: GLiNER span decode (tokenize → session.run → "
+            "span-logit decode, entity/gliner_extractor.rs:80-120) needs the "
+            "model's tokenizer assets, not shipped in this sandbox")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.session is not None:
+            return self._onnx_batch(batch)
         return self.model(batch)

@@ -22,6 +22,7 @@ so generation distributes inside ``map_batches`` without coordination.
 
 from __future__ import annotations
 
+import hashlib
 import random
 
 import numpy as np
@@ -92,24 +93,38 @@ def _person_pool() -> list[str]:
 PERSONS = _person_pool()
 
 
-def _zipf_pick(rng: random.Random, n: int) -> int:
-    """Zipf-ish skewed index: index 0 is the hot key (skew/salting fixture)."""
-    u = rng.random()
-    return min(n - 1, int(n * (u ** 3.0)))
+def _u(key: str) -> float:
+    """Named md5 draw, uniform in [0, 1).
+
+    EVERY random decision in the corpus is a pure function of its own
+    (doc, sentence, field) key — no sequential RNG stream — which makes
+    the whole corpus SQL-reproducible: DuckDB recomputes any draw as
+    ``('0x'||substr(md5(key),1,8))::BIGINT / 4294967296.0`` (the same
+    md5-arithmetic trick as the kgx oracle corpus, graphrag_ray/kgx.py).
+    That property is what lets kg_chunks / media_features carry hard
+    driver oracles over this corpus."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 4294967296.0
 
 
-def _variant(rng: random.Random, name: str) -> str:
+def _zipf_idx(u: float, n: int) -> int:
+    """Zipf-ish skewed index: index 0 is the hot key (skew/salting fixture).
+    Written as u*u*u (not u**3) so DuckDB's replay is bit-identical."""
+    v = u * u * u
+    return min(n - 1, int(n * v))
+
+
+def _variant(doc_id: int, s: int, name: str) -> str:
     """Fuzzy-linking variants (FIXTURES.md §F1): typo in the last token,
     extra internal whitespace, or ALL CAPS. All collapse to the same
     canonical cluster under the reference's similarity rules."""
-    r = rng.random()
+    r = _u(f"syn:{doc_id}:{s}:vkind")
     if r < 0.4:
         # drop one char from the last token (keeps first token intact so the
         # (type, soundex(first-token)) blocking key still matches)
         parts = name.split()
         last = parts[-1]
         if len(last) > 4:
-            k = rng.randrange(2, len(last) - 1)
+            k = 2 + int(_u(f"syn:{doc_id}:{s}:vk") * (len(last) - 3))
             parts[-1] = last[:k] + last[k + 1:]
         return " ".join(parts)
     if r < 0.7:
@@ -121,7 +136,6 @@ def synth_spans_for_doc(doc_id: int, base_text: str = "", factor: int = 1) -> li
     """Deterministic spans for one document — pure function of (doc_id,
     factor). ``factor`` scales the sentence count per doc (bench corpora use
     larger docs so per-doc text size is realistic; tests use factor=1)."""
-    rng = random.Random((SEED << 32) ^ (doc_id * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFF))
     spans: list[dict] = []
     offset = 0
 
@@ -141,21 +155,21 @@ def synth_spans_for_doc(doc_id: int, base_text: str = "", factor: int = 1) -> li
     if base_text:
         add_text(base_text.strip() + " ")
 
-    n_sentences = (3 + rng.randrange(6)) * max(1, factor)
+    n_sentences = (3 + int(_u(f"syn:{doc_id}:ns") * 6)) * max(1, factor)
     media_doc = doc_id % 10 == 0
     media_count = 0
     for s in range(n_sentences):
-        template = TEMPLATES[rng.randrange(len(TEMPLATES))]
-        p = PERSONS[_zipf_pick(rng, len(PERSONS))]
-        p2 = PERSONS[_zipf_pick(rng, len(PERSONS))]
-        if rng.random() < 0.12:
-            p = _variant(rng, p)
+        template = TEMPLATES[int(_u(f"syn:{doc_id}:{s}:tmpl") * len(TEMPLATES))]
+        p = PERSONS[_zipf_idx(_u(f"syn:{doc_id}:{s}:p"), len(PERSONS))]
+        p2 = PERSONS[_zipf_idx(_u(f"syn:{doc_id}:{s}:p2"), len(PERSONS))]
+        if _u(f"syn:{doc_id}:{s}:var") < 0.12:
+            p = _variant(doc_id, s, p)
         sentence = template.format(
             p=p,
             p2=p2,
-            o=ORGS[_zipf_pick(rng, len(ORGS))],
-            l=LOCATIONS[_zipf_pick(rng, len(LOCATIONS))],
-            t=TITLES[rng.randrange(len(TITLES))],
+            o=ORGS[_zipf_idx(_u(f"syn:{doc_id}:{s}:o"), len(ORGS))],
+            l=LOCATIONS[_zipf_idx(_u(f"syn:{doc_id}:{s}:l"), len(LOCATIONS))],
+            t=TITLES[int(_u(f"syn:{doc_id}:{s}:t") * len(TITLES))],
         )
         add_text(sentence + " ")
         if media_doc and s % 3 == 1:

@@ -1,0 +1,197 @@
+"""DuckDB replay of the synth spans corpus — hard oracles for kg_* surfaces.
+
+The synth corpus (synth.py) draws every random decision from a NAMED md5
+key (`_u("syn:{doc}:{s}:{field}")`), so DuckDB can re-derive the full doc
+text — base text + templated sentences with zipf-picked entities, fuzzy
+variants and titles — by pure md5 arithmetic, never touching the Python
+generator. On top of that text the chunker (functions/chunking.py
+chunk_text — itself a transcription of the reference's text/mod.rs:141-187)
+is replayed as a recursive CTE: window → last-sentence-boundary snap
+('.' followed by space, final 200 chars) → word-boundary fallback (last
+space, final 50 chars) → hard cut; next start = max(start+1, cut-overlap).
+This is the same circularity-breaking move as the kgx oracle corpus
+(kgx.py): the SQL side shares only the hand-inlined pool constants with
+the pipeline, not one line of chunking or synthesis code.
+
+Scope: docs from ``documents.parquet`` with include_base_text=True and
+factor=1 — exactly what ``spans_dataset_from_flat_parquet`` feeds
+``build_kg`` in queries.kg_chunks / queries.media_features.
+"""
+
+from __future__ import annotations
+
+from .synth import LOCATIONS, ORGS, PERSONS, TEMPLATES, TITLES
+
+# uniform [0,1) from a named md5 key — the SQL twin of synth._u
+def _u(key_expr: str) -> str:
+    return f"(('0x'||substr(md5({key_expr}),1,8))::BIGINT / 4294967296.0)"
+
+
+def _zipf(key_expr: str, n: int) -> str:
+    """SQL twin of synth._zipf_idx: min(n-1, int(n * u*u*u))."""
+    u = _u(key_expr)
+    return f"least({n - 1}, CAST(trunc({n} * (({u})*({u})*({u}))) AS BIGINT))"
+
+
+def _lit_list(values) -> str:
+    inner = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"[{inner}]"
+
+
+def _doc_key(field: str) -> str:
+    return f"'syn:'||did||':{field}'"
+
+
+def _sent_key(field: str) -> str:
+    return f"'syn:'||did||':'||s||':{field}'"
+
+
+# per-doc sentence count: (3 + int(u*6)) * factor, factor=1
+_NS = f"(3 + CAST(trunc({_u(_doc_key('ns'))} * 6) AS BIGINT))"
+
+
+def _sentence_cte() -> str:
+    """CTE `sent`: one row per (doc, sentence) with the assembled sentence
+    text (trailing space included, as add_text appends it)."""
+    persons = _lit_list(PERSONS)
+    orgs = _lit_list(ORGS)
+    locs = _lit_list(LOCATIONS)
+    titles = _lit_list(TITLES)
+    templates = _lit_list(TEMPLATES)
+    p0 = f"list_extract({persons}, {_zipf(_sent_key('p'), len(PERSONS))} + 1)"
+    p2 = f"list_extract({persons}, {_zipf(_sent_key('p2'), len(PERSONS))} + 1)"
+    o = f"list_extract({orgs}, {_zipf(_sent_key('o'), len(ORGS))} + 1)"
+    loc = f"list_extract({locs}, {_zipf(_sent_key('l'), len(LOCATIONS))} + 1)"
+    t = (f"list_extract({titles}, CAST(trunc({_u(_sent_key('t'))} * "
+         f"{len(TITLES)}) AS BIGINT) + 1)")
+    tmpl = (f"list_extract({templates}, CAST(trunc({_u(_sent_key('tmpl'))} * "
+            f"{len(TEMPLATES)}) AS BIGINT) + 1)")
+    # fuzzy variant of p0 (synth._variant): typo in last token / doubled
+    # space / ALL CAPS. last = split_part(p0,' ',2) (pool names are two
+    # tokens); typo drop index k = 2 + int(u_vk * (len(last)-3)).
+    vk = (f"(2 + CAST(trunc({_u(_sent_key('vk'))} * (length(split_part(p0v,"
+          f"' ', 2)) - 3)) AS BIGINT))")
+    variant = f"""
+        CASE
+          WHEN {_u(_sent_key('vkind'))} < 0.4 THEN
+            CASE WHEN length(split_part(p0v, ' ', 2)) > 4
+                 THEN split_part(p0v, ' ', 1) || ' ' ||
+                      substr(split_part(p0v, ' ', 2), 1, {vk}) ||
+                      substr(split_part(p0v, ' ', 2), {vk} + 2)
+                 ELSE p0v END
+          WHEN {_u(_sent_key('vkind'))} < 0.7 THEN replace(p0v, ' ', '  ')
+          ELSE upper(p0v)
+        END
+    """
+    # replace {p2} BEFORE {p} ('{p}' is a prefix of '{p2}')
+    return f"""
+    draws AS (
+        SELECT did, g.s AS s, {tmpl} AS tmpl, {p0} AS p0v,
+               {p2} AS p2v, {o} AS ov, {loc} AS lv, {t} AS tv
+        FROM (SELECT doc_id AS did FROM documents) d,
+             generate_series(0, 7) AS g(s)   -- ns = 3 + int(u*6) <= 8
+        WHERE g.s < {_NS}
+    ),
+    sent AS (
+        SELECT did, s,
+               replace(replace(replace(replace(replace(tmpl,
+                   '{{p2}}', p2v),
+                   '{{p}}', CASE WHEN {_u(_sent_key('var'))} < 0.12
+                                 THEN ({variant}) ELSE p0v END),
+                   '{{o}}', ov),
+                   '{{l}}', lv),
+                   '{{t}}', tv) || ' ' AS sentence
+        FROM draws
+    )
+    """
+
+
+def _text_cte() -> str:
+    """CTE `texts`: the per-doc concatenated text-span view
+    (base_text.strip()+' ' then each sentence+' ') and the string doc id."""
+    return f"""
+    WITH RECURSIVE {_sentence_cte()},
+    texts AS (
+        SELECT 'doc_'||lpad(d.doc_id::VARCHAR, 8, '0') AS doc_id,
+               (CASE WHEN d.text IS NOT NULL AND d.text <> ''
+                     THEN trim(d.text) || ' ' ELSE '' END)
+               || string_agg(sent.sentence, '' ORDER BY sent.s) AS text
+        FROM documents d JOIN sent ON sent.did = d.doc_id
+        GROUP BY d.doc_id, d.text
+    )
+    """
+
+
+def kg_chunks_sql(chunk_size: int = 512, overlap: int = 100) -> str:
+    """Recursive-CTE replay of chunk_text (legacy sliding window + sentence
+    snap) over the replayed doc text. 0-based char offsets; cut semantics:
+      - window end at text end → cut = n (final chunk)
+      - '.' as the window's last char → boundary at window end
+      - else last '. ' with the '.' inside the window's final 200 chars
+        → cut just after the '.'
+      - else last ' ' in the window's final 50 chars → cut ON the space
+      - else hard cut at window end
+    Blank chunks (whitespace-only) are skipped without consuming an index;
+    next start = max(start+1, cut-overlap)."""
+    w = chunk_size
+    sent_region = w - 200   # sentence-boundary search start (0-based)
+    word_region_start = w - 50 + 1  # 1-based substr start of the 50-char tail
+
+    def cut(alias: str) -> str:
+        rev_win = f"reverse(substr({alias}.text, {alias}.s + 1, {w}))"
+        rev_tail = f"reverse(substr({alias}.text, {alias}.s + {word_region_start}, 50))"
+        return f"""
+        CASE WHEN {alias}.s + {w} >= {alias}.n THEN {alias}.n
+        ELSE CASE
+          WHEN substr({alias}.text, {alias}.s + {w}, 1) = '.'
+            THEN {alias}.s + {w}
+          WHEN strpos({rev_win}, ' .') > 0
+               AND ({w} - strpos({rev_win}, ' .') - 1) >= {sent_region}
+            THEN {alias}.s + {w} - strpos({rev_win}, ' .')
+          WHEN strpos({rev_tail}, ' ') > 0
+            THEN {alias}.s + {w} - strpos({rev_tail}, ' ')
+          ELSE {alias}.s + {w}
+        END END
+        """
+
+    return f"""
+    {_text_cte()},
+    state AS (
+        SELECT doc_id, text, length(text)::BIGINT AS n,
+               0::BIGINT AS s, 0::BIGINT AS idx
+        FROM texts
+        UNION ALL
+        SELECT doc_id, text, n,
+               greatest(s + 1, cut - {overlap}),
+               idx + CASE WHEN length(trim(substr(text, s + 1, cut - s))) > 0
+                          THEN 1 ELSE 0 END
+        FROM (SELECT st.*, ({cut('st')}) AS cut FROM state st) x
+        WHERE cut < n
+    )
+    SELECT doc_id || '_' || idx AS chunk_id,
+           doc_id,
+           idx::INT AS chunk_idx,
+           s AS start_offset,
+           cut AS end_offset
+    FROM (SELECT st.*, ({cut('st')}) AS cut FROM state st) x
+    WHERE length(trim(substr(text, s + 1, cut - s))) > 0
+    """
+
+
+def media_features_sql() -> str:
+    """Replay of the media span structure: docs with doc_id%10==0 emit one
+    image span after sentence s for s%3==1; span_index = has_base + (s+1)
+    text spans + k prior media spans, k = (s-1)/3; media_ref =
+    'lance://media/img_{doc}_{k}'."""
+    return f"""
+    SELECT 'doc_'||lpad(did::VARCHAR, 8, '0') AS doc_id,
+           'lance://media/img_'||did||'_'||((g.s - 1) // 3) AS media_ref,
+           'image' AS kind,
+           (CASE WHEN base_text IS NOT NULL AND base_text <> ''
+                 THEN 1 ELSE 0 END
+            + g.s + 1 + (g.s - 1) // 3)::INT AS span_index
+    FROM (SELECT doc_id AS did, text AS base_text FROM documents
+          WHERE doc_id % 10 = 0) d,
+         generate_series(1, 7, 3) AS g(s)   -- s%3==1, ns <= 8
+    WHERE g.s < {_NS}
+    """

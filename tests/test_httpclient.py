@@ -29,6 +29,26 @@ def det_vector(text: str):
     return rng.uniform(-1, 1, DIM).round(4).tolist()
 
 
+def fake_llm_response(prompt: str) -> str:
+    """A live-model stand-in INDEPENDENT of the library's extractors: answers
+    the GraphRAG JSON prompts by regexing two-word capitalized names out of
+    the prompt's input text (what a real NER-ish model would return)."""
+    import re
+
+    if "Answer YES" in prompt:
+        return "YES"
+    if "-Goal-" in prompt:
+        text = prompt.rsplit("Text: ", 1)[-1].rsplit("Output:", 1)[0]
+        names = sorted(set(re.findall(r"[A-Z][a-z]+ [A-Z][a-z]+", text)))
+        ents = [{"name": n, "type": "PERSON", "description": f"person {n}"}
+                for n in names]
+        rels = ([{"source": names[0], "target": names[1],
+                  "description": "KNOWS", "strength": 0.8}]
+                if len(names) >= 2 else [])
+        return json.dumps({"entities": ents, "relationships": rels})
+    return f"echo:{prompt[:20]}"
+
+
 class FakeOllama(BaseHTTPRequestHandler):
     fail_first = 0          # respond 500 to the first N requests
     always_404_path = "/api/missing"
@@ -51,7 +71,7 @@ class FakeOllama(BaseHTTPRequestHandler):
         if self.path == "/api/embeddings":
             out = {"embedding": det_vector(body.get("prompt", ""))}
         elif self.path == "/api/generate":
-            out = {"response": f"echo:{body.get('prompt', '')[:20]}"}
+            out = {"response": fake_llm_response(body.get("prompt", ""))}
         else:
             self.send_response(404)
             self.end_headers()
@@ -146,3 +166,90 @@ def test_embedding_stage_in_map_batches(fake_server, ray_session):
     assert len(out) == 12
     by_id = {r["id"]: r["vector"] for r in out}
     assert by_id["c3"] == pytest.approx(det_vector("text 3"), abs=1e-4)
+
+
+def test_embedding_pool_retries_under_concurrency(fake_server, ray_session):
+    """VERDICT r03 #8: transient 500s hit DIFFERENT actors' clients; every
+    row still comes back correct and the server saw the retried calls."""
+    FakeOllama.fail_first = 3
+    ds = ray.data.from_items(
+        [{"chunk_id": f"c{i}", "content": f"text {i}"} for i in range(10)])
+    out = ds.map_batches(
+        OllamaEmbeddingBackend,
+        fn_constructor_kwargs={"base_url": fake_server,
+                               "rate_per_second": 1000,
+                               "max_retries": 4},
+        batch_format="pyarrow",
+        batch_size=3,
+        concurrency=2,
+    ).take_all()
+    assert len(out) == 10
+    by_id = {r["id"]: r["vector"] for r in out}
+    for i in range(10):
+        assert by_id[f"c{i}"] == pytest.approx(det_vector(f"text {i}"), abs=1e-4)
+    assert FakeOllama.n_seen >= 13  # 10 successes + ≥3 retried failures
+
+
+def test_embedding_pool_rate_limit_floor(fake_server, ray_session):
+    """Per-actor rate limiting holds inside the pool: 12 requests across 2
+    actors at 5 req/s/actor must cross a 1 s window (lower-bound assert —
+    slow hosts only increase elapsed, so this cannot flake fast)."""
+    import time
+
+    ds = ray.data.from_items(
+        [{"chunk_id": f"c{i}", "content": f"text {i}"} for i in range(12)])
+    t0 = time.monotonic()
+    out = ds.map_batches(
+        OllamaEmbeddingBackend,
+        fn_constructor_kwargs={"base_url": fake_server,
+                               "rate_per_second": 5,
+                               "max_concurrent": 4},
+        batch_format="pyarrow",
+        batch_size=6,
+        concurrency=2,
+    ).take_all()
+    assert len(out) == 12
+    assert time.monotonic() - t0 >= 0.9
+
+
+def test_gleaning_stage_with_live_backend_pool(fake_server, ray_session):
+    """A2 + A6 end-to-end: GleaningExtractor actors each build their own
+    OllamaLLMBackend (ollama=dict seam) and drive the REAL prompts against
+    the loopback server; the fake model's answers (regexed names) flow
+    through JSON parse → gleaning merge → the tagged EXTRACTION schema."""
+    from graphrag_ray.stages.llm_extract import GleaningExtractor
+
+    ds = ray.data.from_items([
+        {"chunk_id": "c0", "doc_id": "d0",
+         "content": "Alice Harmon met Bob Tanner at the office."},
+        {"chunk_id": "c1", "doc_id": "d1",
+         "content": "Carol Mendez works alone."},
+    ])
+    out = ds.map_batches(
+        GleaningExtractor,
+        fn_constructor_kwargs={"ollama": {"base_url": fake_server,
+                                          "rate_per_second": 1000}},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=2,
+    ).take_all()
+    ents = {(r["doc_id"], r["name"]) for r in out if r["row_kind"] == "entity"}
+    assert ("d0", "Alice Harmon") in ents
+    assert ("d0", "Bob Tanner") in ents
+    assert ("d1", "Carol Mendez") in ents
+    edges = [r for r in out if r["row_kind"] == "edge"]
+    assert any(r["rel_type"] == "KNOWS" for r in edges)
+
+
+def test_gliner_onnx_seam_requires_runtime():
+    """A3: requesting the ONNX path without onnxruntime fails loudly at
+    actor init (the load-once seam), never silently falling back."""
+    from graphrag_ray.stages.llm_extract import GlinerStubExtractor
+
+    try:
+        import onnxruntime  # noqa: F401
+        pytest.skip("onnxruntime present — load path exercised elsewhere")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        GlinerStubExtractor(onnx_model_path="/tmp/nonexistent.onnx")

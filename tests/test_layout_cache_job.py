@@ -113,3 +113,77 @@ def test_job_entrypoint_end_to_end(tmp_path):
     assert report["triple_count"] > 0
     assert set(report["tables_written"]) == {"edges", "entities", "triples"}
     assert (tmp_path / "out" / "t" / "workspace.json").exists()
+
+
+# --- file-driven config (config/loader.rs + json5_loader.rs parity)
+
+def test_load_config_toml_sections_and_overrides(tmp_path):
+    from graphrag_ray.config import load_config
+
+    p = tmp_path / "pipeline.toml"
+    p.write_text(
+        "[chunking]\nchunk_size = 512\nchunk_overlap = 100\n"
+        "[extraction]\nmin_confidence = 0.6\n"
+        "entity_types = ['PERSON', 'LOCATION']\n"
+        "[canonicalization]\nfuzzy_threshold = 0.9\n"
+    )
+    cfg = load_config(str(p), run_id="r9")
+    assert (cfg.chunk_size, cfg.chunk_overlap) == (512, 100)
+    assert cfg.min_confidence == 0.6
+    assert cfg.entity_types == ("PERSON", "LOCATION")
+    assert cfg.fuzzy_threshold == 0.9
+    assert cfg.run_id == "r9"          # override wins
+    assert cfg.chunking_strategy == "legacy"  # untouched default
+
+
+def test_load_config_json5_comments_and_trailing_commas(tmp_path):
+    from graphrag_ray.config import load_config
+
+    p = tmp_path / "pipeline.json5"
+    p.write_text(
+        '{\n'
+        '  // sliding window\n'
+        '  "chunk_size": 256, /* chars */\n'
+        '  "entity_types": ["PERSON",],\n'
+        '}\n'
+    )
+    cfg = load_config(str(p))
+    assert cfg.chunk_size == 256
+    assert cfg.entity_types == ("PERSON",)
+
+
+def test_load_config_rejects_unknown_and_duplicate_keys(tmp_path):
+    import pytest
+
+    from graphrag_ray.config import load_config
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text("chunk_sz = 5\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(str(bad))
+
+    dup = tmp_path / "dup.toml"
+    dup.write_text("chunk_size = 5\n[chunking]\nchunk_size = 6\n")
+    with pytest.raises(ValueError, match="defined twice"):
+        load_config(str(dup))
+
+    with pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "missing.toml"))
+
+
+def test_job_entrypoint_with_config_file(tmp_path):
+    from graphrag_ray.synth import synth_documents_table
+
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(synth_documents_table(12), str(inp))
+    cfgf = tmp_path / "pipeline.toml"
+    cfgf.write_text("[chunking]\nchunk_size = 256\nchunk_overlap = 50\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "graphrag_ray.job",
+         "--input", str(inp), "--output", str(tmp_path / "out"),
+         "--run-id", "tc", "--config", str(cfgf), "--no-communities"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["triple_count"] > 0
+    assert (tmp_path / "out" / "tc" / "workspace.json").exists()
