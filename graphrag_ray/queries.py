@@ -124,7 +124,11 @@ def top_terms(sf_dir: str, k: int = 20):
     candidate rows instead of the whole vocabulary (VERDICT r02 #7; the
     open-vocab ``to_pandas`` was the unbounded driver payload)."""
 
+    _TOPK_SCHEMA = pa.schema([("term", pa.string()), ("n", pa.int64())])
+
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _TOPK_SCHEMA.empty_table()  # schema-typed empty block
         df_ = batch.to_pandas()
         df_ = df_.sort_values(["n", "term"], ascending=[False, True]).head(k)
         return pa.Table.from_pandas(df_, preserve_index=False)

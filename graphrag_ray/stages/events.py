@@ -72,7 +72,16 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16):
             }
         )
 
+    _SESSION_COLS = {"user_id": "int64", "session_idx": "int64",
+                     "n_events": "int64", "start_ts": "int64",
+                     "end_ts": "int64", "sum_value": "float64"}
+
     def sessions_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # empty partitions arrive with NO columns; emit the typed empty
+            # frame so downstream RefBundles keep one schema
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _SESSION_COLS.items()})
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["ts"].diff() > gap_us

@@ -195,3 +195,25 @@ def media_features_sql() -> str:
          generate_series(1, 7, 3) AS g(s)   -- s%3==1, ns <= 8
     WHERE g.s < {_NS}
     """
+
+
+def media_frames_sql(fps_sample: float = 1.0) -> str:
+    """Replay of explode_media_spans → MediaBytesLoader(fake) →
+    make_frame_sampler(fps=1): duration_ms = 1000 + (md5 bytes [2:4] as a
+    big-endian u16) % 29000 (stages/media.py:143), frames at
+    ts = round(i·1000/fps) while ts < duration. At fps=1 the per-index
+    timestamps are i·1000 exactly (no rounding collisions), so
+    frame_idx = i and n_frames = ceil(duration/1000) ∈ [1, 30]."""
+    assert fps_sample == 1.0, "oracle derived for the fps=1 query default"
+    dur = ("(1000 + ('0x'||substr(md5('lance://media/img_'||did||'_'||"
+           "((g.s - 1) // 3)),5,4))::BIGINT % 29000)")
+    return f"""
+    SELECT 'doc_'||lpad(did::VARCHAR, 8, '0') AS doc_id,
+           'lance://media/img_'||did||'_'||((g.s - 1) // 3) AS media_ref,
+           f.i::INT AS frame_idx,
+           (f.i * 1000)::BIGINT AS ts_ms
+    FROM (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 0) d,
+         generate_series(1, 7, 3) AS g(s),
+         generate_series(0, 29) AS f(i)
+    WHERE g.s < {_NS} AND f.i * 1000 < {dur}
+    """
