@@ -52,13 +52,25 @@ def tumbling_window_agg(events_ds, window_hours: int = 6):
     )
 
 
-def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16):
+def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
+               time_bucket_hours: int | None = None):
     """Session assignment (gap > gap_minutes starts a new session) →
     per-session rows (user_id, session_idx, n_events, start/end ts).
 
-    Partitioning assumption (documented per the brief): all events of one
-    user fit in one group — rows are co-located by hash(user_id) bucket and
-    each bucket's users are sessionized independently with sorted pandas."""
+    Default path assumes all events of one user fit in one group — rows
+    co-locate by hash(user_id) bucket and each bucket's users sessionize
+    independently with sorted pandas.
+
+    ``time_bucket_hours`` removes that assumption for hot users (the
+    round-2 skew caveat): events first sessionize inside
+    (user bucket, time bucket) groups — a hot user's months of events
+    split across many bounded groups — then a SECOND, tiny exchange over
+    the per-(user, time-bucket) SESSION rows merges sessions that span a
+    bucket boundary (next.start - prev.end <= gap is exactly the
+    event-level rule, since those are the boundary-adjacent events) and
+    renumbers per user. Output is identical to the one-group path by
+    construction (pytest-asserted); session rows per user are bounded by
+    activity periods, never event counts."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -95,10 +107,62 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16):
         ).reset_index()
         return g
 
-    return (
-        events_ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
-        .groupby("bucket")
+    if time_bucket_hours is None:
+        return (
+            events_ds.map_batches(bucketize, batch_format="pyarrow",
+                                  batch_size=None)
+            .groupby("bucket")
+            .map_groups(sessions_in_bucket, batch_format="pandas")
+        )
+
+    tb_us = time_bucket_hours * HOUR_US
+
+    def bucketize_tb(batch: pa.Table) -> pa.Table:
+        out = bucketize(batch)
+        ts = out.column("ts").to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "tbucket", pa.array((ts // tb_us).astype(np.int64)))
+
+    def merge_user_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        """Phase 2 over SESSION rows: per user, merge boundary-adjacent
+        partial sessions (start - prev_end <= gap) and renumber."""
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _SESSION_COLS.items()})
+        df = df.sort_values(["user_id", "start_ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["start_ts"] - df["end_ts"].shift() > gap_us
+        sid = (new_user | gap).cumsum()
+        g = df.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"),
+            end_ts=("end_ts", "max"),
+            sum_value=("sum_value", "sum"),
+        ).reset_index(drop=True)
+        g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
+        return g[list(_SESSION_COLS)]
+
+    partial_sessions = (
+        events_ds.map_batches(bucketize_tb, batch_format="pyarrow",
+                              batch_size=None)
+        .groupby(["bucket", "tbucket"])
         .map_groups(sessions_in_bucket, batch_format="pandas")
+    )
+    # the second exchange moves only session rows (≪ events); re-derive
+    # the user bucket for co-location
+    def rebucket(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        return batch.append_column(
+            "bucket", pa.array((users % num_buckets).astype(np.int32)))
+
+    return (
+        partial_sessions.map_batches(rebucket, batch_format="pyarrow",
+                                     batch_size=None)
+        .groupby("bucket")
+        .map_groups(merge_user_sessions, batch_format="pandas")
     )
 
 

@@ -531,3 +531,39 @@ def test_image_resize_smaller_than_target():
     assert px.shape == (256,)
     assert not np.isnan(px).any()
     assert ((0.0 <= px) & (px <= 1.0)).all()
+
+
+def test_sessionize_time_bucketed_equals_one_group(ray_session):
+    """The hot-user scale path (time-bucketed pre-split + boundary merge
+    over session rows) must reproduce the one-group-per-user result
+    EXACTLY — including sessions spanning bucket boundaries."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphrag_ray.stages.events import sessionize
+
+    rng = np.random.RandomState(5)
+    rows = []
+    t = 0
+    # one hot user with a long alternating stream (sessions crossing any
+    # 6h boundary) + a handful of normal users
+    for i in range(400):
+        t += int(rng.choice([60, 3600, 200 * 60, 7200 * 3]) * 1e6)
+        rows.append({"user_id": 7, "ts": t, "value": float(i % 10)})
+    for u in (1, 2, 3):
+        base = int(u * 3.6e9)
+        for i in range(25):
+            rows.append({"user_id": u,
+                         "ts": base + int(i * (100 + u) * 60e6),
+                         "value": 1.0})
+    ds = rd.from_items(rows)
+    key = ["user_id", "session_idx"]
+    a = (sessionize(ds).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (sessionize(ds, time_bucket_hours=6).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+    # sanity: the time-bucket split actually produced multi-bucket users
+    assert a[a["user_id"] == 7]["n_events"].sum() == 400
