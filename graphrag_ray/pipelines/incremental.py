@@ -117,3 +117,68 @@ def build_kg_from_extraction(extraction: "ray.data.Dataset", cfg: PipelineConfig
         triples=edges_full.map_batches(triples_projection, batch_format="pyarrow"),
         report=report,
     )
+
+
+def refresh_dirty_buckets(
+    previous_canonical: "ray.data.Dataset",
+    combined_extraction: "ray.data.Dataset",
+    dirty_buckets,
+    cfg: PipelineConfig,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Selective canonicalization refresh driven by the lazy-propagation
+    engine (state/propagation.py): recompute ONLY the invalidated
+    canonicalization buckets from the combined extraction stream; every
+    other bucket's canonical rows pass through untouched.
+
+    This is the Ray-Data form of lazy_propagation.rs's deferred recompute:
+    the engine's PropagationResult.invalidated_buckets are the exact
+    shuffle keys of the canonicalize groupby, and a fuzzy cluster never
+    spans buckets (blocks are bucket-local), so bucket-wise refresh +
+    pass-through equals a full rebuild EXACTLY whenever the dirty set
+    covers every entity that changed (which queueing each new/changed
+    entity guarantees). With U dirty buckets of B total, the exchange and
+    the O(block²) fuzzy work shrink by ~U/B; the pass-through side is a
+    filter over the (tiny) canonical table, no shuffle."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ..stages.canonicalize import (CANONICAL_FULL_SCHEMA,
+                                       make_finalize_bucket_fn,
+                                       make_partial_aggregate_fn)
+    from ..state.propagation import bucket_of
+
+    dirty = sorted({int(b) for b in dirty_buckets})
+    dirty_arr = _pa.array(dirty, _pa.int32())
+
+    partials = combined_extraction.map_batches(
+        make_partial_aggregate_fn(cfg.salt_partitions, num_buckets,
+                                  doc_frequency_mode=cfg.doc_frequency_mode,
+                                  hll_p=cfg.hll_precision),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("bucket"),
+                                     value_set=dirty_arr)),
+        batch_format="pyarrow",
+    )
+    refreshed = partials.groupby("bucket").map_groups(
+        make_finalize_bucket_fn(cfg.fuzzy_threshold, cfg.max_edit_distance,
+                                cfg.use_phonetic,
+                                linking_strategy=cfg.linking_strategy),
+        batch_format="pyarrow",
+    )
+
+    dirty_set = set(dirty)
+
+    def keep_clean(batch: _pa.Table) -> _pa.Table:
+        if batch.num_rows == 0:
+            return CANONICAL_FULL_SCHEMA.empty_table()
+        keep = [
+            bucket_of(etype, name, num_buckets) not in dirty_set
+            for etype, name in zip(batch.column("entity_type").to_pylist(),
+                                   batch.column("canonical_name").to_pylist())
+        ]
+        return batch.filter(_pa.array(keep))
+
+    kept = previous_canonical.map_batches(keep_clean, batch_format="pyarrow")
+    return kept.union(refreshed)

@@ -108,6 +108,7 @@ class LazyPropagationEngine:
         self.config = config or PropagationConfig()
         self._pending: list[PendingUpdate] = []
         self._dirty = DirtyTracker()
+        self._node_names: dict[str, tuple[str, str]] = {}  # id -> (type, raw name)
         self._deps: dict[str, set[str]] = {}    # node -> dependents
         self._seq = 0
         self._last_propagation = time.monotonic()
@@ -117,9 +118,16 @@ class LazyPropagationEngine:
     # --- queueing (lazy_propagation.rs:285-380)
 
     def queue_node_update(self, node_id: str, entity_type: str = "",
-                          **attrs) -> str:
+                          name: str | None = None, **attrs) -> str:
+        """``name`` (the RAW entity name) pins the exact canonicalization
+        bucket — entity ids strip spaces (textfns.normalize_name), so the
+        blocking key is NOT recoverable from the id alone; without a name
+        the bucket falls back to a deterministic id-derived hash (still a
+        consistent invalidation key, but not the canonicalize one)."""
         self._seq += 1
         uid = f"u{self._seq}"
+        if name is not None:
+            self._node_names[node_id] = (entity_type, name)
         self._pending.append(PendingUpdate(
             uid, "node", {"node_id": node_id, "entity_type": entity_type,
                           **attrs}))
@@ -194,14 +202,19 @@ class LazyPropagationEngine:
                     self._dirty.mark_node(dep)
                 cascaded += len(nxt)
                 frontier = nxt
-        # bucket invalidation: node ids are "TYPE_normname" (extraction.py
-        # _entity_id) — recover (type, name) for the blocking key; unknown
-        # shapes fall back to hashing the raw id (still deterministic).
+        # bucket invalidation: use the queued (type, RAW name) when known
+        # (the exact canonicalize blocking key); otherwise a deterministic
+        # id-derived fallback (consistent, but callers wanting bucket-
+        # selective refresh must queue names).
         buckets: set[int] = set()
         for node in self._dirty.nodes:
-            etype, _, name = node.partition("_")
-            buckets.add(bucket_of(etype, name or node,
-                                  self.config.num_buckets))
+            known = self._node_names.get(node)
+            if known is not None:
+                etype, name = known
+            else:
+                etype, _, name = node.partition("_")
+                name = name or node
+            buckets.add(bucket_of(etype, name, self.config.num_buckets))
         self._last_propagation = time.monotonic()
         self._totals["propagations"] += 1
         self._totals["updates_applied"] += len(updates)

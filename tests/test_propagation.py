@@ -151,3 +151,75 @@ def test_async_batch_updater_backpressure_bounds_queue(ray_session):
             <= cfg.max_queue_size
     results = upd.shutdown()
     assert sum(b.n_operations for b in results) == 60
+
+
+def test_refresh_dirty_buckets_equals_full_rebuild(ray_session):
+    """End-to-end lazy propagation: new docs' entities queue into the
+    engine; the engine's invalidated buckets drive a bucket-selective
+    canonicalization refresh that must equal the full rebuild EXACTLY —
+    while actually recomputing only a fraction of the buckets."""
+    import ray.data as rd
+
+    from graphrag_ray.config import PipelineConfig
+    from graphrag_ray.pipelines.incremental import (extraction_for_docs,
+                                                    refresh_dirty_buckets)
+    from graphrag_ray.pipelines.kg import build_kg
+    from graphrag_ray.state.propagation import PropagationConfig
+    from graphrag_ray.synth import synth_documents_table
+
+    cfg = PipelineConfig(chunk_size=512, chunk_overlap=100)
+    all_docs = synth_documents_table(40)
+    docs_a = rd.from_arrow(all_docs.slice(0, 30))
+    docs_b = rd.from_arrow(all_docs.slice(30, 10))
+    docs_ab = rd.from_arrow(all_docs)
+
+    # previous state: full build on A
+    res_a = build_kg(docs_a, cfg)
+
+    # ground truth: full rebuild on A+B
+    want = build_kg(docs_ab, cfg).entities.to_pandas() \
+        .sort_values("canonical_id").reset_index(drop=True)
+
+    # incremental: queue every entity B's extraction emits
+    ext_b = extraction_for_docs(docs_b, cfg).materialize()
+    eng = LazyPropagationEngine(PropagationConfig(propagation_threshold=10**9))
+    ent_rows = ext_b.to_pandas()
+    ent_rows = ent_rows[ent_rows["row_kind"] == "entity"]
+    for _, r in ent_rows.iterrows():
+        eng.queue_node_update(r["entity_id"], r["entity_type"],
+                              name=r["name"])
+    res = eng.force_propagate()
+    assert 0 < len(res.invalidated_buckets) < 64  # genuinely selective
+
+    combined = res_a.extraction.union(ext_b)
+    # the canonical-full view (with member ids) is what refresh operates on
+    prev_canonical_full = _canonical_full_of(res_a.extraction, cfg)
+    got_ds = refresh_dirty_buckets(prev_canonical_full, combined,
+                                   res.invalidated_buckets, cfg)
+    got = got_ds.to_pandas().drop(columns=["member_entity_ids"]) \
+        .sort_values("canonical_id").reset_index(drop=True)
+    want = want.sort_index(axis=1)
+    got = got.sort_index(axis=1)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert (got[col].astype(str).to_numpy()
+                == want[col].astype(str).to_numpy()).all(), col
+
+
+def _canonical_full_of(extraction, cfg):
+    """Full canonicalization (with member_entity_ids) from an extraction
+    Dataset — the 'previous state' a real deployment persists."""
+    from graphrag_ray.stages.canonicalize import (make_finalize_bucket_fn,
+                                                  make_partial_aggregate_fn)
+
+    partials = extraction.map_batches(
+        make_partial_aggregate_fn(cfg.salt_partitions,
+                                  doc_frequency_mode=cfg.doc_frequency_mode,
+                                  hll_p=cfg.hll_precision),
+        batch_format="pyarrow", batch_size=None)
+    return partials.groupby("bucket").map_groups(
+        make_finalize_bucket_fn(cfg.fuzzy_threshold, cfg.max_edit_distance,
+                                cfg.use_phonetic,
+                                linking_strategy=cfg.linking_strategy),
+        batch_format="pyarrow").materialize()
