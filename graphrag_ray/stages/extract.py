@@ -31,6 +31,11 @@ from ..functions.extraction import extract_entities, extract_relationships
 from ..schemas import EXTRACTION
 
 
+# cached i<j index templates for the vectorized pair emission (row-major,
+# identical order to the reference's nested loop)
+_TRIU_CACHE: dict = {}
+
+
 class PatternExtractor:
     """Callable class → actor-pool-friendly; also works as a plain task.
 
@@ -54,6 +59,8 @@ class PatternExtractor:
         self.max_contexts = max_contexts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..functions.extraction import _pair_rel_table
 
         chunk_ids = batch.column("chunk_id").to_pylist()
@@ -62,13 +69,15 @@ class PatternExtractor:
 
         # in-batch combiners
         ent_acc: dict[tuple[str, str, str], list] = {}  # (doc,name,type) -> [id,conf,n_rows,n_mentions]
-        # edge combiner keyed by a packed int (src_i<<34 | dst_i<<8 | rel_i)
-        # over per-batch interned ids — the quadratic pair loop is the
-        # hottest code in the whole pipeline and a single small-int dict op
-        # is ~2× a 3-string-tuple one. Same accumulation semantics as the
-        # tuple-keyed form (counts exact, contexts = first max_contexts
-        # chunk ids in encounter order).
-        edge_acc: dict[int, list] = {}
+        # The quadratic pair stream is VECTORIZED: per chunk, all i<j pair
+        # keys pack into one int64 array ((src_i<<34)|(dst_i<<8)|rel_i over
+        # per-batch interned ids) via cached triu index templates; the
+        # batch-level combine is a single np.unique. Accumulation semantics
+        # identical to the reference loop (counts exact; contexts = the
+        # first max_contexts EMISSIONS' chunk ids in encounter order, since
+        # emissions concatenate in chunk order and i<j row-major order ==
+        # np.triu_indices order, and the lexsort below is stable on the
+        # emission ordinal).
         id_intern: dict[str, int] = {}   # entity_id -> packed index
         id_list: list[str] = []
         rel_intern: dict[str, int] = {}  # rel type -> small index
@@ -76,8 +85,11 @@ class PatternExtractor:
         type_intern: dict[str, int] = {}
         type_list: list[str] = []
         max_contexts = self.max_contexts
+        key_parts: list[np.ndarray] = []   # per-chunk packed pair keys
+        part_chunk: list[int] = []         # chunk ordinal per part
 
-        for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, contents):
+        for c_ord, (chunk_id, doc_id, text) in enumerate(
+                zip(chunk_ids, doc_ids, contents)):
             ents = extract_entities(text, self.min_confidence, self.entity_types,
                                      with_offsets=False)
             for ent in ents:
@@ -90,10 +102,6 @@ class PatternExtractor:
                     slot[2] += 1
                     slot[3] += ent.n_mentions
             if self.extract_rels and len(ents) >= 2:
-                # fused pair emission: same semantics as
-                # extract_relationships (all i<j pairs typed by the chunk's
-                # keyword table) but updating the combiner directly — the
-                # quadratic tuple list never materializes
                 table = _pair_rel_table(text)
                 n = len(ents)
                 int_ids = []
@@ -111,37 +119,59 @@ class PatternExtractor:
                     t_idx.append(ti)
                 # per-chunk (type_i, type_j) -> interned rel matrix
                 nt = len(type_list)
-                rel_m = []
+                rel_m = np.empty((nt, nt), dtype=np.int64)
                 for a in range(nt):
-                    row = []
                     for b in range(nt):
                         r = table.get((type_list[a], type_list[b]), "RELATED_TO")
                         ri = rel_intern.get(r)
                         if ri is None:
                             ri = rel_intern[r] = len(rel_list)
                             rel_list.append(r)
-                        row.append(ri)
-                    rel_m.append(row)
-                get_edge = edge_acc.get
-                for i in range(n):
-                    hi = int_ids[i] << 34
-                    row = rel_m[t_idx[i]]
-                    for j in range(i + 1, n):
-                        ekey = hi | (int_ids[j] << 8) | row[t_idx[j]]
-                        eslot = get_edge(ekey)
-                        if eslot is None:
-                            # [n_occurrences, n_contexts, context ids]
-                            edge_acc[ekey] = [1, 1, chunk_id]
-                        else:
-                            eslot[0] += 1
-                            if eslot[1] < max_contexts:
-                                eslot[1] += 1
-                                eslot[2] += "|" + chunk_id
+                        rel_m[a, b] = ri
+                ids_arr = np.asarray(int_ids, dtype=np.int64)
+                t_arr = np.asarray(t_idx, dtype=np.int64)
+                iu = _TRIU_CACHE.get(n)
+                if iu is None:
+                    iu = _TRIU_CACHE[n] = np.triu_indices(n, 1)
+                ii_, jj_ = iu
+                key_parts.append(
+                    (ids_arr[ii_] << 34) | (ids_arr[jj_] << 8)
+                    | rel_m[t_arr[ii_], t_arr[jj_]]
+                )
+                part_chunk.append(c_ord)
+
+        # --- batch-level edge combine (one np.unique over all emissions)
+        if key_parts:
+            all_keys = np.concatenate(key_parts)
+            emission_chunk = np.repeat(
+                np.asarray(part_chunk, dtype=np.int64),
+                [len(p) for p in key_parts])
+            uniq, inverse, counts = np.unique(
+                all_keys, return_inverse=True, return_counts=True)
+            # stable order by (edge, emission ordinal) → per-edge emission
+            # chunks in encounter order
+            order = np.lexsort((np.arange(len(all_keys)), inverse))
+            sorted_chunks = emission_chunk[order]
+            starts = np.zeros(len(uniq) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            edge_keys = uniq
+            edge_counts = counts
+            edge_contexts = [
+                "|".join(chunk_ids[c] for c in
+                         sorted_chunks[starts[g]:
+                                       min(starts[g] + max_contexts,
+                                           starts[g + 1])])
+                for g in range(len(uniq))
+            ]
+        else:
+            edge_keys = np.empty(0, dtype=np.int64)
+            edge_counts = np.empty(0, dtype=np.int64)
+            edge_contexts = []
 
         # packed-key invariants (26-bit dst index, 8-bit rel index)
         assert len(id_list) < (1 << 26) and len(rel_list) < 256
 
-        n_ent, n_edge = len(ent_acc), len(edge_acc)
+        n_ent, n_edge = len(ent_acc), len(edge_keys)
         row_kind = ["entity"] * n_ent + ["edge"] * n_edge
         doc_col: list = [k[0] for k in ent_acc] + [None] * n_edge
         eid: list = [v[0] for v in ent_acc.values()] + [None] * n_edge
@@ -150,11 +180,11 @@ class PatternExtractor:
         conf: list = [v[1] for v in ent_acc.values()] + [self.relationship_confidence] * n_edge
         n_rows: list = [v[2] for v in ent_acc.values()] + [None] * n_edge
         n_mentions: list = [v[3] for v in ent_acc.values()] + [None] * n_edge
-        src: list = [None] * n_ent + [id_list[k >> 34] for k in edge_acc]
-        dst: list = [None] * n_ent + [id_list[(k >> 8) & 0x3FFFFFF] for k in edge_acc]
-        rel: list = [None] * n_ent + [rel_list[k & 0xFF] for k in edge_acc]
-        n_occ: list = [None] * n_ent + [v[0] for v in edge_acc.values()]
-        contexts: list = [None] * n_ent + [v[2] for v in edge_acc.values()]
+        src: list = [None] * n_ent + [id_list[k] for k in (edge_keys >> 34)]
+        dst: list = [None] * n_ent + [id_list[k] for k in ((edge_keys >> 8) & 0x3FFFFFF)]
+        rel: list = [None] * n_ent + [rel_list[k] for k in (edge_keys & 0xFF)]
+        n_occ: list = [None] * n_ent + edge_counts.tolist()
+        contexts: list = [None] * n_ent + edge_contexts
 
         return pa.Table.from_arrays(
             [
@@ -213,14 +243,14 @@ class ChunkExtract:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.chunking import chunk_doc
+        from .chunk import texts_from_spans
 
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
+        texts = texts_from_spans(batch.column("spans"))
         chunk_ids: list[str] = []
         chunk_docs: list[str] = []
         contents: list[str] = []
-        for doc_id, spans in zip(doc_ids, spans_col):
-            text = "".join(s["text"] for s in spans if s["kind"] == "text")
+        for doc_id, text in zip(doc_ids, texts):
             for idx, _start, _end, content in chunk_doc(
                     text, self.chunking_strategy, self.chunk_size,
                     self.chunk_overlap, self.min_chunk_size):
