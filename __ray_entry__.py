@@ -187,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunks": _syn_sql.kg_chunks_sql(),
         "media_features": _syn_sql.media_features_sql(),
         "media_frames": _syn_sql.media_frames_sql(),
+        "media_resized": _syn_sql.media_resized_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

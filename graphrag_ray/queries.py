@@ -507,7 +507,8 @@ def media_resized(sf_dir: str):
         ImageResizeStage, fn_constructor_kwargs={"target": 16},
         batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
     )
-    return out.select_columns(["doc_id", "media_ref"])
+    return out.select_columns(
+        ["doc_id", "media_ref", "width", "height", "crop_byte_sum"])
 
 
 def kg_mentions(sf_dir: str):

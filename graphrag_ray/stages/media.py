@@ -187,10 +187,15 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
         out = []
+        widths: list[int] = []
+        heights: list[int] = []
+        crop_sums: list[int] = []
         for payload, w, hgt in zip(batch.column("payload").to_pylist(),
                                    batch.column("width").to_pylist(),
                                    batch.column("height").to_pylist()):
-            img = self._decode(payload, w, hgt).astype(np.float32)
+            widths.append(int(w))
+            heights.append(int(hgt))
+            img = self._decode(payload, w, hgt)
             # images smaller than the target would crop to 0 rows/cols and
             # the block-mean would emit NaNs — upsample by pixel repetition
             # first (nearest-neighbor) so every input has >= t per axis.
@@ -201,13 +206,22 @@ class ImageResizeStage:
             hgt, w = img.shape
             # crop to a multiple of target, then block-mean (vectorized)
             ch, cw = (hgt // t) * t, (w // t) * t
-            img = img[:ch, :cw]
-            resized = img.reshape(t, ch // t, t, cw // t).mean(axis=(1, 3))
+            crop = img[:ch, :cw]
+            # integer-exact checksum of the cropped region (uint8 sum in
+            # int64 BEFORE the float cast) — the oracle replays it from the
+            # 16-periodic md5 payload with a counting identity, verifying
+            # decode+crop byte-for-byte without float-rounding drift.
+            crop_sums.append(int(crop.sum(dtype=np.int64)))
+            resized = crop.astype(np.float32).reshape(
+                t, ch // t, t, cw // t).mean(axis=(1, 3))
             out.append((resized / 255.0).reshape(-1).tolist())
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
                 "media_ref": batch.column("media_ref"),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "crop_byte_sum": pa.array(crop_sums, pa.int64()),
                 "pixels": pa.array(out, pa.list_(pa.float32())),
             }
         )

@@ -197,6 +197,46 @@ def media_features_sql() -> str:
     """
 
 
+def media_resized_sql(target: int = 16) -> str:
+    """Replay of explode_media_spans → MediaBytesLoader(fake) →
+    ImageResizeStage(target=16): width/height from md5 bytes [0]/[1]
+    (stages/media.py:141-142), crop = top-left (h//t·t)×(w//t·t) region of
+    the 16-periodic md5-digest byte stream (decode repeats the 256-byte
+    payload = digest×16, so byte at linear index i is digest[i%16]).
+    crop_byte_sum = Σ_m digest[m]·N_m where N_m counts linear indices
+    r·w+p ≡ m (mod 16) with r<ch, p<cw — per image row the residues hit
+    ((cw-1-ofs)//16)+1 times at offset ofs=(m-r·w) mod 16. Exact integer
+    identity, no float replay needed. Upsampling never triggers (fake
+    loader guarantees w,h ≥ 64 ≥ target)."""
+    t = target
+    ref = "'lance://media/img_'||did||'_'||((g.s - 1) // 3)"
+    return f"""
+    WITH spans AS (
+      SELECT d.did, {ref} AS media_ref
+      FROM (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 0) d,
+           generate_series(1, 7, 3) AS g(s)
+      WHERE g.s < {_NS}
+    ), dims AS (
+      SELECT did, media_ref,
+             64 + ('0x'||substr(md5(media_ref),1,2))::BIGINT % 192 AS w,
+             64 + ('0x'||substr(md5(media_ref),3,2))::BIGINT % 192 AS h
+      FROM spans
+    ), d2 AS (
+      SELECT *, (h//{t})*{t} AS ch, (w//{t})*{t} AS cw FROM dims
+    )
+    SELECT 'doc_'||lpad(d.did::VARCHAR, 8, '0') AS doc_id,
+           d.media_ref,
+           d.w::INT AS width,
+           d.h::INT AS height,
+           SUM( ('0x'||substr(md5(d.media_ref), 2*m.m+1, 2))::BIGINT
+                * ( (d.cw - 1 - ((m.m - r.r*d.w) % 16 + 16) % 16) // 16
+                    + 1 ) )::BIGINT AS crop_byte_sum
+    FROM d2 d, generate_series(0,15) m(m), generate_series(0, 254) r(r)
+    WHERE r.r < d.ch
+    GROUP BY d.did, d.media_ref, d.w, d.h
+    """
+
+
 def media_frames_sql(fps_sample: float = 1.0) -> str:
     """Replay of explode_media_spans → MediaBytesLoader(fake) →
     make_frame_sampler(fps=1): duration_ms = 1000 + (md5 bytes [2:4] as a
