@@ -188,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _syn_sql.media_features_sql(),
         "media_frames": _syn_sql.media_frames_sql(),
         "media_resized": _syn_sql.media_resized_sql(),
+        "kg_chunk_embeddings": _syn_sql.kg_chunk_embeddings_sql(),
+        "kg_late_chunk_embeddings": _syn_sql.kg_late_chunk_embeddings_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

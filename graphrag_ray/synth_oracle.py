@@ -197,6 +197,23 @@ def media_features_sql() -> str:
     """
 
 
+def kg_chunk_embeddings_sql(dim: int = 64) -> str:
+    """Oracle for the hash-embedding stage OVER the replayed chunk table:
+    the word vectors are Mersenne-Twister draws (not SQL-replayable), but
+    the chunk-id set is exact from the chunker replay and the stage's two
+    verifiable invariants — output dim and unit L2 norm (or zero for
+    empty text) — are constants the Ray side must reproduce per chunk."""
+    return (f"SELECT chunk_id AS id, {dim}::INT AS dim, true AS norm_ok "
+            f"FROM ({kg_chunks_sql()})")
+
+
+def kg_late_chunk_embeddings_sql() -> str:
+    """Same id-set + unit-norm oracle for the late-chunking embedder
+    (document-context pooling preserves unit normalization)."""
+    return (f"SELECT chunk_id AS id, true AS norm_ok "
+            f"FROM ({kg_chunks_sql()})")
+
+
 def media_resized_sql(target: int = 16) -> str:
     """Replay of explode_media_spans → MediaBytesLoader(fake) →
     ImageResizeStage(target=16): width/height from md5 bytes [0]/[1]
