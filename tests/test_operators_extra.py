@@ -531,6 +531,11 @@ def test_image_resize_smaller_than_target():
     assert px.shape == (256,)
     assert not np.isnan(px).any()
     assert ((0.0 <= px) & (px <= 1.0)).all()
+    # upsample path checksum: 4x3 of 0x80 repeats to 16x18, crops to
+    # 16x16 -> 256 * 128
+    assert out.column("crop_byte_sum").to_pylist() == [256 * 128]
+    assert out.column("width").to_pylist() == [3]
+    assert out.column("height").to_pylist() == [4]
 
 
 def test_sessionize_time_bucketed_equals_one_group(ray_session):
