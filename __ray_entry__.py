@@ -107,6 +107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_fuzzy_alias_map": q.kgx_fuzzy_alias_map,
         "kgx_fuzzy_edges": q.kgx_fuzzy_edges,
         "kgx_fuzzy_triples": q.kgx_fuzzy_triples,
+        # --- syn_*: full KG build over the synth spans corpus itself
+        #     (multi-sentence Zipf docs + md5-derived fuzzy variants);
+        #     DuckDB replays extraction over the word stream and the
+        #     greedy fuzzy clustering as recursive CTEs (syn_oracle_kg.py)
+        "syn_doc_entities": q.syn_doc_entities,
+        "syn_entities": q.syn_entities,
+        "syn_alias_map": q.syn_alias_map,
+        "syn_edges": q.syn_edges,
+        "syn_triples": q.syn_triples,
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -175,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx as _kgx_sql
     from graphrag_ray import kgx_fuzzy as _kgxf_sql
+    from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
     return {
@@ -411,6 +421,11 @@ def oracle_sql() -> dict[str, str]:
         "kgx_fuzzy_alias_map": _kgxf_sql.kgx_fuzzy_alias_map_sql(),
         "kgx_fuzzy_edges": _kgxf_sql.kgx_fuzzy_edges_sql(),
         "kgx_fuzzy_triples": _kgxf_sql.kgx_fuzzy_triples_sql(),
+        "syn_doc_entities": _synkg_sql.syn_doc_entities_sql(),
+        "syn_entities": _synkg_sql.syn_entities_sql(),
+        "syn_alias_map": _synkg_sql.syn_alias_map_sql(),
+        "syn_edges": _synkg_sql.syn_edges_sql(),
+        "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),
         "kgx_layout": _kgx_sql.kgx_layout_sql(),

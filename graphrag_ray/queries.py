@@ -657,6 +657,91 @@ def kgx_fuzzy_triples(sf_dir: str):
     )
 
 
+# --- syn_*: SQL-oracled KG build over the SYNTH corpus itself (no base
+# text) — multi-sentence Zipf-skewed docs with md5-derived fuzzy variants;
+# the DuckDB twin (syn_oracle_kg.py) replays extraction over the word
+# stream and the greedy fuzzy clustering as recursive CTEs, sharing only
+# pool constants with the pipeline.
+
+_SYN_CACHE: dict[str, object] = {}
+
+SYN_CFG = PipelineConfig(
+    chunk_size=2048,        # factor=1 docs are single-chunk at this size
+    chunk_overlap=0,
+    canonical_merge="salted_groupby",   # oracle the KEYED scale paths
+    edge_merge="groupby",
+    salt_partitions=4,
+)
+
+
+def _syn(sf_dir: str):
+    res = _SYN_CACHE.get(sf_dir)
+    if res is None:
+        docs = spans_dataset_from_flat_parquet(
+            f"{sf_dir}/documents.parquet", include_base_text=False)
+        res = _SYN_CACHE[sf_dir] = build_kg(docs, SYN_CFG)
+    return res
+
+
+def syn_doc_entities(sf_dir: str):
+    """Per-doc extraction stream over the synth corpus (hard-oracled: the
+    SQL twin replays the 4-phase word-stream heuristics)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "name": batch.column("name"),
+                "entity_type": batch.column("entity_type"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+                "n_mentions": batch.column("n_mentions"),
+            }
+        )
+
+    return _syn(sf_dir).extraction.map_batches(project, batch_format="pyarrow")
+
+
+def syn_entities(sf_dir: str):
+    """Canonical entities over the synth corpus — the fuzzy greedy
+    clustering exercised on Zipf-hot keys + data-dependent typo variants,
+    hard-oracled by the recursive-CTE greedy replay."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "canonical_id": batch.column("canonical_id"),
+                "canonical_name": batch.column("canonical_name"),
+                "entity_type": batch.column("entity_type"),
+                "doc_frequency": batch.column("doc_frequency"),
+                "mention_count": batch.column("mention_count"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return _syn(sf_dir).entities.map_batches(project, batch_format="pyarrow")
+
+
+def syn_alias_map(sf_dir: str):
+    return _syn(sf_dir).alias_map
+
+
+def syn_edges(sf_dir: str):
+    return _syn(sf_dir).edges.select_columns(
+        ["src", "dst", "rel_type", "n_occurrences"]
+    )
+
+
+def syn_triples(sf_dir: str):
+    return _syn(sf_dir).triples.select_columns(
+        ["subj", "pred", "obj", "n_occurrences"]
+    )
+
+
 def kgx_edges(sf_dir: str):
     return _kgx(sf_dir).edges.select_columns(
         ["src", "dst", "rel_type", "n_occurrences"]

@@ -1,0 +1,643 @@
+"""DuckDB replay of the FULL KG build over the synth spans corpus — the
+syn_* hard-oracle family (entities / alias map / edges / triples over the
+north-rule corpus shape itself).
+
+The kgx oracles (kgx.py / kgx_fuzzy.py) verify the KG pipeline over
+engineered single-sentence corpora with hand-derivable extraction
+constants. This module closes the remaining evidence gap: the REAL synth
+corpus (synth.py — multi-sentence docs, Zipf-hot entity keys, md5-derived
+fuzzy name variants, cross-sentence extraction interactions) replayed in
+SQL end to end:
+
+1.  ``texts``: per-doc text re-derived by md5 arithmetic only
+    (synth_oracle._sentence_cte — shared with the kg_chunks oracle).
+2.  word-stream extraction replay (reference entity/mod.rs:114-1108):
+    - phase-2 title names and phase-3 two-word names over the whitespace
+      token stream, with the greedy left-to-right pair marking replayed as
+      run-parity (a candidate pair is selected iff its position has even
+      offset inside a maximal run of consecutive candidate positions —
+      provably identical to the sequential mark loop, asserted corpus-wide
+      by tests/test_syn_oracle_kg.py);
+    - ORG suffix/prefix scans with the reference's FIRST-occurrence
+      semantics (text.find) and last-space/next-dot name windows;
+    - known-LOCATION containment scan;
+    - per-(name,type) event dedup with max-confidence and
+      ``n_mentions = n_events * count(text, name)`` (each extraction event
+      re-counts all occurrences, entity/mod.rs:602-631).
+3.  canonicalization replay (corpus/entity_linker.rs:213-273, 379-429):
+    exact clusters on (type, normalize_string) → Soundex blocking (first
+    token, recursive-CTE soundex) → similarity = max(gated Levenshtein,
+    Jaro-Winkler, token Jaccard) with JARO MATCHING REPLAYED AS A
+    RECURSIVE CTE (DuckDB's builtin jaro_winkler_similarity applies the
+    0.7 boost-threshold variant and disagrees with the reference
+    transcription on ~0.5% of in-block pairs — 12 merge decisions at
+    sf0.01 — so the oracle implements the reference algorithm itself:
+    greedy earliest-in-window char matching carried as a 0/1 mask string,
+    transpositions from the matched substreams, unconditional Winkler
+    prefix bonus capped at 4) → greedy seed-absorb clustering replayed as
+    a per-block recursive CTE over (-total_count, norm) ranks.
+4.  edge replay: per-chunk extraction-ordered entity pairs (i<j), typed by
+    the chunk-level context-keyword table (entity/mod.rs:812-879),
+    rewritten through the alias map with self-loop drop and directed
+    (src, dst, rel) aggregation (stages/edges.py semantics).
+
+The corpus at the driver's sf (500 docs, factor=1, no base text) is
+single-chunk-per-doc at chunk_size=2048 (asserted in tests), so the chunk
+replay reduces to whole-doc text; chunking itself is oracled separately
+(synth_oracle.kg_chunks_sql).
+
+The SQL never calls one line of pipeline code — it shares only the pool
+constants and the md5-arithmetic corpus definition, the same
+circularity-breaking contract as kgx.py.
+"""
+
+from __future__ import annotations
+
+from .functions.extraction import (
+    KNOWN_LOCATIONS,
+    NAME_ENDINGS,
+    NAME_PREFIXES,
+    NON_PERSON_WORDS,
+    ORG_INDICATORS,
+    ORG_PREFIXES,
+    ORG_SUFFIXES,
+    PERSON_TITLES,
+    SHORT_NON_NAMES,
+)
+from .synth_oracle import _sentence_cte
+
+
+def _lit(vals) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+
+def _in(col: str, vals) -> str:
+    return f"{col} IN ({_lit(vals)})"
+
+
+def _texts_cte() -> str:
+    """Per-doc text with include_base_text=False (sentences only)."""
+    return f"""
+    {_sentence_cte()},
+    texts AS MATERIALIZED (
+        SELECT 'doc_'||lpad(d.doc_id::VARCHAR, 8, '0') AS doc_id,
+               string_agg(sent.sentence, '' ORDER BY sent.s) AS text
+        FROM documents d JOIN sent ON sent.did = d.doc_id
+        GROUP BY d.doc_id
+    )
+    """
+
+
+def _person_word(c: str) -> str:
+    """SQL twin of extraction._is_likely_person_word over a cleaned word."""
+    ends = " OR ".join(f"lower({c}) LIKE '%{e}'" for e in NAME_ENDINGS)
+    starts = " OR ".join(
+        "lower({c}) LIKE '{p}%'".format(c=c, p=p.replace("'", "''"))
+        for p in NAME_PREFIXES)
+    return f"""(
+      length({c}) >= 2
+      AND NOT (length({c}) <= 2 AND {_in(f'lower({c})', sorted(SHORT_NON_NAMES))})
+      AND substr({c},1,1) BETWEEN 'A' AND 'Z'
+      AND (length({c}) >= 3 OR {ends} OR {starts})
+    )"""
+
+
+def _words_cte() -> str:
+    """Token stream + phase-2 titles + phase-3 run-parity pair selection."""
+    return f"""
+    words AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS i,
+               raw,
+               rtrim(regexp_replace(raw, '[^A-Za-z'']+', '', 'g'), '''') AS c,
+               substr(raw,1,1) BETWEEN 'A' AND 'Z' AS cap
+        FROM (
+            SELECT doc_id, unnest(ws) AS raw,
+                   unnest(range(1, len(ws) + 1)) AS pos0
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM texts)
+        )
+        WHERE raw <> ''
+    ),
+    wattr AS MATERIALIZED (
+        SELECT doc_id, i, raw, c, cap, lower(c) AS lc,
+               {_person_word('c')} AS pw
+        FROM words
+    ),
+    p2 AS MATERIALIZED (
+        SELECT w1.doc_id, w1.i AS ti,
+               w2.c || CASE WHEN w3.i IS NOT NULL THEN ' ' || w3.c
+                            ELSE '' END AS name,
+               (w3.i IS NOT NULL) AS has_third
+        FROM wattr w1
+        JOIN wattr w2 ON w2.doc_id = w1.doc_id AND w2.i = w1.i + 1
+        LEFT JOIN wattr w3 ON w3.doc_id = w1.doc_id AND w3.i = w1.i + 2
+                           AND w3.cap AND w3.pw
+        WHERE {_in('w1.lc', sorted(PERSON_TITLES))} AND w2.cap AND w2.pw
+    ),
+    p2marks AS MATERIALIZED (
+        SELECT doc_id, ti AS m FROM p2
+        UNION ALL SELECT doc_id, ti + 1 FROM p2
+        UNION ALL SELECT doc_id, ti + 2 FROM p2 WHERE has_third
+    ),
+    cand AS (
+        SELECT w1.doc_id, w1.i, w1.c AS c1, w2.c AS c2
+        FROM wattr w1
+        JOIN wattr w2 ON w2.doc_id = w1.doc_id AND w2.i = w1.i + 1
+        WHERE w1.cap AND w2.cap AND w1.pw AND w2.pw
+          AND NOT {_in('w1.lc', sorted(NON_PERSON_WORDS))}
+          AND NOT {_in('w2.lc', sorted(NON_PERSON_WORDS))}
+          AND NOT EXISTS (SELECT 1 FROM p2marks m
+                          WHERE m.doc_id = w1.doc_id
+                            AND m.m IN (w1.i, w1.i + 1))
+    ),
+    p3 AS MATERIALIZED (
+        SELECT doc_id, i, c1 || ' ' || c2 AS name
+        FROM (
+            SELECT doc_id, i, c1, c2,
+                   i - min(i) OVER (PARTITION BY doc_id, grp) AS off
+            FROM (
+                SELECT doc_id, i, c1, c2,
+                       i - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY i) AS grp
+                FROM cand
+            )
+        )
+        WHERE off % 2 = 0
+    )
+    """
+
+
+_ORG_CONF = """least(1.0, 0.5
+    + CASE WHEN nm LIKE '%Inc%' OR nm LIKE '%Corp%' OR nm LIKE '%LLC%'
+           THEN 0.3 ELSE 0 END
+    + CASE WHEN nm LIKE '%University%' OR nm LIKE '%Institute%'
+           THEN 0.2 ELSE 0 END
+    + CASE WHEN substr(nm,1,1) BETWEEN 'A' AND 'Z' THEN 0.1 ELSE 0 END)"""
+
+
+def _org_events() -> str:
+    parts = []
+    inds = " OR ".join(f"nm LIKE '%{i}%'" for i in ORG_INDICATORS)
+    for k, suf in enumerate(ORG_SUFFIXES):
+        s = suf.replace("'", "''")
+        parts.append(f"""
+        SELECT doc_id, nm AS name, 'ORGANIZATION' AS etype,
+               {_ORG_CONF} AS conf, {2_000_000 + k} AS ord
+        FROM (
+            SELECT doc_id, trim(substr(text, st, pos + {len(suf)} - st)) AS nm
+            FROM (
+                SELECT doc_id, text, pos,
+                       CASE WHEN rs = 0 THEN 1 ELSE pos - rs + 1 END AS st
+                FROM (
+                    SELECT doc_id, text, pos,
+                           strpos(reverse(substr(text, 1, pos - 1)), ' ') AS rs
+                    FROM (SELECT doc_id, text, strpos(text, '{s}') AS pos
+                          FROM texts)
+                    WHERE pos > 0
+                )
+            )
+        )
+        WHERE nm <> '' AND ({inds})
+        """)
+    for k, pre in enumerate(ORG_PREFIXES):
+        p = pre.replace("'", "''")
+        parts.append(f"""
+        SELECT doc_id, nm AS name, 'ORGANIZATION' AS etype,
+               {_ORG_CONF} AS conf, {2_000_100 + k} AS ord
+        FROM (
+            SELECT doc_id,
+                   trim(CASE WHEN rel > 0 THEN substr(text, pos, rel - 1)
+                             ELSE substr(text, pos, 50) END) AS nm
+            FROM (
+                SELECT doc_id, text, pos, strpos(substr(text, pos), '.') AS rel
+                FROM (SELECT doc_id, text, strpos(text, '{p}') AS pos
+                      FROM texts)
+                WHERE pos > 0
+            )
+        )
+        WHERE nm <> '' AND length(nm) > {len(pre)}
+        """)
+    return " UNION ALL ".join(parts)
+
+
+def _loc_events() -> str:
+    parts = []
+    for k, loc in enumerate(KNOWN_LOCATIONS):
+        l_ = loc.replace("'", "''")
+        parts.append(f"""
+        SELECT doc_id, '{l_}' AS name, 'LOCATION' AS etype, 0.9 AS conf,
+               {3_000_000 + k} AS ord
+        FROM texts WHERE strpos(text, '{l_}') > 0
+        """)
+    return " UNION ALL ".join(parts)
+
+
+def _events_cte() -> str:
+    return f"""
+    events AS MATERIALIZED (
+        SELECT doc_id, name, 'PERSON' AS etype, 0.9 AS conf, ti AS ord FROM p2
+        UNION ALL
+        SELECT doc_id, name, 'PERSON', 0.8, 1000000 + i FROM p3
+        UNION ALL
+        {_org_events()}
+        UNION ALL
+        {_loc_events()}
+    ),
+    ents AS MATERIALIZED (
+        SELECT doc_id, name, etype,
+               max(conf) AS conf, count(*) AS n_events, min(ord) AS ord
+        FROM events WHERE conf >= 0.7
+        GROUP BY 1, 2, 3
+    ),
+    ents_m AS MATERIALIZED (
+        SELECT e.doc_id, e.name, e.etype, e.conf, e.ord,
+               e.n_events * ((length(t.text)
+                              - length(replace(t.text, e.name, '')))
+                             // length(e.name)) AS n_mentions
+        FROM ents e JOIN texts t USING (doc_id)
+    )
+    """
+
+
+_SX_CODE = """CASE WHEN {c} IN ('B','F','P','V') THEN '1'
+     WHEN {c} IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+     WHEN {c} IN ('D','T') THEN '3'
+     WHEN {c} = 'L' THEN '4'
+     WHEN {c} IN ('M','N') THEN '5'
+     WHEN {c} = 'R' THEN '6'
+     ELSE '0' END"""
+
+
+def _canon_cte() -> str:
+    """Exact clusters → soundex blocks → sims (recursive jaro) → greedy."""
+    sxc1 = _SX_CODE.format(c="substr(tok,1,1)")
+    sxcn = _SX_CODE.format(c="substr(tok, pos+1, 1)")
+    return f"""
+    exact AS MATERIALIZED (
+        SELECT etype,
+               trim(regexp_replace(regexp_replace(lower(name),
+                    '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm,
+               name,
+               count(*) AS raw_cnt,
+               sum(n_mentions) AS mention_sum,
+               max(conf) AS conf_max,
+               list(DISTINCT doc_id) AS docs
+        FROM ents_m
+        GROUP BY 1, 2, 3
+    ),
+    ekeys AS MATERIALIZED (
+        SELECT etype, norm,
+               sum(raw_cnt) AS total_cnt,
+               sum(mention_sum) AS mention_sum,
+               max(conf_max) AS conf_max
+        FROM exact GROUP BY 1, 2
+    ),
+    sx_base AS (SELECT DISTINCT upper(split_part(norm, ' ', 1)) AS tok
+                FROM ekeys),
+    sx_step AS (
+        SELECT tok, 1 AS pos,
+               CASE WHEN substr(tok,1,1) BETWEEN 'A' AND 'Z'
+                    THEN substr(tok,1,1) ELSE '' END AS res,
+               {sxc1} AS prev
+        FROM sx_base
+        UNION ALL
+        SELECT tok, pos + 1,
+               CASE WHEN cc <> '0' AND cc <> prev THEN res || cc
+                    ELSE res END,
+               cc
+        FROM (SELECT tok, pos, res, prev, {sxcn} AS cc
+              FROM sx_step
+              WHERE pos < length(tok) AND length(res) < 4)
+    ),
+    sx AS MATERIALIZED (
+        SELECT tok, substr(res || '0000', 1, 4) AS sxc
+        FROM (SELECT tok, res,
+                     row_number() OVER (PARTITION BY tok
+                                        ORDER BY pos DESC) AS rn
+              FROM sx_step)
+        WHERE rn = 1
+    ),
+    members AS MATERIALIZED (
+        SELECT e.etype || '|' || s.sxc AS bkey, e.etype, e.norm,
+               e.total_cnt, e.mention_sum, e.conf_max,
+               row_number() OVER (PARTITION BY e.etype, s.sxc
+                                  ORDER BY e.total_cnt DESC, e.norm) AS rank
+        FROM ekeys e JOIN sx s ON s.tok = upper(split_part(e.norm, ' ', 1))
+    ),
+    mpairs AS MATERIALIZED (
+        SELECT a.bkey, a.rank AS lo, b.rank AS hi, a.norm AS na, b.norm AS nb,
+               length(a.norm) AS la, length(b.norm) AS lb
+        FROM members a JOIN members b
+          ON b.bkey = a.bkey AND b.rank > a.rank
+    ),
+    jstate AS (
+        SELECT bkey, lo, hi, na, nb, la, lb,
+               greatest(greatest(la, lb) // 2 - 1, 0) AS md,
+               0 AS i, repeat('0', lb) AS mask2, '' AS m1, 0 AS matches
+        FROM mpairs
+        UNION ALL
+        SELECT bkey, lo, hi, na, nb, la, lb, md,
+               i + 1,
+               CASE WHEN j IS NOT NULL
+                    THEN substr(mask2, 1, j) || '1' || substr(mask2, j + 2)
+                    ELSE mask2 END,
+               CASE WHEN j IS NOT NULL THEN m1 || substr(na, i + 1, 1)
+                    ELSE m1 END,
+               matches + CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END
+        FROM (
+            SELECT *,
+                   list_min(list_filter(range(greatest(0, i - md),
+                                              least(i + md + 1, lb)),
+                            j -> substr(mask2, j + 1, 1) = '0'
+                                 AND substr(nb, j + 1, 1)
+                                     = substr(na, i + 1, 1))) AS j
+            FROM jstate
+            WHERE i < la
+        )
+    ),
+    jdone AS (
+        SELECT bkey, lo, hi, na, nb, la, lb, mask2, m1, matches
+        FROM (SELECT *, row_number() OVER (PARTITION BY bkey, lo, hi
+                                           ORDER BY i DESC) AS rn
+              FROM jstate)
+        WHERE rn = 1
+    ),
+    jw AS (
+        SELECT bkey, lo, hi,
+               CASE WHEN matches = 0 THEN 0.0
+                    ELSE (jaro + pfx * 0.1 * (1.0 - jaro)) END AS jw_sim
+        FROM (
+            SELECT bkey, lo, hi, matches,
+                   CASE WHEN matches = 0 THEN 0.0 ELSE
+                     (matches::DOUBLE / la + matches::DOUBLE / lb
+                      + (matches - trans / 2.0) / matches) / 3.0 END AS jaro,
+                   CASE WHEN substr(na,1,1) <> substr(nb,1,1) THEN 0
+                        WHEN substr(na,2,1) <> substr(nb,2,1)
+                             OR substr(na,2,1) = '' OR substr(nb,2,1) = ''
+                          THEN 1
+                        WHEN substr(na,3,1) <> substr(nb,3,1)
+                             OR substr(na,3,1) = '' OR substr(nb,3,1) = ''
+                          THEN 2
+                        WHEN substr(na,4,1) <> substr(nb,4,1)
+                             OR substr(na,4,1) = '' OR substr(nb,4,1) = ''
+                          THEN 3
+                        ELSE 4 END AS pfx
+            FROM (
+                SELECT bkey, lo, hi, na, nb, la, lb, matches,
+                       coalesce(list_sum(list_transform(range(0, matches),
+                           k -> CASE WHEN substr(m1, k + 1, 1)
+                                          <> substr(m2, k + 1, 1)
+                                THEN 1 ELSE 0 END)), 0) AS trans
+                FROM (
+                    SELECT bkey, lo, hi, na, nb, la, lb, matches, m1,
+                           array_to_string(
+                             list_transform(
+                               list_filter(range(0, lb),
+                                   k -> substr(mask2, k + 1, 1) = '1'),
+                               k -> substr(nb, k + 1, 1)), '') AS m2
+                    FROM jdone
+                )
+            )
+        )
+    ),
+    simsge AS MATERIALIZED (
+        SELECT p.bkey, p.lo, p.hi
+        FROM mpairs p
+        JOIN jw ON jw.bkey = p.bkey AND jw.lo = p.lo AND jw.hi = p.hi
+        WHERE greatest(
+            CASE WHEN levenshtein(p.na, p.nb) <= 2
+                 THEN 1.0 - levenshtein(p.na, p.nb)::DOUBLE
+                            / greatest(p.la, p.lb)
+                 ELSE 0.0 END,
+            jw.jw_sim,
+            len(list_filter(list_distinct(string_split(p.na, ' ')),
+                t -> list_contains(list_distinct(string_split(p.nb, ' ')),
+                                   t)))::DOUBLE
+              / nullif(len(list_distinct(string_split(p.na, ' ')))
+                       + len(list_distinct(string_split(p.nb, ' ')))
+                       - len(list_filter(list_distinct(string_split(p.na, ' ')),
+                             t -> list_contains(
+                                 list_distinct(string_split(p.nb, ' ')), t))),
+                       0)
+        ) >= 0.85
+    ),
+    blockstate AS MATERIALIZED (
+        SELECT m.bkey,
+               list(m.rank ORDER BY m.rank) AS ranks,
+               coalesce(any_value(sl.simlist), []) AS simlist
+        FROM members m
+        LEFT JOIN (SELECT bkey, list({{'lo': lo, 'hi': hi}}) AS simlist
+                   FROM simsge GROUP BY bkey) sl ON sl.bkey = m.bkey
+        GROUP BY m.bkey
+    ),
+    greedy AS (
+        SELECT bkey, ranks, simlist, 0 AS step,
+               []::BIGINT[] AS assigned,
+               []::STRUCT(r BIGINT, s BIGINT)[] AS pairs
+        FROM blockstate
+        UNION ALL
+        SELECT bkey, ranks, simlist, step + 1,
+               assigned || [seed] || absorbed,
+               pairs || [{{'r': seed, 's': seed}}]
+                     || list_transform(absorbed, x -> {{'r': x, 's': seed}})
+        FROM (
+            SELECT *,
+                   list_sort(list_transform(
+                       list_filter(simlist,
+                                   p -> p.lo = seed
+                                        AND NOT list_contains(assigned,
+                                                              p.hi)),
+                       p -> p.hi)) AS absorbed
+            FROM (
+                SELECT *,
+                       list_min(list_filter(ranks,
+                                r -> NOT list_contains(assigned, r))) AS seed
+                FROM greedy
+            )
+            WHERE seed IS NOT NULL
+        )
+    ),
+    assign AS MATERIALIZED (
+        SELECT g.bkey, u.p.r AS rank, u.p.s AS seed_rank
+        FROM (SELECT bkey, pairs,
+                     row_number() OVER (PARTITION BY bkey
+                                        ORDER BY step DESC) AS rn
+              FROM greedy) g,
+             unnest(g.pairs) u(p)
+        WHERE g.rn = 1
+    ),
+    norm_assign AS MATERIALIZED (
+        SELECT m.etype, m.norm, ms.norm AS seed_norm
+        FROM assign a
+        JOIN members m ON m.bkey = a.bkey AND m.rank = a.rank
+        JOIN members ms ON ms.bkey = a.bkey AND ms.rank = a.seed_rank
+    ),
+    name_cnt AS (
+        SELECT na.etype, na.seed_norm, e.name, sum(e.raw_cnt) AS cnt
+        FROM exact e
+        JOIN norm_assign na ON na.etype = e.etype AND na.norm = e.norm
+        GROUP BY 1, 2, 3
+    ),
+    canon_pick AS (
+        SELECT etype, seed_norm, name AS canonical_name
+        FROM (SELECT etype, seed_norm, name,
+                     row_number() OVER (PARTITION BY etype, seed_norm
+                         ORDER BY cnt DESC, length(name) DESC, name DESC) AS rn
+              FROM name_cnt) z
+        WHERE rn = 1
+    ),
+    canonf AS MATERIALIZED (
+        SELECT g.etype AS entity_type,
+               cp.canonical_name,
+               g.etype || '_' || regexp_replace(lower(cp.canonical_name),
+                                                '[^a-z0-9_]+', '', 'g')
+                   AS canonical_id,
+               g.seed_norm,
+               count(DISTINCT g.doc_id)::BIGINT AS doc_frequency,
+               sum(g.n_mentions)::BIGINT AS mention_count,
+               round(max(g.conf), 4) AS confidence
+        FROM (
+            SELECT em.doc_id, em.n_mentions, em.conf, em.etype, na.seed_norm
+            FROM ents_m em
+            JOIN norm_assign na
+              ON na.etype = em.etype
+             AND na.norm = trim(regexp_replace(regexp_replace(lower(em.name),
+                     '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))
+        ) g
+        JOIN canon_pick cp
+          ON cp.etype = g.etype AND cp.seed_norm = g.seed_norm
+        GROUP BY 1, 2, 3, 4
+    ),
+    aliasf AS MATERIALIZED (
+        SELECT DISTINCT
+               e.etype || '_' || regexp_replace(lower(e.name),
+                                                '[^a-z0-9_]+', '', 'g')
+                   AS entity_id,
+               c.canonical_id, c.canonical_name,
+               e.etype AS entity_type
+        FROM exact e
+        JOIN norm_assign na ON na.etype = e.etype AND na.norm = e.norm
+        JOIN canonf c ON c.entity_type = e.etype
+                     AND c.seed_norm = na.seed_norm
+    )
+    """
+
+
+def _edges_cte() -> str:
+    """Per-chunk ordered pair stream → canonical rewrite → directed agg."""
+    return """
+    kwflags AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN strpos(text, 'works for') > 0
+                         OR strpos(text, 'employed by') > 0 THEN 'WORKS_FOR'
+                    WHEN strpos(text, 'founded') > 0
+                         OR strpos(text, 'CEO') > 0 THEN 'LEADS'
+                    ELSE 'ASSOCIATED_WITH' END AS po,
+               CASE WHEN strpos(text, 'born in') > 0
+                         OR strpos(text, 'from') > 0 THEN 'BORN_IN'
+                    WHEN strpos(text, 'lives in') > 0
+                         OR strpos(text, 'based in') > 0 THEN 'LOCATED_IN'
+                    ELSE 'ASSOCIATED_WITH' END AS pl,
+               CASE WHEN strpos(text, 'headquartered') > 0
+                         OR strpos(text, 'based in') > 0
+                      THEN 'HEADQUARTERED_IN'
+                    ELSE 'LOCATED_IN' END AS ol,
+               CASE WHEN strpos(text, 'married') > 0
+                         OR strpos(text, 'spouse') > 0 THEN 'MARRIED_TO'
+                    WHEN strpos(text, 'colleague') > 0
+                         OR strpos(text, 'partner') > 0 THEN 'COLLEAGUE_OF'
+                    ELSE 'KNOWS' END AS pp
+        FROM texts
+    ),
+    eids AS MATERIALIZED (
+        SELECT doc_id, etype,
+               etype || '_' || regexp_replace(lower(name),
+                                              '[^a-z0-9_]+', '', 'g') AS eid,
+               ord
+        FROM ents_m
+    ),
+    pairs_raw AS (
+        SELECT e1.doc_id, e1.eid AS src_e, e2.eid AS dst_e,
+               CASE
+                 WHEN (e1.etype, e2.etype) IN (('PERSON', 'ORGANIZATION'),
+                                               ('ORGANIZATION', 'PERSON'))
+                   THEN k.po
+                 WHEN (e1.etype, e2.etype) IN (('PERSON', 'LOCATION'),
+                                               ('LOCATION', 'PERSON'))
+                   THEN k.pl
+                 WHEN (e1.etype, e2.etype) IN (('ORGANIZATION', 'LOCATION'),
+                                               ('LOCATION', 'ORGANIZATION'))
+                   THEN k.ol
+                 WHEN e1.etype = 'PERSON' AND e2.etype = 'PERSON' THEN k.pp
+                 ELSE 'RELATED_TO' END AS rel_type
+        FROM eids e1
+        JOIN eids e2 ON e2.doc_id = e1.doc_id AND e2.ord > e1.ord
+        JOIN kwflags k ON k.doc_id = e1.doc_id
+    ),
+    edge_agg AS MATERIALIZED (
+        SELECT ca.canonical_id AS src, cb.canonical_id AS dst,
+               p.rel_type,
+               ca.canonical_name AS src_name, cb.canonical_name AS dst_name,
+               count(*)::BIGINT AS n_occurrences
+        FROM pairs_raw p
+        JOIN aliasf ca ON ca.entity_id = p.src_e
+        JOIN aliasf cb ON cb.entity_id = p.dst_e
+        WHERE ca.canonical_id <> cb.canonical_id
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    """
+
+
+def _full_cte() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _texts_cte().strip().rstrip(",") + ",\n"
+        + _words_cte().strip() + ",\n"
+        + _events_cte().strip() + ",\n"
+        + _canon_cte().strip() + ",\n"
+        + _edges_cte().strip()
+    )
+
+
+def syn_doc_entities_sql() -> str:
+    """Per-doc extraction stream (doc_id, name, type, conf, n_mentions)."""
+    return f"""
+        {_full_cte()}
+        SELECT doc_id, name, etype AS entity_type,
+               round(conf, 4) AS confidence, n_mentions
+        FROM ents_m
+    """
+
+
+def syn_entities_sql() -> str:
+    return f"""
+        {_full_cte()}
+        SELECT canonical_id, canonical_name, entity_type, doc_frequency,
+               mention_count, confidence
+        FROM canonf
+    """
+
+
+def syn_alias_map_sql() -> str:
+    return f"""
+        {_full_cte()}
+        SELECT entity_id, canonical_id, canonical_name, entity_type
+        FROM aliasf
+    """
+
+
+def syn_edges_sql() -> str:
+    return f"""
+        {_full_cte()}
+        SELECT src, dst, rel_type, n_occurrences
+        FROM edge_agg
+    """
+
+
+def syn_triples_sql() -> str:
+    return f"""
+        {_full_cte()}
+        SELECT src_name AS subj, rel_type AS pred, dst_name AS obj,
+               n_occurrences
+        FROM edge_agg
+    """
