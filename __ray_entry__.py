@@ -116,6 +116,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_alias_map": q.syn_alias_map,
         "syn_edges": q.syn_edges,
         "syn_triples": q.syn_triples,
+        # downstream analytics twins over the replayed syn graph — the
+        # same stage code as the kg_* surfaces, every row SQL-oracled
+        "syn_stats": q.syn_stats,
+        "syn_cooccur": q.syn_cooccur,
+        "syn_common_entities": q.syn_common_entities,
+        "syn_components": q.syn_components,
+        "syn_louvain": q.syn_louvain,
+        "syn_graph_metrics": q.syn_graph_metrics,
+        "syn_pagerank": q.syn_pagerank,
+        "syn_centrality": q.syn_centrality,
+        "syn_mentions": q.syn_mentions,
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -425,6 +436,15 @@ def oracle_sql() -> dict[str, str]:
         "syn_entities": _synkg_sql.syn_entities_sql(),
         "syn_alias_map": _synkg_sql.syn_alias_map_sql(),
         "syn_edges": _synkg_sql.syn_edges_sql(),
+        "syn_stats": _synkg_sql.syn_stats_sql(),
+        "syn_cooccur": _synkg_sql.syn_cooccur_sql(),
+        "syn_common_entities": _synkg_sql.syn_common_entities_sql(),
+        "syn_components": _synkg_sql.syn_components_sql(),
+        "syn_louvain": _synkg_sql.syn_louvain_sql(),
+        "syn_graph_metrics": _synkg_sql.syn_graph_metrics_sql(),
+        "syn_pagerank": _synkg_sql.syn_pagerank_sql(),
+        "syn_centrality": _synkg_sql.syn_centrality_sql(),
+        "syn_mentions": _synkg_sql.syn_mentions_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),

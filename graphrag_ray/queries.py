@@ -742,6 +742,132 @@ def syn_triples(sf_dir: str):
     )
 
 
+# --- syn graph-analytics twins: the SAME stage code the kg_* surfaces run,
+# here over the replayed syn graph so every row is hard-oracled (the SQL
+# side composes syn_oracle_kg._full_cte with the kgx-style recursive-CTE
+# analytics).
+
+
+def syn_stats(sf_dir: str):
+    """G9 graph statistics over the syn graph (driver-oracled twin of
+    kg_stats on the north-rule corpus shape)."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    df = ga.graph_stats(res.entities, res.edges, n_docs, res.chunks.count())
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
+
+
+def syn_cooccur(sf_dir: str):
+    """G8 co-occurrence edges over the syn extraction stream
+    (driver-oracled twin of kg_cooccur_edges)."""
+    from .stages import graph_analytics as ga
+
+    ds = ga.doc_cooccurrence_edges(_syn(sf_dir).extraction)
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "n_docs": batch.column("n_docs"),
+                "rel_type": batch.column("rel_type"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def syn_common_entities(sf_dir: str):
+    """T4 top-k common entities over the syn graph (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    return ga.common_entities(_syn(sf_dir).entities)
+
+
+def syn_components(sf_dir: str):
+    """L3 connected components + degree over the syn graph
+    (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.connected_components(res.entities, res.edges)
+
+
+def syn_louvain(sf_dir: str):
+    """L3 Louvain-as-shipped over the syn graph (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.louvain_communities(_syn(sf_dir).edges).to_pandas()
+    df["modularity"] = _round4(df["modularity"].to_numpy())
+    return df
+
+
+def syn_graph_metrics(sf_dir: str):
+    """L3 density + clustering coefficient over the syn graph
+    (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.graph_metrics(_syn(sf_dir).edges)
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
+
+
+def syn_pagerank(sf_dir: str):
+    """L2 PageRank over the syn graph (driver-oracled: same recursive-CTE
+    power iteration as kgx_pagerank, here on the fuzzy-merged graph)."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    df = ga.pagerank(res.entities, res.edges).to_pandas()
+    df["score"] = _round4(df["score"].to_numpy())
+    return df
+
+
+def syn_centrality(sf_dir: str):
+    """L3 centralities over the syn graph (driver-oracled: the distributed
+    per-source-batch Brandes path runs exact below max_exact_sources; the
+    SQL twin rebuilds every source's deterministic shortest-path tree)."""
+    from .stages import graph_analytics as ga
+
+    df = ga.centrality_scores(_syn(sf_dir).edges).to_pandas()
+    for c in ("degree", "betweenness", "closeness"):
+        df[c] = _round4(df[c].to_numpy())
+    return df
+
+
+def syn_mentions(sf_dir: str):
+    """M12 mention offsets over the syn corpus (driver-oracled: the SQL
+    twin replays the non-overlapping occurrence scan as a recursive CTE,
+    repeated per extraction event)."""
+    from .stages.extract import make_mentions_batch_fn
+
+    ds = _syn(sf_dir).chunks.map_batches(
+        make_mentions_batch_fn(0.7, ("PERSON", "ORGANIZATION", "LOCATION")),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "entity_id": batch.column("entity_id"),
+                "chunk_id": batch.column("chunk_id"),
+                "start_offset": batch.column("start_offset"),
+                "end_offset": batch.column("end_offset"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def kgx_edges(sf_dir: str):
     return _kgx(sf_dir).edges.select_columns(
         ["src", "dst", "rel_type", "n_occurrences"]

@@ -641,3 +641,306 @@ def syn_triples_sql() -> str:
                n_occurrences
         FROM edge_agg
     """
+
+
+# ---------------------------------------------------------------------------
+# downstream graph-analytics twins over the replayed syn graph
+#
+# Each of these composes the full corpus replay (_full_cte) with the same
+# recursive-CTE analytics the kgx oracles use (kgx.py:526-1090) — only the
+# source CTE names change (kgx_edge_agg -> edge_agg, canon -> canonf), so a
+# green row verifies the REAL pipeline analytics stage over the synth
+# corpus' Zipf-skewed fuzzy-merged graph, not just the kgx toy pools.
+
+
+def syn_stats_sql() -> str:
+    """G9 graph statistics (graph/mod.rs:330-352) over the syn graph.
+
+    chunk_count == document_count because the factor=1 corpus is
+    single-chunk-per-doc at chunk_size=2048 (asserted corpus-wide by
+    tests/test_syn_oracle_kg.py)."""
+    return f"""
+        {_full_cte()},
+        base AS (
+          SELECT (SELECT count(*) FROM canonf)::DOUBLE AS n_ent,
+                 (SELECT count(*) FROM edge_agg)::DOUBLE AS n_edge,
+                 (SELECT count(*) FROM documents)::DOUBLE AS n_docs)
+        SELECT 'entity_count' AS stat, n_ent AS value FROM base
+        UNION ALL SELECT 'relationship_count', n_edge FROM base
+        UNION ALL SELECT 'document_count', n_docs FROM base
+        UNION ALL SELECT 'chunk_count', n_docs FROM base
+        UNION ALL SELECT 'average_entities_per_chunk',
+                  round(n_ent / n_docs, 4) FROM base
+        UNION ALL SELECT 'density',
+                  round(n_edge / (n_ent * (n_ent - 1)), 4) FROM base
+        UNION ALL
+        SELECT 'entity_type:' || entity_type, count(*)::DOUBLE
+        FROM canonf GROUP BY entity_type
+    """
+
+
+def syn_cooccur_sql() -> str:
+    """G8 doc co-occurrence edges over the syn extraction stream
+    (corpus/knowledge_graph.rs:192-240): sorted distinct entity-id pairs
+    per doc, first-2000-per-doc cap replayed as row_number over the same
+    row-major (src, dst) order the sequential loop visits."""
+    return f"""
+        {_full_cte()},
+        co_eids AS (
+          SELECT DISTINCT doc_id,
+                 etype || '_' || regexp_replace(lower(name),
+                                                '[^a-z0-9_]+', '', 'g') AS eid
+          FROM ents_m),
+        co_pairs AS (
+          SELECT a.doc_id, a.eid AS src, b.eid AS dst,
+                 row_number() OVER (PARTITION BY a.doc_id
+                                    ORDER BY a.eid, b.eid) AS rn
+          FROM co_eids a
+          JOIN co_eids b ON b.doc_id = a.doc_id AND a.eid < b.eid)
+        SELECT src, dst, count(*)::BIGINT AS n_docs,
+               'co_occurs' AS rel_type, 0.7 AS confidence
+        FROM co_pairs WHERE rn <= 2000
+        GROUP BY 1, 2
+    """
+
+
+def syn_common_entities_sql() -> str:
+    """T4 top-k by mention count (entity/bidirectional_index.rs:315-335),
+    ties broken by canonical_id ascending."""
+    return f"""
+        {_full_cte()}
+        SELECT canonical_id, canonical_name, entity_type, mention_count
+        FROM canonf
+        ORDER BY mention_count DESC, canonical_id ASC LIMIT 20
+    """
+
+
+def syn_components_sql() -> str:
+    """L3 connected components + degree (graph/analytics.rs): component
+    label = min reachable entity id (the pipeline's deterministic
+    union-find root), degree = incident edge rows."""
+    return f"""
+        {_full_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canonf),
+        und AS (SELECT src AS a, dst AS b FROM edge_agg
+                UNION SELECT dst, src FROM edge_agg),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        comp AS (SELECT a AS entity_id, min(b) AS component
+                 FROM reach GROUP BY a),
+        incid AS (SELECT src AS node FROM edge_agg
+                  UNION ALL SELECT dst FROM edge_agg),
+        deg AS (SELECT node, count(*)::BIGINT AS degree FROM incid
+                GROUP BY node)
+        SELECT c.entity_id, c.component,
+               coalesce(d.degree, 0)::BIGINT AS degree
+        FROM comp c LEFT JOIN deg d ON d.node = c.entity_id
+    """
+
+
+def syn_louvain_sql() -> str:
+    """L3 'Louvain' as the reference ships it (analytics.rs:97-180):
+    components over edge-connected nodes, community ids in sorted-node
+    discovery order, simplified modularity = internal edge ends / 2n."""
+    return f"""
+        {_full_cte()},
+        enodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edge_agg
+            UNION ALL SELECT dst FROM edge_agg)),
+        und AS (SELECT src AS a, dst AS b FROM edge_agg
+                UNION SELECT dst, src FROM edge_agg),
+        reach(a, b) AS (
+          SELECT node, node FROM enodes
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        comp AS (SELECT a AS node_id, min(b) AS root FROM reach GROUP BY a),
+        cid AS (SELECT root,
+                       (dense_rank() OVER (ORDER BY root) - 1)::BIGINT
+                           AS community_id
+                FROM (SELECT DISTINCT root FROM comp)),
+        w AS (SELECT c1.root, count(*)::BIGINT AS nrows
+              FROM edge_agg e
+              JOIN comp c1 ON c1.node_id = e.src
+              JOIN comp c2 ON c2.node_id = e.dst AND c2.root = c1.root
+              GROUP BY c1.root),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM enodes)
+        SELECT cid.community_id, comp.node_id,
+               round((2.0 * coalesce(w.nrows, 0)) / (2.0 * tot.n), 4)
+                   AS modularity
+        FROM comp
+        JOIN cid ON cid.root = comp.root
+        LEFT JOIN w ON w.root = comp.root
+        CROSS JOIN tot
+    """
+
+
+def syn_graph_metrics_sql() -> str:
+    """L3 density + avg clustering coefficient (analytics.rs:432-487);
+    multi-edge multiplicity in neighbor lists, distinct-set triangle
+    membership (the (mult, distinct) split, same as kgx_graph_metrics)."""
+    return f"""
+        {_full_cte()},
+        dirs AS (SELECT src AS a, dst AS b FROM edge_agg
+                 UNION ALL SELECT dst, src FROM edge_agg),
+        adj AS (SELECT a, b, count(*)::BIGINT AS mult FROM dirs GROUP BY a, b),
+        nbr AS (SELECT DISTINCT a, b FROM dirs),
+        kdeg AS (SELECT a, sum(mult)::DOUBLE AS k FROM adj GROUP BY a),
+        tri AS (SELECT x.a AS v, sum(x.mult * y.mult)::DOUBLE AS t
+                FROM adj x
+                JOIN adj y ON y.a = x.b
+                JOIN nbr s ON s.a = x.a AND s.b = y.b
+                GROUP BY x.a),
+        pern AS (SELECT kd.a, coalesce(t.t, 0.0) / (kd.k * (kd.k - 1)) AS c
+                 FROM kdeg kd LEFT JOIN tri t ON t.v = kd.a
+                 WHERE kd.k >= 2),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM kdeg),
+        ee AS (SELECT count(*)::DOUBLE AS m FROM edge_agg)
+        SELECT 'density' AS stat,
+               round(2.0 * ee.m / (nn.n * (nn.n - 1)), 4) AS value
+        FROM nn, ee
+        UNION ALL
+        SELECT 'avg_clustering_coefficient',
+               round(coalesce(avg(c), 0.0), 4) FROM pern
+    """
+
+
+def syn_pagerank_sql() -> str:
+    """L2 PageRank power iteration as a recursive CTE (same arithmetic as
+    stages/graph_analytics._pagerank_task / graph/pagerank.rs: damping
+    0.85, uniform reset, dangling redistribution, L1 stop 1e-6, <=100
+    iterations) over the syn graph."""
+    return f"""
+        {_full_cte()},
+        nodes AS (SELECT canonical_id AS node FROM canonf),
+        dirs AS (SELECT src AS a, dst AS b FROM edge_agg
+                 UNION ALL SELECT dst, src FROM edge_agg),
+        oinv AS (SELECT a, 1.0::DOUBLE / count(*) AS inv FROM dirs GROUP BY a),
+        cst AS (SELECT 1.0::DOUBLE / count(*) AS reset FROM nodes),
+        pr(iter, node, score, prev) AS (
+          SELECT 0, node, (SELECT reset FROM cst), 0.0::DOUBLE FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, p.node,
+                 (1.0::DOUBLE - 0.85::DOUBLE) * c.reset
+                 + 0.85::DOUBLE * (
+                     coalesce((SELECT sum(q.score * oi.inv)
+                               FROM pr q
+                               JOIN dirs d ON d.a = q.node AND d.b = p.node
+                               JOIN oinv oi ON oi.a = q.node), 0.0)
+                     + coalesce((SELECT sum(q2.score) FROM pr q2
+                                 LEFT JOIN oinv o2 ON o2.a = q2.node
+                                 WHERE o2.a IS NULL), 0.0) * c.reset),
+                 p.score
+          FROM pr p CROSS JOIN cst c
+          WHERE p.iter < 100
+            AND (SELECT sum(abs(q3.score - q3.prev)) FROM pr q3) >= 1e-6)
+        SELECT node AS entity_id, round(score, 4) AS score
+        FROM pr WHERE iter = (SELECT max(iter) FROM pr)
+    """
+
+
+# safe BFS depth bound for syn_centrality_sql; eccentricities are
+# asserted < this corpus-wide by tests/test_syn_oracle_kg.py (observed
+# diameter: 2 at sf0.01)
+_WALK_CAP = 6
+
+
+def syn_centrality_sql() -> str:
+    """L3 degree/betweenness/closeness (analytics.rs:182-279) over the syn
+    graph: unit-weight deterministic Dijkstra makes parent(v) the
+    minimum-id neighbor one BFS level closer, so subtree-ancestor counting
+    reproduces the pipeline's betweenness exactly (same derivation as
+    kgx_centrality, here exercised on the 100+-node fuzzy-merged graph).
+
+    The BFS walk is depth-capped at {_WALK_CAP} instead of n-1: on the
+    fuzzy-merged syn graph (dense, diameter 2 at every tested sf) the
+    uncapped closure is O(n^3) rows and minutes of DuckDB time for zero
+    extra information. tests/test_syn_oracle_kg.py asserts corpus-wide
+    (independent Python BFS) that every eccentricity is < the cap, so the
+    capped distances equal true distances."""
+    return f"""
+        {_full_cte()},
+        dirs AS (SELECT src AS a, dst AS b FROM edge_agg
+                 UNION ALL SELECT dst, src FROM edge_agg),
+        nbrd AS (SELECT DISTINCT a, b FROM dirs),
+        cnodes AS (SELECT DISTINCT a AS v FROM dirs),
+        walk(s, v, d) AS (
+          SELECT v, v, 0 FROM cnodes
+          UNION
+          SELECT w.s, di.b, w.d + 1
+          FROM walk w JOIN nbrd di ON di.a = w.v
+          WHERE w.d + 1 <= {_WALK_CAP}),
+        dist AS (SELECT s, v, min(d)::BIGINT AS d FROM walk GROUP BY s, v),
+        nn AS (SELECT count(*)::BIGINT AS n FROM cnodes),
+        par AS (
+          SELECT dv.s, dv.v, min(du.v) AS p
+          FROM dist dv
+          JOIN nbrd di ON di.b = dv.v
+          JOIN dist du ON du.s = dv.s AND du.v = di.a AND du.d = dv.d - 1
+          WHERE dv.d > 0
+          GROUP BY dv.s, dv.v),
+        anc(s, a, t) AS (
+          SELECT s, p, v FROM par
+          UNION
+          SELECT an.s, p.p, an.t
+          FROM anc an JOIN par p ON p.s = an.s AND p.v = an.a),
+        bc AS (SELECT a AS v, count(*)::DOUBLE AS btw FROM anc
+               WHERE a <> s GROUP BY a),
+        clo AS (
+          SELECT s AS v,
+                 CASE WHEN count(*) > 1 AND sum(d) > 0
+                      THEN (count(*) - 1)::DOUBLE / sum(d)::DOUBLE
+                      ELSE 0.0 END AS c
+          FROM dist GROUP BY s),
+        degr AS (SELECT a AS v, count(*)::DOUBLE AS dg FROM dirs GROUP BY a)
+        SELECT n.v AS node_id,
+               round(CASE WHEN nn.n > 1 THEN degr.dg / (nn.n - 1)
+                          ELSE 0.0 END, 4) AS degree,
+               round(CASE WHEN nn.n > 2
+                          THEN coalesce(bc.btw, 0.0)
+                               / ((nn.n - 1) * (nn.n - 2) / 2.0)
+                          ELSE 0.0 END, 4) AS betweenness,
+               round(clo.c, 4) AS closeness
+        FROM cnodes n
+        CROSS JOIN nn
+        JOIN degr ON degr.v = n.v
+        JOIN clo ON clo.v = n.v
+        LEFT JOIN bc ON bc.v = n.v
+    """
+
+
+def syn_mentions_sql() -> str:
+    """M12 mention offsets over the syn corpus: per merged (doc, name,
+    type) entity, the successive NON-OVERLAPPING occurrence scan
+    (entity/mod.rs:613-625 — find, then resume at pos + len) replayed as a
+    recursive CTE, each occurrence repeated n_events times because the
+    per-event mention lists concatenate on dedup (entity/mod.rs:788-809;
+    extract_entities merge). chunk_id = doc_id || '_0' (single chunk per
+    doc at chunk_size=2048)."""
+    return f"""
+        {_full_cte()},
+        m_base AS MATERIALIZED (
+          SELECT e.doc_id, e.name, e.etype, e.conf, e.n_events,
+                 length(e.name) AS ln, t.text
+          FROM ents e JOIN texts t USING (doc_id)),
+        occ(doc_id, name, etype, conf, n_events, ln, pos) AS (
+          SELECT doc_id, name, etype, conf, n_events, ln,
+                 strpos(text, name) - 1
+          FROM m_base WHERE strpos(text, name) > 0
+          UNION ALL
+          SELECT o.doc_id, o.name, o.etype, o.conf, o.n_events, o.ln,
+                 o.pos + o.ln
+                 + strpos(substr(b.text, o.pos + o.ln + 1), o.name) - 1
+          FROM occ o
+          JOIN m_base b ON b.doc_id = o.doc_id AND b.name = o.name
+                        AND b.etype = o.etype
+          WHERE strpos(substr(b.text, o.pos + o.ln + 1), o.name) > 0)
+        SELECT etype || '_' || regexp_replace(lower(name),
+                   '[^a-z0-9_]+', '', 'g') AS entity_id,
+               doc_id || '_0' AS chunk_id,
+               pos::BIGINT AS start_offset,
+               (pos + ln)::BIGINT AS end_offset,
+               round(conf, 4) AS confidence
+        FROM occ, unnest(range(n_events)) AS _r
+    """

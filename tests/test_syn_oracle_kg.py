@@ -134,3 +134,44 @@ def test_fuzzy_path_actually_exercised(expected):
         sizes[cid] += 1
     multi = [cid for cid, n in sizes.items() if n > 1]
     assert len(multi) >= 10  # 64 multi-member clusters at sf0.01
+
+
+def test_mentions_sql_equals_pipeline(syn_con, expected):
+    """syn_mentions_sql: the recursive non-overlapping occurrence scan ×
+    per-event repetition equals extract_entities' merged mention lists."""
+    want = []
+    for d in range(N_SQL):
+        doc = f"doc_{d:08d}"
+        text = _doc_text(d)
+        for e in extract_entities(text, 0.7,
+                                  ("PERSON", "ORGANIZATION", "LOCATION"),
+                                  with_offsets=True):
+            for s, t in e.mentions:
+                want.append((e.entity_id, f"{doc}_0", s, t,
+                             round(e.confidence, 4)))
+    got = sorted(map(tuple, syn_con.execute(so.syn_mentions_sql()).fetchall()))
+    assert got == sorted(want)
+
+
+def test_walk_cap_exceeds_diameter(expected):
+    """syn_centrality_sql caps its BFS closure at _WALK_CAP levels; the cap
+    is only sound if every eccentricity of the canonical graph is strictly
+    below it. Asserted here with an independent Python BFS (full corpus
+    edge set at the SQL subset size; the dense Zipf head keeps the diameter
+    at 2 for every sf we ship)."""
+    from collections import deque
+
+    adj: dict[str, set[str]] = defaultdict(set)
+    for s, t, _r, _n in expected["edges"]:
+        adj[s].add(t)
+        adj[t].add(s)
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        assert max(dist.values()) < so._WALK_CAP
