@@ -350,14 +350,36 @@ def _extract_concepts(text: str, min_confidence: float, entity_type: str, with_o
     return out
 
 
+def _extract_generic(text: str, min_confidence: float, entity_type: str,
+                     with_offsets: bool = True) -> list[ExtractedEntity]:
+    """Generic extraction for unrecognized entity types
+    (entity/mod.rs:1060-1089): capitalized words longer than 3 chars that
+    aren't common words, flat confidence 0.5."""
+    out = []
+    if 0.5 < min_confidence:
+        return out
+    for raw in text.split():
+        if is_capitalized(raw) and len(raw) > 3:
+            cw = clean_word(raw)
+            if cw.lower() not in COMMON_WORDS:
+                out.append(_make_entity(cw, entity_type, 0.5, text, with_offsets))
+    return out
+
+
+_CONCEPT_TYPES = frozenset(
+    {"CONCEPT", "THEORY", "THEME", "ARGUMENT", "IDEA"})
+
 _TYPE_DISPATCH = {
+    # entity/mod.rs:138-160 type-alias arms
     "PERSON": _extract_persons, "CHARACTER": _extract_persons,
     "RESEARCHER": _extract_persons, "SPEAKER": _extract_persons,
+    "DIALOGUE_SPEAKER": _extract_persons,
     "ORGANIZATION": _extract_organizations, "INSTITUTION": _extract_organizations,
     "BRAND": _extract_organizations, "COMPANY": _extract_organizations,
     "LOCATION": _extract_locations, "SETTING": _extract_locations,
     "PLACE": _extract_locations,
     "EVENT": _extract_events, "EXPERIMENT": _extract_events,
+    "HAPPENING": _extract_events,
     "OBJECT": _extract_objects, "TOOL": _extract_objects,
     "ARTIFACT": _extract_objects, "ITEM": _extract_objects,
 }
@@ -412,8 +434,12 @@ def extract_entities(
         fn = _TYPE_DISPATCH.get(etype)
         if fn is not None:
             entities.extend(fn(text, min_confidence, with_offsets))
-        else:
+        elif etype in _CONCEPT_TYPES:
             entities.extend(_extract_concepts(text, min_confidence, etype, with_offsets))
+        else:
+            # any other type: generic capitalized-word extraction
+            # (entity/mod.rs:156-159 fallthrough arm)
+            entities.extend(_extract_generic(text, min_confidence, etype, with_offsets))
 
     entities = apply_pattern_filtering(entities, allowed_patterns, excluded_patterns)
 

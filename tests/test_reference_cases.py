@@ -275,3 +275,29 @@ def test_pagerank_reference_properties(ray_session):
     pdf = pagerank(ents, edges,
                    personalization={"A": 0.8, "B": 0.2}).to_pandas()
     assert pdf.set_index("entity_id").loc["A", "score"] > 1 / 3
+
+
+def test_generic_type_dispatch_reference_semantics():
+    """entity/mod.rs:138-160 type dispatch: unknown types fall through to
+    generic capitalized-word extraction (len>3, non-common, conf 0.5), NOT
+    the concept heuristics; HAPPENING/DIALOGUE_SPEAKER alias to their
+    families. Expectations hand-derived from entity/mod.rs:1060-1089."""
+    from graphrag_ray.functions.extraction import extract_entities
+
+    text = "The Fluffy cat chased Rex near Chapter Paris today"
+    # generic ANIMAL: capitalized, len>3, not common ("The" len 3 fails the
+    # >3 gate; "Chapter" IS in the reference common-word list; "Rex" len 3)
+    got = {(e.name, e.entity_type, e.confidence)
+           for e in extract_entities(text, 0.5, ("ANIMAL",))}
+    assert got == {("Fluffy", "ANIMAL", 0.5), ("Paris", "ANIMAL", 0.5)}
+    # below min_confidence 0.6 the generic arm emits nothing
+    assert extract_entities(text, 0.6, ("ANIMAL",)) == []
+    # HAPPENING aliases to the EVENT extractor, DIALOGUE_SPEAKER to PERSON
+    ev = "The great battle began"
+    assert ({e.entity_type for e in extract_entities(ev, 0.5, ("HAPPENING",))}
+            == {e.entity_type for e in extract_entities(ev, 0.5, ("EVENT",))})
+    ps = "Dr. Alice Harmon spoke"
+    assert ([(e.name, e.confidence)
+             for e in extract_entities(ps, 0.7, ("DIALOGUE_SPEAKER",))]
+            == [(e.name, e.confidence)
+                for e in extract_entities(ps, 0.7, ("PERSON",))])
