@@ -199,28 +199,55 @@ def _make_entity(name: str, entity_type: str, confidence: float, text: str,
 _KNOWN_LOWER = tuple(tuple(w.lower() for w in n.split()) for n in KNOWN_PERSON_NAMES)
 _KNOWN_FIRST = frozenset(w[0] for w in _KNOWN_LOWER)
 
+# per-RAW-token attribute cache: one dict hit replaces clean_word +
+# .lower() + isupper + _is_likely_person_word + three set-membership
+# checks per token in the hottest loop of the pipeline. Capacity-bounded
+# for open web vocabularies (Zipf heads saturate far below the cap; misses
+# past the cap just recompute).
+_WATTRS: dict[str, tuple] = {}
+_WATTRS_CAP = 1 << 20
+
+
+def _word_attrs(w: str) -> tuple:
+    """(cleaned, lower, raw_cap, person_word, is_title, non_person,
+    known_first, cleaned_cap) for a whitespace token ``w``."""
+    c = clean_word(w)
+    lo = c.lower()
+    a = (
+        c,
+        lo,
+        bool(w) and w[0].isupper(),
+        _is_likely_person_word(c),
+        lo in PERSON_TITLES,
+        lo in NON_PERSON_WORDS,
+        lo in _KNOWN_FIRST,
+        bool(c) and c[0].isupper(),
+    )
+    if len(_WATTRS) < _WATTRS_CAP:
+        _WATTRS[w] = a
+    return a
+
 
 def _extract_persons(text: str, min_confidence: float, with_offsets: bool = True) -> list[ExtractedEntity]:
     """Four-phase PERSON extraction (entity/mod.rs:176-499).
 
-    Per-chunk token attributes (cleaned form, capitalization, lowercase)
-    are computed once and shared across phases — semantics identical to the
-    reference's per-phase recomputation."""
+    Per-token attributes (cleaned form, capitalization, class-membership
+    flags) come from the corpus-wide ``_WATTRS`` cache — semantics
+    identical to the reference's per-phase recomputation."""
     out: list[ExtractedEntity] = []
     words = text.split()
     n = len(words)
-    cleaned = [clean_word(w) for w in words]
-    lower = [c.lower() for c in cleaned]
-    cap = [bool(w) and w[0].isupper() for w in words]
+    wa = _WATTRS
+    attrs = [wa.get(w) or _word_attrs(w) for w in words]
     processed: set[int] = set()
 
     # PHASE 1 — known fixture names (entity/mod.rs:349-407)
     for i in range(n):
-        if i in processed or lower[i] not in _KNOWN_FIRST:
+        if i in processed or not attrs[i][6]:
             continue
         for name, name_lower in zip(KNOWN_PERSON_NAMES, _KNOWN_LOWER):
             k = len(name_lower)
-            if i + k <= n and all(lower[i + j] == name_lower[j] for j in range(k)):
+            if i + k <= n and all(attrs[i + j][1] == name_lower[j] for j in range(k)):
                 if 0.95 >= min_confidence:
                     out.append(_make_entity(name, "PERSON", 0.95, text, with_offsets))
                 processed.update(range(i, i + k))
@@ -230,15 +257,15 @@ def _extract_persons(text: str, min_confidence: float, with_offsets: bool = True
     for i in range(n):
         if i in processed:
             continue
-        if lower[i] in PERSON_TITLES and i + 1 < n and (i + 1) not in processed:
-            next_word = cleaned[i + 1]
-            if cap[i + 1] and _is_likely_person_word(next_word):
-                name = next_word
+        if attrs[i][4] and i + 1 < n and (i + 1) not in processed:
+            a1 = attrs[i + 1]
+            if a1[2] and a1[3]:
+                name = a1[0]
                 if i + 2 < n and (i + 2) not in processed:
-                    third = cleaned[i + 2]
-                    if cap[i + 2] and _is_likely_person_word(third):
+                    a2 = attrs[i + 2]
+                    if a2[2] and a2[3]:
                         processed.add(i + 2)
-                        name = f"{next_word} {third}"
+                        name = f"{a1[0]} {a2[0]}"
                 if 0.9 >= min_confidence:
                     out.append(_make_entity(name, "PERSON", 0.9, text, with_offsets))
                 processed.add(i)
@@ -248,16 +275,14 @@ def _extract_persons(text: str, min_confidence: float, with_offsets: bool = True
     for i in range(n - 1):
         if i in processed or (i + 1) in processed:
             continue
-        if (
-            cap[i]
-            and cap[i + 1]
-            and _is_likely_person_word(cleaned[i])
-            and _is_likely_person_word(cleaned[i + 1])
-            and lower[i] not in NON_PERSON_WORDS
-            and lower[i + 1] not in NON_PERSON_WORDS
-        ):
-            name = f"{cleaned[i]} {cleaned[i + 1]}"
-            if _is_likely_person_name(name):
+        a0 = attrs[i]
+        a1 = attrs[i + 1]
+        if a0[2] and a1[2] and a0[3] and a1[3] and not a0[5] and not a1[5]:
+            # cleaned words carry no spaces, so the reference's
+            # _is_likely_person_name(join) == both cleaned parts nonempty
+            # and capitalized
+            if a0[7] and a1[7]:
+                name = f"{a0[0]} {a1[0]}"
                 confidence = calculate_confidence(name, "PERSON")
                 if confidence >= min_confidence:
                     out.append(_make_entity(name, "PERSON", confidence, text, with_offsets))
@@ -268,10 +293,11 @@ def _extract_persons(text: str, min_confidence: float, with_offsets: bool = True
     for i in range(n):
         if i in processed:
             continue
-        word = cleaned[i]
-        if len(word) < 2 or lower[i] in NON_PERSON_WORDS:
+        a = attrs[i]
+        word = a[0]
+        if len(word) < 2 or a[5]:
             continue
-        if cap[i] and _is_likely_person_word(word):
+        if a[2] and a[3]:
             confidence = calculate_confidence(word, "PERSON")
             if confidence >= min_confidence:
                 out.append(_make_entity(word, "PERSON", confidence, text, with_offsets))
