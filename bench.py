@@ -50,6 +50,32 @@ def _pin_driver_threads() -> None:
     pa.set_io_thread_count(2)
 
 
+def host_probe() -> dict:
+    """Host-weather snapshot recorded with every bench line.
+
+    This shared VM's DRAM bandwidth swings >10x with neighbor load
+    (observed 1.4-20+ GB/s within one hour) while pure-ALU work stays
+    flat; memory-heavy pipeline stages track the DRAM number, so a bench
+    reading is only interpretable next to its probe. busy_1core_s is a
+    fixed integer loop (ALU baseline); membw_gbps streams 400 MB through
+    numpy (write + reduce)."""
+    import time as _t
+
+    import numpy as np
+
+    t = _t.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    busy = _t.perf_counter() - t
+    a = np.zeros(200_000_000, dtype=np.uint8)
+    t = _t.perf_counter()
+    a[:] = 1
+    _ = int(a.sum())
+    membw = 0.4 / (_t.perf_counter() - t)
+    return {"busy_1core_s": round(busy, 3), "membw_gbps": round(membw, 1)}
+
+
 def ensure_corpus(sf_dir: str) -> str:
     """Synthesize the spans corpus once (deterministic, cached)."""
     import ray
@@ -153,6 +179,7 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / headline, 1),
         "chunks_per_sec": round(n_chunks / headline, 1),
         "docs_per_sec": round(n_docs / headline, 1),
+        "host_probe": host_probe(),
     }
     ray.shutdown()
     return result
@@ -192,6 +219,7 @@ def run_bench_median() -> dict:
     result["value"] = headline
     result["n_runs"] = len(runs)
     result["run_walls"] = [r["value"] for r in runs]
+    result["run_probes"] = [r.get("host_probe") for r in runs]
     for key, count in (("triples_per_sec", result["n_triples"]),
                        ("chunks_per_sec", result["n_chunks"]),
                        ("docs_per_sec", result["n_docs"])):
@@ -233,6 +261,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
         "synth_factor": FACTOR,
+        "run_probes": [lo.get("host_probe"), hi.get("host_probe")],
     }
 
 
