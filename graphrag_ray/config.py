@@ -65,6 +65,13 @@ class PipelineConfig:
     # 'tree' = sort-free reduce tree whose last level is a single task
     # (cheapest while the reduced edge set fits one task's memory)
     edge_merge: str = "groupby"
+    # local-combine coalescing width for the fused rewrite->combine chain.
+    # Ray bundles the whole fused chain at this row count, so it sets the
+    # task count of the hottest edge stage: 2M bundles the bench corpus's
+    # 23.8M partials into ~11 tasks (caps parallelism at 11 cores); 500k
+    # gives ~48 tasks while each bundle still collapses to the ~60k
+    # distinct edges (Zipf keys), keeping the AllToAll input small.
+    edge_combine_batch_size: int = 500_000
 
     # --- embeddings (reference: vector/mod.rs:573-660, config/mod.rs:1295)
     embedding_dim: int = 384

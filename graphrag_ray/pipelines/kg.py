@@ -217,7 +217,8 @@ def build_kg(
             # streaming (the rewrite partials never round-trip the object
             # store as a separate checkpoint).
             combined = rewritten.map_batches(
-                merge_edges, batch_format="pyarrow", batch_size=2_000_000
+                merge_edges, batch_format="pyarrow",
+                batch_size=cfg.edge_combine_batch_size,
             )
             return combined.groupby("bucket").map_groups(
                 merge_edges, batch_format="pyarrow"
