@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_pagerank": q.syn_pagerank,
         "syn_centrality": q.syn_centrality,
         "syn_mentions": q.syn_mentions,
+        "syn_incremental": q.syn_incremental,
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -445,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_pagerank": _synkg_sql.syn_pagerank_sql(),
         "syn_centrality": _synkg_sql.syn_centrality_sql(),
         "syn_mentions": _synkg_sql.syn_mentions_sql(),
+        "syn_incremental": _synkg_sql.syn_triples_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),

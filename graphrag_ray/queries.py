@@ -842,6 +842,37 @@ def syn_centrality(sf_dir: str):
     return df
 
 
+def syn_incremental(sf_dir: str):
+    """§2.10 incremental build over the SYNTH corpus: extract the even-doc
+    half first (the 'previous run'), then incrementally add the odd half —
+    union the persisted extraction partials and re-run the
+    canonicalization → edges tail. Triples must equal the full rebuild
+    (oracle = syn_triples_sql), pinning incremental semantics against the
+    FUZZY-merged graph: newly added docs' typo variants can flip canonical
+    picks, and the tail re-canonicalizes globally, so equality must hold."""
+    import pyarrow.compute as pc
+
+    from .pipelines.incremental import (extraction_for_docs,
+                                        incremental_update)
+
+    def half(parity: int):
+        docs = spans_dataset_from_flat_parquet(
+            f"{sf_dir}/documents.parquet", include_base_text=False)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            nums = pc.cast(
+                pc.utf8_slice_codeunits(batch.column("doc_id"), 4, 32),
+                pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(nums, 1), parity))
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    old_ex = extraction_for_docs(half(0), SYN_CFG)
+    res = incremental_update(old_ex, half(1), SYN_CFG)
+    return res.triples.select_columns(["subj", "pred", "obj",
+                                       "n_occurrences"])
+
+
 def syn_mentions(sf_dir: str):
     """M12 mention offsets over the syn corpus (driver-oracled: the SQL
     twin replays the non-overlapping occurrence scan as a recursive CTE,
