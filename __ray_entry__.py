@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
         "bm25_topk": q.bm25_topk,                # SQL-oracled (T2 keyword retrieval)
         "hybrid_topk": q.hybrid_topk,            # SQL-oracled (T2 hybrid retrieval)
+        "dual_retrieval_topk": q.dual_retrieval_topk,          # SQL-oracled (LightRAG dual-level, interleave)
+        "dual_retrieval_weighted": q.dual_retrieval_weighted,  # SQL-oracled (weighted merge)
         "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
         "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
@@ -469,6 +471,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_keep": _kgx_sql.dedup_semantic_keep_sql(),
         "bm25_topk": _kgx_sql.bm25_topk_sql(),
         "hybrid_topk": _kgx_sql.hybrid_topk_sql(),
+        "dual_retrieval_topk": _kgx_sql.dual_retrieval_sql(),
+        "dual_retrieval_weighted": _kgx_sql.dual_retrieval_sql(
+            strategy="weighted"),
         "ann_ivf_topk": _ann_ivf_sql(),
         "rrf_fusion": """
             WITH cos AS (

@@ -1191,3 +1191,105 @@ def kgx_csv_import_sql() -> str:
         FROM choice c JOIN persons p ON p.idx = c.p_idx
         GROUP BY 1, 2, 3
     """
+
+
+def _bm25_block(src: str, terms, k: int, tag: str) -> str:
+    """Parameterized BM25 CTE block over source CTE ``src(doc_id, text)``:
+    emits ``{tag}rank(doc_id, score, r)`` = the store's top-k by
+    (round4 score DESC, doc_id), same arithmetic as bm25_topk_sql."""
+    from .stages.retrieval import BM25_STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in sorted(BM25_STOPWORDS))
+    qvals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+        {tag}toks AS (
+          SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       w -> regexp_replace(w, '[^a-z0-9]', '', 'g'))) AS t
+            FROM {src}) z
+          WHERE t <> '' AND length(t) > 2 AND t NOT IN ({stop_in})),
+        {tag}dl AS (SELECT d.doc_id, coalesce(x.c, 0)::DOUBLE AS doclen
+               FROM {src} d LEFT JOIN
+                 (SELECT doc_id, count(*) AS c FROM {tag}toks GROUP BY 1) x
+                 USING (doc_id)),
+        {tag}g AS (SELECT count(*)::DOUBLE AS n,
+                     sum(doclen) / count(*) AS avgdl FROM {tag}dl),
+        {tag}q(term) AS (VALUES {qvals}),
+        {tag}tf AS (SELECT t.doc_id, t.term, count(*)::DOUBLE AS f
+               FROM {tag}toks t JOIN {tag}q USING (term) GROUP BY 1, 2),
+        {tag}dfq AS (SELECT term, count(*)::DOUBLE AS df
+                     FROM {tag}tf GROUP BY term),
+        {tag}sc AS (
+          SELECT tf.doc_id,
+                 sum((ln(g.n / dfq.df) + 1.0)
+                     * ((tf.f / dl.doclen) * (1.2::DOUBLE + 1.0))
+                     / ((tf.f / dl.doclen)
+                        + 1.2::DOUBLE * (1.0 - 0.75::DOUBLE
+                            + 0.75::DOUBLE * dl.doclen / g.avgdl)))
+                     AS score
+          FROM {tag}tf tf JOIN {tag}dl dl USING (doc_id)
+          CROSS JOIN {tag}g g JOIN {tag}dfq dfq USING (term)
+          GROUP BY tf.doc_id),
+        {tag}rank AS (
+          SELECT doc_id, round(score, 4) AS score,
+                 row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                     AS r
+          FROM {tag}sc
+          ORDER BY round(score, 4) DESC, doc_id LIMIT {k})
+    """
+
+
+def dual_retrieval_sql(high_terms=("data", "window"),
+                       low_terms=("spark", "table", "join", "vector"),
+                       k: int = 10, strategy: str = "interleave",
+                       high_weight: float = 0.6,
+                       low_weight: float = 0.4) -> str:
+    """Oracle for the LightRAG dual-level retriever
+    (lightrag/dual_retrieval.rs): high store = the 12-word abstract index,
+    low store = full documents; both stores' BM25 top-k replayed, then the
+    merge strategy. Interleave = slot order (2r, 2r+1) with dedup keeping
+    a doc's earliest slot — provably identical to the alternating-iterator
+    loop (rs:204-243). Weighted = (round4 weighted score DESC, high
+    before low, source rank) — the reference's stable sort (rs:278-323)."""
+    if strategy == "interleave":
+        pos_cte = """
+        pos AS (
+          SELECT doc_id, score, 'high' AS level, 2 * (r - 1) AS pos
+          FROM hirank
+          UNION ALL
+          SELECT doc_id, score, 'low', 2 * (r - 1) + 1 FROM lorank)"""
+    elif strategy == "weighted":
+        pos_cte = f"""
+        pos AS (
+          SELECT doc_id, score, level,
+                 row_number() OVER (ORDER BY w DESC, pri, r) AS pos
+          FROM (
+            SELECT doc_id, score, 'high' AS level,
+                   round(score * {high_weight}, 4) AS w, 0 AS pri, r
+            FROM hirank
+            UNION ALL
+            SELECT doc_id, score, 'low',
+                   round(score * {low_weight}, 4), 1, r
+            FROM lorank))"""
+    else:
+        raise ValueError(strategy)
+    return f"""
+        WITH abst AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ') AS text
+          FROM documents),
+        {_bm25_block("abst", high_terms, k, "hi")},
+        {_bm25_block("documents", low_terms, k, "lo")},
+        {pos_cte},
+        ded AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS dn
+                FROM pos),
+        seq AS (SELECT doc_id, level, score,
+                       row_number() OVER (ORDER BY pos) AS merged_rank
+                FROM ded WHERE dn = 1)
+        SELECT merged_rank, doc_id, level, score
+        FROM seq WHERE merged_rank <= {k}
+    """

@@ -842,6 +842,42 @@ def syn_centrality(sf_dir: str):
     return df
 
 
+def _dual_retrieval(sf_dir: str, strategy: str):
+    """T2/LightRAG dual-level retrieval over the driver documents table:
+    high level = BM25 over the 12-word abstract index, low level = BM25
+    over full text (lightrag/dual_retrieval.rs; SQL-oracled merge)."""
+    from .stages.retrieval import dual_level_retrieve
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def abstract(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array([" ".join(t.split(" ")[:12]) for t in texts],
+                                 pa.string()),
+            }
+        )
+
+    high_store = docs.map_batches(abstract, batch_format="pyarrow")
+    return dual_level_retrieve(
+        high_store, docs,
+        high_keywords=("data", "window"),
+        low_keywords=("spark", "table", "join", "vector"),
+        top_k=10, strategy=strategy,
+    )
+
+
+def dual_retrieval_topk(sf_dir: str):
+    return _dual_retrieval(sf_dir, "interleave")
+
+
+def dual_retrieval_weighted(sf_dir: str):
+    return _dual_retrieval(sf_dir, "weighted")
+
+
 def syn_incremental(sf_dir: str):
     """§2.10 incremental build over the SYNTH corpus: extract the even-doc
     half first (the 'previous run'), then incrementally add the odd half —

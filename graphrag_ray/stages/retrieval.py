@@ -119,3 +119,117 @@ def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
         return pd.DataFrame({"doc_id": [], "score": []})
     return (allp.sort_values(["score", "doc_id"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# LightRAG dual-level retrieval (lightrag/dual_retrieval.rs:20-323)
+
+
+def _r4(x: float) -> float:
+    """Half-away-from-zero 4dp round (matches SQL round())."""
+    import math as _m
+
+    return _m.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1.0 if x >= 0 else -1.0)
+
+
+def extract_dual_keywords(query: str, llm=None,
+                          max_fallback_words: int = 10) -> dict:
+    """Dual-level keyword extraction
+    (lightrag/keyword_extraction.rs:174-197): the LLM returns a JSON
+    {"high_level": [themes], "low_level": [entities]} split; on any
+    failure fall back to the heuristic — query words longer than 3 chars,
+    first 10, lowercased, all low-level."""
+    if llm is not None:
+        try:
+            import json
+
+            resp = llm.complete(
+                "Extract dual-level retrieval keywords from the query as "
+                'JSON {"high_level": [...], "low_level": [...]}. '
+                f"Query: {query}")
+            start, end = resp.find("{"), resp.rfind("}")
+            if start != -1 and end > start:
+                d = json.loads(resp[start:end + 1])
+                return {
+                    "high_level": [str(w) for w in d.get("high_level", [])],
+                    "low_level": [str(w) for w in d.get("low_level", [])],
+                }
+        except Exception:
+            pass
+    words = [w.lower() for w in query.split() if len(w) > 3]
+    return {"high_level": [], "low_level": words[:max_fallback_words]}
+
+
+def _merge_dual(high, low, top_k: int, strategy: str,
+                high_weight: float, low_weight: float):
+    """Merge-strategy replay (dual_retrieval.rs:189-323). Dedup always
+    keeps a doc's EARLIEST slot in the strategy's visit order; 'weighted'
+    sorts by (round4 weighted score DESC) with the reference's stable
+    tie-break (high entries before low, then source rank)."""
+    import pandas as pd
+
+    rows: list = []
+    if strategy == "interleave":
+        # high[i] at slot 2i, low[i] at 2i+1 == the alternating iterator
+        for i, r in enumerate(high.itertuples(index=False)):
+            rows.append((2 * i, r.doc_id, "high", r.score))
+        for i, r in enumerate(low.itertuples(index=False)):
+            rows.append((2 * i + 1, r.doc_id, "low", r.score))
+        rows.sort(key=lambda t: t[0])
+    elif strategy in ("high_first", "low_first"):
+        first, fname, second, sname = (
+            (high, "high", low, "low") if strategy == "high_first"
+            else (low, "low", high, "high"))
+        for r in first.itertuples(index=False):
+            rows.append((len(rows), r.doc_id, fname, r.score))
+        for r in second.itertuples(index=False):
+            rows.append((len(rows), r.doc_id, sname, r.score))
+    elif strategy == "weighted":
+        tmp = []
+        for i, r in enumerate(high.itertuples(index=False)):
+            tmp.append((-_r4(r.score * high_weight), 0, i, r.doc_id,
+                        "high", r.score))
+        for i, r in enumerate(low.itertuples(index=False)):
+            tmp.append((-_r4(r.score * low_weight), 1, i, r.doc_id,
+                        "low", r.score))
+        tmp.sort()
+        rows = [(j, d, lv, s)
+                for j, (_w, _p, _i, d, lv, s) in enumerate(tmp)]
+    else:
+        raise ValueError(f"unknown merge strategy: {strategy}")
+    seen: set = set()
+    out: list = []
+    for _pos, doc_id, level, score in rows:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        out.append((len(out) + 1, doc_id, level, score))
+        if len(out) >= top_k:
+            break
+    return pd.DataFrame(out, columns=["merged_rank", "doc_id", "level",
+                                      "score"])
+
+
+def dual_level_retrieve(high_store_ds, low_store_ds,
+                        high_keywords=(), low_keywords=(),
+                        top_k: int = 10, strategy: str = "interleave",
+                        high_weight: float = 0.6, low_weight: float = 0.4,
+                        text_column: str = "text",
+                        id_column: str = "doc_id"):
+    """T2/LightRAG dual-level retrieval: each level is a DISTRIBUTED BM25
+    search over its own store Dataset (high = topic index: community
+    summaries / abstracts; low = entity/chunk index), merged by the
+    configured strategy. Config defaults mirror DualRetrievalConfig
+    (dual_retrieval.rs:45-53: weights 0.6/0.4, Interleave). An empty
+    keyword list skips that level (rs:148-151,169-172)."""
+    import pandas as pd
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                          "score": pd.Series([], dtype=float)})
+    high = (bm25_topk(high_store_ds, " ".join(high_keywords), top_k,
+                      text_column=text_column, id_column=id_column)
+            if high_keywords else empty)
+    low = (bm25_topk(low_store_ds, " ".join(low_keywords), top_k,
+                     text_column=text_column, id_column=id_column)
+           if low_keywords else empty)
+    return _merge_dual(high, low, top_k, strategy, high_weight, low_weight)

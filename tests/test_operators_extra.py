@@ -572,3 +572,64 @@ def test_sessionize_time_bucketed_equals_one_group(ray_session):
         assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
     # sanity: the time-bucket split actually produced multi-bucket users
     assert a[a["user_id"] == 7]["n_events"].sum() == 400
+
+
+def test_dual_merge_strategies_reference_semantics():
+    """dual_retrieval.rs:189-323 merge replay on hand-built rank lists:
+    interleave alternates starting high and dedups without consuming a
+    slot; concat orders first-then-second; weighted sorts by weighted
+    score with the stable high-before-low tie-break."""
+    import pandas as pd
+
+    from graphrag_ray.stages.retrieval import _merge_dual
+
+    high = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                         "score": [3.0, 2.0, 1.0]})
+    low = pd.DataFrame({"doc_id": ["b", "d"], "score": [5.0, 4.0]})
+
+    m = _merge_dual(high, low, 10, "interleave", 0.6, 0.4)
+    # slots: a(h0) b(l0) b(h1 dup) d(l1) c(h2)
+    assert list(m.doc_id) == ["a", "b", "d", "c"]
+    assert list(m.level) == ["high", "low", "low", "high"]
+    assert list(m.merged_rank) == [1, 2, 3, 4]
+
+    m = _merge_dual(high, low, 10, "high_first", 0.6, 0.4)
+    assert list(m.doc_id) == ["a", "b", "c", "d"]
+    m = _merge_dual(high, low, 10, "low_first", 0.6, 0.4)
+    assert list(m.doc_id) == ["b", "d", "a", "c"]
+
+    # weighted: a=1.8 b_h=1.2 c=0.6 | b_l=2.0 d=1.6 → b(2.0) a(1.8) d(1.6)
+    # b_h(1.2, dup) c(0.6)
+    m = _merge_dual(high, low, 10, "weighted", 0.6, 0.4)
+    assert list(m.doc_id) == ["b", "a", "d", "c"]
+    assert list(m.level) == ["low", "high", "low", "high"]
+
+    # top_k truncation
+    m = _merge_dual(high, low, 2, "interleave", 0.6, 0.4)
+    assert list(m.doc_id) == ["a", "b"]
+
+
+def test_extract_dual_keywords_fallback_and_llm():
+    """keyword_extraction.rs:174-197: LLM JSON path (with surrounding
+    prose) and the heuristic fallback (>3-char words, first 10, lower)."""
+    from graphrag_ray.stages.retrieval import extract_dual_keywords
+
+    class JsonLLM:
+        def complete(self, prompt):
+            return ('Sure! {"high_level": ["Themes"], '
+                    '"low_level": ["Tom", "Huck"]}')
+
+    got = extract_dual_keywords("q", llm=JsonLLM())
+    assert got == {"high_level": ["Themes"], "low_level": ["Tom", "Huck"]}
+
+    class BrokenLLM:
+        def complete(self, prompt):
+            raise RuntimeError("down")
+
+    got = extract_dual_keywords(
+        "How did Tom and Huck find the treasure fast", llm=BrokenLLM())
+    assert got["high_level"] == []
+    assert got["low_level"] == ["huck", "find", "treasure", "fast"]
+    # the 10-word fallback cap
+    long_q = " ".join(f"word{i:02d}" for i in range(15))
+    assert len(extract_dual_keywords(long_q)["low_level"]) == 10
