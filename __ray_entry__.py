@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_centrality": q.syn_centrality,
         "syn_mentions": q.syn_mentions,
         "syn_incremental": q.syn_incremental,
+        "syn_boundaries": q.syn_boundaries,      # SQL-oracled (BAR-RAG boundary detection)
+        "kg_boundary_chunks": q.kg_boundary_chunks,  # boundary-aware chunking (rows-only)
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -449,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_centrality": _synkg_sql.syn_centrality_sql(),
         "syn_mentions": _synkg_sql.syn_mentions_sql(),
         "syn_incremental": _synkg_sql.syn_triples_sql(),
+        "syn_boundaries": _syn_sql.syn_boundaries_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),

@@ -304,6 +304,11 @@ def chunk_doc(text: str, strategy: str, chunk_size: int, overlap: int,
 
         emb = HashEmbedder(dim=64)
         return chunk_text_semantic(text, emb.embed_text)
+    if strategy == "boundary_aware":
+        from .boundaries import chunk_text_boundary_aware
+
+        # content is sentence-joined, offsets synthetic (see boundaries.py)
+        return chunk_text_boundary_aware(text, chunk_size, min_chunk_size)
     if strategy == "hierarchical":
         spans = chunk_text_hierarchical(text, chunk_size, overlap, min_chunk_size)
     else:

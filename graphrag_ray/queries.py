@@ -878,6 +878,52 @@ def dual_retrieval_weighted(sf_dir: str):
     return _dual_retrieval(sf_dir, "weighted")
 
 
+def syn_boundaries(sf_dir: str):
+    """BAR-RAG semantic boundary detection over the synth spans corpus
+    (driver-oracled: every synth sentence terminal is a boundary, title
+    abbreviations suppressed — the SQL twin emits cumulative
+    sentence-length positions)."""
+    from .functions.boundaries import detect_boundaries
+    from .stages.chunk import texts_from_spans
+
+    docs = spans_dataset_from_flat_parquet(
+        f"{sf_dir}/documents.parquet", include_base_text=False)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "position": [], "boundary_type": [],
+               "confidence": []}
+        texts = texts_from_spans(batch.column("spans"))
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(), texts):
+            for b in detect_boundaries(text):
+                out["doc_id"].append(doc_id)
+                out["position"].append(b.position)
+                out["boundary_type"].append(b.boundary_type)
+                out["confidence"].append(round(b.confidence, 4))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "position": pa.array(out["position"], pa.int64()),
+                "boundary_type": pa.array(out["boundary_type"], pa.string()),
+                "confidence": pa.array(out["confidence"], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def kg_boundary_chunks(sf_dir: str):
+    """Boundary-aware chunking strategy (BAR-RAG sync path) over the spans
+    corpus — sentence-packed chunks capped at 2000 chars."""
+    from .stages.chunk import make_chunk_batch_fn
+
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    return docs.map_batches(
+        make_chunk_batch_fn(strategy="boundary_aware", chunk_size=2000),
+        batch_format="pyarrow",
+    ).select_columns(["chunk_id", "doc_id", "chunk_idx", "start_offset",
+                      "end_offset"])
+
+
 def syn_incremental(sf_dir: str):
     """§2.10 incremental build over the SYNTH corpus: extract the even-doc
     half first (the 'previous run'), then incrementally add the odd half —

@@ -274,3 +274,23 @@ def media_frames_sql(fps_sample: float = 1.0) -> str:
          generate_series(0, 29) AS f(i)
     WHERE g.s < {_NS} AND f.i * 1000 < {dur}
     """
+
+
+def syn_boundaries_sql() -> str:
+    """Oracle for BAR-RAG boundary detection over the synth corpus
+    (text/boundary_detection.rs): every synth sentence carries its own
+    '. ' terminal, mid-sentence 'Dr. '/'Prof. ' title matches are
+    abbreviation-suppressed, no paragraph/heading/list/code pattern occurs
+    and the min-sentence-length gate never trips (all four asserted
+    corpus-wide by tests/test_boundaries.py) — so the expected boundary
+    set is exactly the cumulative sentence-length positions."""
+    return f"""
+        WITH {_sentence_cte()}
+        SELECT 'doc_' || lpad(did::VARCHAR, 8, '0') AS doc_id,
+               (sum(length(sentence)) OVER (
+                    PARTITION BY did ORDER BY s
+                    ROWS UNBOUNDED PRECEDING))::BIGINT AS position,
+               'sentence' AS boundary_type,
+               0.9 AS confidence
+        FROM sent
+    """
