@@ -1293,3 +1293,73 @@ def dual_retrieval_sql(high_terms=("data", "window"),
         SELECT merged_rank, doc_id, level, score
         FROM seq WHERE merged_rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# kgxs: hierarchical-structure corpus (document_structure.rs twin)
+
+_KGXS_N = 6
+
+
+def kgxs_text(doc_id: int) -> str:
+    """Deterministic markdown doc with 6 headings at md5-driven levels
+    1-3 ('S{i} L{level}' titles, fixed 14-char body lines) — every length
+    is arithmetic over the level sequence, so the SQL twin re-derives the
+    parser's offsets, the stack-rule parents, depths and heading paths."""
+    lines = []
+    for i in range(_KGXS_N):
+        lvl = 1 + int(hashlib.md5(f"kgxs:{doc_id}:{i}".encode())
+                      .hexdigest()[:8], 16) % 3
+        lines.append("#" * lvl + f" S{i} L{lvl}")
+        lines.append("body text line")
+    return "".join(line + "\n" for line in lines)
+
+
+def kgx_structure_sql() -> str:
+    """Oracle for build_structure over the kgxs corpus: heading offsets
+    are cumulative (level_j + 22) sums, parent = max earlier index with a
+    strictly smaller level (== the markdown.rs:35-58 stack rule), depth +
+    root→leaf path via a recursive parent-chain walk, content spans run
+    heading-end → next heading start (or document length)."""
+    hx = ("1 + ('0x'||substr(md5('kgxs:'||doc_id||':'||i),1,8))::BIGINT % 3")
+    return f"""
+        WITH RECURSIVE hs AS (
+          SELECT doc_id, i, ({hx})::INT AS level
+          FROM documents, generate_series(0, {_KGXS_N - 1}) AS g(i)),
+        agg AS (
+          SELECT doc_id, i, level,
+                 'S' || i || ' L' || level AS title,
+                 coalesce(sum(level + 22) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS start_off
+          FROM hs),
+        doclen AS (
+          SELECT doc_id, (sum(level) + {_KGXS_N * 22})::BIGINT AS tlen
+          FROM hs GROUP BY doc_id),
+        par AS (
+          SELECT a.doc_id, a.i, a.level, a.title, a.start_off,
+                 (a.start_off + a.level + 6)::BIGINT AS end_off,
+                 coalesce((SELECT max(b.i) FROM agg b
+                           WHERE b.doc_id = a.doc_id AND b.i < a.i
+                             AND b.level < a.level), -1)::INT AS parent
+          FROM agg a),
+        chain(doc_id, i, anc, depth, path) AS (
+          SELECT doc_id, i, parent, 0, title FROM par
+          UNION ALL
+          SELECT c.doc_id, c.i, p.parent, c.depth + 1,
+                 p.title || ' > ' || c.path
+          FROM chain c JOIN par p ON p.doc_id = c.doc_id AND p.i = c.anc
+          WHERE c.anc >= 0),
+        fin AS (SELECT doc_id, i, depth, path FROM chain WHERE anc = -1)
+        SELECT p.doc_id::VARCHAR AS doc_id, p.i AS section_idx, p.level,
+               p.title, p.parent AS parent_idx, f.depth::INT AS depth,
+               f.path,
+               p.end_off AS content_start,
+               coalesce(lead(p.start_off) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.i), d.tlen)
+                   AS content_end
+        FROM par p
+        JOIN fin f ON f.doc_id = p.doc_id AND f.i = p.i
+        JOIN doclen d ON d.doc_id = p.doc_id
+    """

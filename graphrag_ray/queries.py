@@ -878,6 +878,31 @@ def dual_retrieval_weighted(sf_dir: str):
     return _dual_retrieval(sf_dir, "weighted")
 
 
+def kgx_structure(sf_dir: str):
+    """Hierarchical document structure (document_structure.rs +
+    markdown.rs build_sections/build_hierarchy) over the kgxs corpus —
+    driver-oracled: stack-rule parents, depths, heading paths and content
+    spans all re-derived in SQL from the md5 level sequence."""
+    from . import kgx
+    from .stages.layout import structure_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([str(d) for d in ids], pa.string()),
+                "text": pa.array([kgx.kgxs_text(d) for d in ids],
+                                 pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_text, batch_format="pyarrow").map_batches(
+        structure_batch, batch_format="pyarrow")
+
+
 def syn_boundaries(sf_dir: str):
     """BAR-RAG semantic boundary detection over the synth spans corpus
     (driver-oracled: every synth sentence terminal is a boundary, title

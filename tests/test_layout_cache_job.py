@@ -187,3 +187,26 @@ def test_job_entrypoint_with_config_file(tmp_path):
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["triple_count"] > 0
     assert (tmp_path / "out" / "tc" / "workspace.json").exists()
+
+
+def test_document_structure_hierarchy():
+    """document_structure.rs + markdown.rs:18-72: stack-rule parents,
+    depths, root→leaf paths, content spans (hand-derived fixture; the
+    reference's own test asserts H2's parent is H1)."""
+    from graphrag_ray.stages.layout import build_structure, parse_sections
+
+    t = "# A\nbody\n## B\nbody\n### C\nx\n## D\nend\n# E\ntail"
+    rows = build_structure(parse_sections(t), len(t))
+    assert [(r["title"], r["parent_idx"], r["depth"]) for r in rows] == [
+        ("A", -1, 0), ("B", 0, 1), ("C", 1, 2), ("D", 0, 1), ("E", -1, 0)]
+    assert rows[2]["path"] == "A > B > C"
+    assert rows[3]["path"] == "A > D"
+    # content spans: heading end → next heading start (or len)
+    assert rows[0]["content_start"] == 3
+    assert rows[0]["content_end"] == t.index("## B")
+    assert rows[4]["content_end"] == len(t)
+    # level jump down by 2 then root again: parent skips to nearest lower
+    t2 = "# R\n### deep\n## mid"
+    rows2 = build_structure(parse_sections(t2), len(t2))
+    assert [(r["title"], r["parent_idx"]) for r in rows2] == [
+        ("R", -1), ("deep", 0), ("mid", 0)]
