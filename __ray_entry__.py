@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_incremental": q.syn_incremental,
         "syn_boundaries": q.syn_boundaries,      # SQL-oracled (BAR-RAG boundary detection)
         "kgx_structure": q.kgx_structure,        # SQL-oracled (heading hierarchy)
+        "syn_contextual_chunks": q.syn_contextual_chunks,  # SQL-oracled (contextual retrieval enrichment)
         "kg_boundary_chunks": q.kg_boundary_chunks,  # boundary-aware chunking (rows-only)
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_incremental": _synkg_sql.syn_triples_sql(),
         "syn_boundaries": _syn_sql.syn_boundaries_sql(),
         "kgx_structure": _kgx_sql.kgx_structure_sql(),
+        "syn_contextual_chunks": _syn_sql.syn_contextual_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),
         "kgx_csv_import": _kgx_sql.kgx_csv_import_sql(),

@@ -878,6 +878,19 @@ def dual_retrieval_weighted(sf_dir: str):
     return _dual_retrieval(sf_dir, "weighted")
 
 
+def syn_contextual_chunks(sf_dir: str):
+    """Contextual chunk enrichment (Anthropic contextual-retrieval
+    pattern, text/contextual_enricher.rs) over the spans corpus —
+    driver-oracled: the mock context LLM answers with the document's
+    first-sentence prefix, so enriched content and the per-doc num_ctx
+    are fully SQL-derivable."""
+    from .stages.enrich import ContextualEnricher
+
+    docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet")
+    return docs.map_batches(
+        ContextualEnricher, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def kgx_structure(sf_dir: str):
     """Hierarchical document structure (document_structure.rs +
     markdown.rs build_sections/build_hierarchy) over the kgxs corpus —

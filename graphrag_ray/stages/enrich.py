@@ -282,3 +282,109 @@ def yake_keywords(text: str, top_k: int = 5, window: int = 2) -> list[str]:
         scored.append((score, t))
     scored.sort(key=lambda st: (st[0], st[1]))
     return [t for _s, t in scored[:top_k]]
+
+
+# ---------------------------------------------------------------------------
+# Contextual chunk enrichment (Anthropic contextual-retrieval pattern;
+# text/contextual_enricher.rs)
+
+
+def estimate_tokens(text: str) -> int:
+    """contextual_enricher.rs:125-127 — chars/4."""
+    return len(text) // 4
+
+
+def calculate_num_ctx(document_text: str, chunk_texts, *,
+                      max_output_tokens: int = 150,
+                      safety_margin: float = 0.05) -> int:
+    """contextual_enricher.rs:141-160: 100 instruction tokens + document
+    (the KV-cached static prefix) + largest chunk + output budget + 5%
+    margin, rounded up to 1024, clamped to [4096, 131072]."""
+    base = (100 + estimate_tokens(document_text)
+            + max((estimate_tokens(c) for c in chunk_texts), default=0)
+            + max_output_tokens)
+    with_margin = int(base * (1.0 + safety_margin))
+    rounded = ((with_margin + 1023) // 1024) * 1024
+    return max(4096, min(131_072, rounded))
+
+
+def build_context_prompt(document_text: str, chunk_text: str) -> str:
+    """contextual_enricher.rs:167-179 — KV-cache-friendly structure: the
+    full document is the STATIC prefix (evaluated once per document with
+    keep_alive), the chunk the dynamic suffix."""
+    return (
+        f"<document>\n{document_text}\n</document>\n\n"
+        "Here is the chunk we want to situate within the whole document:\n"
+        f"<chunk>\n{chunk_text}\n</chunk>\n\n"
+        "Please give a short succinct context to situate this chunk within "
+        "the overall document for the purposes of improving search retrieval "
+        "of the chunk. Answer only with the succinct context and nothing else."
+    )
+
+
+class MockContextLLM:
+    """Deterministic stand-in for the Ollama client in the contextual
+    enricher: answers with the document's first sentence (a legitimate
+    'situating context' that the SQL oracle can re-derive). Parses the
+    document back out of the prompt the same way the gleaning MockLLM
+    does."""
+
+    def complete(self, prompt: str) -> str:
+        doc = prompt.split("<document>\n", 1)[-1].split("\n</document>", 1)[0]
+        end = doc.find(". ")
+        return doc[: end + 2] if end != -1 else doc
+
+
+class ContextualEnricher:
+    """Actor-pool stage: spans-document batches → contextually enriched
+    chunk rows ('{context}\\n\\n{chunk}', contextual_enricher.rs:200-204).
+
+    The reference groups chunks by source document so Ollama's KV cache
+    evaluates the document prefix ONCE per doc (keep_alive pinned); the
+    Ray-native equivalent fuses chunking + enrichment per document inside
+    one actor — the per-actor ``llm`` client is the KV-cache seam, and the
+    document prompt prefix is built once per doc per batch. num_ctx is
+    computed per document exactly as the reference does and carried on
+    every row (it is what a real Ollama backend would pass)."""
+
+    def __init__(self, llm=None, chunk_size: int = 256, overlap: int = 50,
+                 max_output_tokens: int = 150, safety_margin: float = 0.05,
+                 context_separator: str = "\n\n"):
+        self.llm = llm if llm is not None else MockContextLLM()
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self.max_output_tokens = max_output_tokens
+        self.safety_margin = safety_margin
+        self.context_separator = context_separator
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.chunking import chunk_text
+        from .chunk import texts_from_spans
+
+        out = {"chunk_id": [], "doc_id": [], "num_ctx": [],
+               "enriched_content": []}
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = texts_from_spans(batch.column("spans"))
+        for doc_id, text in zip(doc_ids, texts):
+            spans = chunk_text(text, self.chunk_size, self.overlap)
+            contents = [text[s:e] for (_i, s, e) in spans]
+            num_ctx = calculate_num_ctx(
+                text, contents, max_output_tokens=self.max_output_tokens,
+                safety_margin=self.safety_margin)
+            for (i, _s, _e), content in zip(spans, contents):
+                context = self.llm.complete(
+                    build_context_prompt(text, content)).strip()
+                out["chunk_id"].append(f"{doc_id}_{i}")
+                out["doc_id"].append(doc_id)
+                out["num_ctx"].append(num_ctx)
+                out["enriched_content"].append(
+                    f"{context}{self.context_separator}{content}")
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": pa.array(out["chunk_id"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "num_ctx": pa.array(out["num_ctx"], pa.int64()),
+                "enriched_content": pa.array(out["enriched_content"],
+                                             pa.string()),
+            }
+        )

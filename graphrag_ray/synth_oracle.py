@@ -294,3 +294,41 @@ def syn_boundaries_sql() -> str:
                0.9 AS confidence
         FROM sent
     """
+
+
+def syn_contextual_sql(chunk_size: int = 256, overlap: int = 50) -> str:
+    """Oracle for the contextual chunk enricher
+    (text/contextual_enricher.rs): chunk contents come from the chunker
+    replay, the mock LLM's situating context is the document prefix up to
+    the first '. ' (trimmed), enriched = context + '\\n\\n' + chunk, and
+    num_ctx replays rs:141-160 exactly (100 + doc/4 + max-chunk/4 + 150,
+    +5%, round-up-1024, clamp [4096, 131072])."""
+    return f"""
+        {_text_cte()},
+        ch AS (SELECT * FROM ({kg_chunks_sql(chunk_size, overlap)})),
+        ctx AS (
+          SELECT doc_id, text,
+                 CASE WHEN strpos(text, '. ') = 0 THEN trim(text)
+                      ELSE trim(substr(text, 1, strpos(text, '. ') + 1))
+                 END AS context,
+                 length(text)::BIGINT AS tlen
+          FROM texts),
+        mx AS (SELECT doc_id,
+                      max(end_offset - start_offset)::BIGINT AS maxlen
+               FROM ch GROUP BY doc_id),
+        nc AS (
+          SELECT ctx.doc_id,
+                 least(131072, greatest(4096,
+                   ((CAST(trunc((100 + ctx.tlen // 4 + mx.maxlen // 4
+                                 + 150) * 1.05) AS BIGINT)
+                     + 1023) // 1024) * 1024))::BIGINT AS num_ctx
+          FROM ctx JOIN mx USING (doc_id))
+        SELECT ch.chunk_id, ch.doc_id, nc.num_ctx,
+               ctx.context || chr(10) || chr(10)
+                 || substr(ctx.text, ch.start_offset + 1,
+                           ch.end_offset - ch.start_offset)
+                   AS enriched_content
+        FROM ch
+        JOIN ctx ON ctx.doc_id = ch.doc_id
+        JOIN nc ON nc.doc_id = ch.doc_id
+    """

@@ -633,3 +633,43 @@ def test_extract_dual_keywords_fallback_and_llm():
     # the 10-word fallback cap
     long_q = " ".join(f"word{i:02d}" for i in range(15))
     assert len(extract_dual_keywords(long_q)["low_level"]) == 10
+
+
+def test_contextual_enricher_reference_semantics():
+    """contextual_enricher.rs: prompt structure (KV-cache static document
+    prefix), '{context}\\n\\n{chunk}' output, and the num_ctx formula
+    (100 + doc/4 + max-chunk/4 + output budget, +5%, round-1024, clamp)."""
+    from graphrag_ray.stages.enrich import (build_context_prompt,
+                                            calculate_num_ctx,
+                                            estimate_tokens)
+
+    p = build_context_prompt("full document text", "chunk excerpt")
+    assert p.startswith("<document>\nfull document text\n</document>")
+    assert "<chunk>\nchunk excerpt\n</chunk>" in p
+    assert estimate_tokens("abcdefgh") == 2
+    # rs test_calculate_num_ctx_minimum: tiny inputs clamp to 4096
+    assert calculate_num_ctx("short", ["c"]) == 4096
+    # large doc: 40000 chars -> 10000 tokens; base = 100+10000+25+150
+    # = 10275; *1.05 = 10788; round up -> 11264
+    assert calculate_num_ctx("x" * 40000, ["y" * 100]) == 11264
+    # clamp at 128k
+    assert calculate_num_ctx("x" * 4_000_000, ["y"]) == 131072
+
+
+def test_contextual_enricher_stage_output():
+    import pyarrow as pa
+
+    from graphrag_ray.stages.enrich import ContextualEnricher
+
+    spans = [[{"kind": "text", "text": "First sentence here. ",
+               "media_ref": None, "offset": 0},
+              {"kind": "text", "text": "Second one follows. ",
+               "media_ref": None, "offset": 1}]]
+    batch = pa.Table.from_pydict({"doc_id": ["d0"], "spans": spans})
+    out = ContextualEnricher(chunk_size=2048, overlap=0)(batch)
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["chunk_id"] == "d0_0"
+    assert row["enriched_content"].startswith("First sentence here.\n\n")
+    assert row["enriched_content"].endswith("Second one follows. ")
+    assert row["num_ctx"] == 4096
