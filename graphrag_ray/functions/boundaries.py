@@ -19,10 +19,11 @@ Transcription of the reference's boundary machinery:
   ``CHUNK_COUNTER`` atomic (a process-global counter cannot distribute;
   chunk ids stay ``{doc_id}_{idx}`` like every other strategy here).
 
-The async path (coherence-scored optimal splits over sentence embeddings,
-semantic_coherence.rs) intentionally stays out: it needs a live embedding
-provider; the boundary positions it falls back to are exactly what
-``detect_boundaries`` returns, which IS the deterministic contract.
+The reference's async path (coherence-scored optimal splits over sentence
+embeddings, semantic_coherence.rs) lives in ``chunk_text_boundary_scored``
+below with the embedding provider injected (functions/coherence.py holds
+the scorer transcription); its boundary-position fallback is exactly what
+``detect_boundaries`` returns.
 """
 
 from __future__ import annotations
@@ -197,3 +198,24 @@ def chunk_text_boundary_aware(text: str, max_chunk_chars: int = 2000,
         chunks.append((len(chunks), start_offset,
                        start_offset + len(current), current))
     return chunks
+
+
+def chunk_text_boundary_scored(text: str, embed_fn,
+                               max_chunk_chars: int = 2000,
+                               min_chunk_chars: int = 200,
+                               ) -> list[tuple[int, int, int, str]]:
+    """The reference's full boundary-aware path
+    (chunking_strategies.rs:323-360 chunk_async): detect boundaries →
+    keep paragraph/heading/code positions → coherence-scored greedy
+    optimal split (semantic_coherence.rs) → (idx, start, end, content)
+    char-span chunks. Oversized chunks are kept (the reference's size
+    enforcement trims only via further boundary splits, which the greedy
+    search already considered)."""
+    from .coherence import CoherenceScorer
+
+    boundaries = detect_boundaries(text)
+    positions = split_positions(boundaries)
+    scorer = CoherenceScorer(embed_fn)
+    result = scorer.find_optimal_split(text, positions)
+    return [(i, c["start_pos"], c["end_pos"], c["text"])
+            for i, c in enumerate(result["chunks"])]

@@ -138,3 +138,93 @@ def test_syn_boundaries_oracle_assumptions():
         got = [(b.position, b.boundary_type, b.confidence)
                for b in detect_boundaries(text)]
         assert got == exp, d
+
+
+def _topic_embed(sentence: str):
+    """Deterministic topic embedding: axis 0 for 'cat' sentences, axis 1
+    for 'car' sentences, a diagonal otherwise."""
+    import numpy as np
+
+    v = np.zeros(4, dtype=np.float32)
+    low = sentence.lower()
+    if "cat" in low:
+        v[0] = 1.0
+    elif "car" in low:
+        v[1] = 1.0
+    else:
+        v[2] = 1.0
+    return v
+
+
+def test_coherence_scoring_reference_semantics():
+    """semantic_coherence.rs:118-204: identical-topic chunks score 1.0,
+    mixed-topic chunks lower; single sentence is perfect coherence."""
+    import numpy as np
+
+    from graphrag_ray.functions.coherence import (CoherenceScorer,
+                                                  cosine_similarity,
+                                                  split_sentences_coherence)
+
+    sc = CoherenceScorer(_topic_embed)
+    same = "The cat sat on a mat. The cat ate some food. A cat slept well."
+    mixed = "The cat sat on a mat. The car drove very fast."
+    assert sc.score_chunk_coherence(same) == 1.0
+    assert sc.score_chunk_coherence(mixed) == 0.0
+    assert sc.score_chunk_coherence("One sentence only.") == 1.0
+    # cosine guards (rs:358-375)
+    assert cosine_similarity(np.zeros(3), np.ones(3)) == 0.0
+    assert cosine_similarity(np.ones(2), np.ones(3)) == 0.0
+    # splitter merges <=3-char fragments forward (rs only clears the
+    # buffer when a sentence is actually pushed)
+    assert split_sentences_coherence("Hi. A proper sentence here.") == [
+        "Hi. A proper sentence here."]
+
+
+def test_find_optimal_split_prefers_topic_boundary():
+    """The greedy search must place the split exactly at the cat→car
+    topic change and report higher overall coherence than unsplit."""
+    from graphrag_ray.functions.coherence import CoherenceScorer
+
+    text = ("The cat sat quietly. The cat purred loudly. "
+            "The car drove away. The car honked twice.")
+    split_at = text.index("The car")
+    sc = CoherenceScorer(_topic_embed)
+    base = sc.score_chunk_coherence(text)
+    res = sc.find_optimal_split(
+        text, [split_at, text.index("The cat purred")])
+    assert res["split_positions"] == [split_at]
+    assert res["overall_coherence"] == 1.0 > base
+    assert [c["start_pos"] for c in res["chunks"]] == [0, split_at]
+    # min-sentences validation: a split leaving a 1-sentence chunk is
+    # rejected (popped), leaving no splits
+    res2 = CoherenceScorer(_topic_embed, min_sentences_per_chunk=3
+                           ).find_optimal_split(text, [split_at])
+    assert res2["split_positions"] == []
+
+
+def test_adaptive_threshold():
+    from graphrag_ray.functions.coherence import CoherenceScorer
+
+    sc = CoherenceScorer(_topic_embed)
+    short = "The cat sat. " * 2
+    assert sc.calculate_adaptive_threshold(short) > 0.6
+    sc_off = CoherenceScorer(_topic_embed, adaptive_threshold=False)
+    assert sc_off.calculate_adaptive_threshold(short) == 0.65
+
+
+def test_boundary_scored_chunker():
+    """Note: a paragraph break directly after sentence punctuation ends at
+    the SAME position as the sentence boundary, which wins the first-wins
+    dedup — so split candidates only survive where the preceding line has
+    no terminal punctuation (reference-faithful interaction)."""
+    from graphrag_ray.functions.boundaries import chunk_text_boundary_scored
+
+    text = ("The cat sat quietly. The cat purred loudly\n\n"
+            "The car drove away. The car honked twice.")
+    chunks = chunk_text_boundary_scored(text, _topic_embed)
+    assert len(chunks) == 2
+    assert chunks[0][3].strip().endswith("purred loudly")
+    assert chunks[1][3].strip().startswith("The car drove")
+    # spans tile the text exactly
+    assert chunks[0][1] == 0 and chunks[1][2] == len(text)
+    assert chunks[0][2] == chunks[1][1]
