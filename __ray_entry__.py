@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_mentions": q.syn_mentions,
         "syn_incremental": q.syn_incremental,
         "syn_boundaries": q.syn_boundaries,      # SQL-oracled (BAR-RAG boundary detection)
+        "syn_query_analysis": q.syn_query_analysis,  # SQL-oracled (adaptive-retrieval query classifier)
         "kgx_structure": q.kgx_structure,        # SQL-oracled (heading hierarchy)
         "syn_contextual_chunks": q.syn_contextual_chunks,  # SQL-oracled (contextual retrieval enrichment)
         "kg_boundary_chunks": q.kg_boundary_chunks,  # boundary-aware chunking (rows-only)
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_mentions": _synkg_sql.syn_mentions_sql(),
         "syn_incremental": _synkg_sql.syn_triples_sql(),
         "syn_boundaries": _syn_sql.syn_boundaries_sql(),
+        "syn_query_analysis": _synkg_sql.syn_query_analysis_sql(),
         "kgx_structure": _kgx_sql.kgx_structure_sql(),
         "syn_contextual_chunks": _syn_sql.syn_contextual_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),

@@ -916,6 +916,33 @@ def kgx_structure(sf_dir: str):
         structure_batch, batch_format="pyarrow")
 
 
+def syn_query_analysis(sf_dir: str):
+    """Rule-based query analysis (retrieval/mod.rs:497-581) for the fixed
+    ANALYSIS_QUERIES set against the syn canonical entities —
+    driver-oracled: containment matching, the type cascade, intent
+    precedence and the complexity formula all replayed in SQL."""
+    import pandas as pd
+
+    from .stages.retrieval import ANALYSIS_QUERIES, analyze_query
+
+    names = sorted(
+        r["canonical_name"]
+        for r in _syn(sf_dir).entities.select_columns(
+            ["canonical_name"]).take_all())
+    rows = []
+    for query in ANALYSIS_QUERIES:
+        a = analyze_query(query, names)
+        rows.append({
+            "query": query,
+            "query_type": a["query_type"],
+            "intent": a["intent"],
+            "key_entities": "|".join(a["key_entities"]),
+            "concepts": "|".join(a["concepts"]),
+            "complexity": _round4([a["complexity_score"]])[0],
+        })
+    return pd.DataFrame(rows)
+
+
 def syn_boundaries(sf_dir: str):
     """BAR-RAG semantic boundary detection over the synth spans corpus
     (driver-oracled: every synth sentence terminal is a boundary, title

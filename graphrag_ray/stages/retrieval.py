@@ -233,3 +233,188 @@ def dual_level_retrieve(high_store_ds, low_store_ds,
                      text_column=text_column, id_column=id_column)
            if low_keywords else empty)
     return _merge_dual(high, low, top_k, strategy, high_weight, low_weight)
+
+
+# ---------------------------------------------------------------------------
+# Query analysis + adaptive strategy selection
+# (retrieval/mod.rs:497-581,807-819; retrieval/adaptive.rs:36-86)
+
+QUERY_STOPWORDS = frozenset(
+    "the be to of and a in that have i it for not on with he as you do at "
+    "this but his by from they we say her she or an will my one all would "
+    "there their what so up out if about who get which go me".split())
+
+ABSTRACT_INDICATORS = frozenset(
+    ("concept", "idea", "theory", "principle", "philosophy", "meaning",
+     "understanding", "knowledge", "wisdom", "truth", "beauty", "justice"))
+
+QUESTION_WORDS = frozenset(
+    ("what", "how", "why", "when", "where", "who", "which", "explain",
+     "describe"))
+
+_INTENT_RULES = (
+    ("overview", ("overview", "summary", "general", "about")),
+    ("detailed", ("detailed", "specific", "exactly", "precise")),
+    ("comparative", ("compare", "vs", "versus", "between", "difference")),
+    ("causal", ("cause", "why", "because", "lead", "result")),
+    ("temporal", ("when", "time", "before", "after", "during")),
+)
+
+# AdaptiveConfig per-query-type 4-strategy weights (adaptive.rs:56-86)
+ADAPTIVE_WEIGHTS = {
+    "entity_focused": (0.2, 0.5, 0.2, 0.1),   # vector, graph, hier, bm25
+    "conceptual": (0.6, 0.1, 0.3, 0.0),
+    "factual": (0.2, 0.1, 0.1, 0.6),
+    "relationship": (0.2, 0.6, 0.1, 0.1),
+    "complex": (0.25, 0.25, 0.25, 0.25),
+}
+
+
+def analyze_query(query: str, entity_names) -> dict:
+    """Rule-based query analysis (retrieval/mod.rs:497-581): key entities
+    by two-way word/name containment, concepts = >3-char non-stop words
+    not overlapping a matched entity, type by entity-count → abstract →
+    question-word cascade, intent by the five keyword lists (first match,
+    default 'detailed'), complexity = min(0.1·words + 0.3·entities +
+    0.2·concepts, 1.0). ``entity_names`` order is preserved in
+    ``key_entities`` (pass a sorted list for determinism)."""
+    words = query.lower().split()
+    key_entities = []
+    for name in entity_names:
+        low = name.lower()
+        if any(w in low or low in w for w in words):
+            key_entities.append(name)
+    lows = [n.lower() for n in key_entities]
+    concepts = [w for w in words
+                if len(w) > 3 and w not in QUERY_STOPWORDS
+                and not any(w in e or e in w for e in lows)]
+    if len(key_entities) > 1:
+        qtype = "relationship"
+    elif key_entities:
+        qtype = "entity_focused"
+    elif any(w in ABSTRACT_INDICATORS for w in words):
+        qtype = "conceptual"
+    elif any(w in QUESTION_WORDS for w in words):
+        qtype = "exploratory"
+    else:
+        qtype = "factual"
+    intent = "detailed"
+    for name, kws in _INTENT_RULES:
+        if any(w in kws for w in words):
+            intent = name
+            break
+    complexity = min(0.1 * len(words) + 0.3 * len(key_entities)
+                     + 0.2 * len(concepts), 1.0)
+    return {
+        "query_type": qtype,
+        "key_entities": key_entities,
+        "concepts": concepts,
+        "intent": intent,
+        "complexity_score": complexity,
+    }
+
+
+def calculate_strategy_weights(query_type: str, intent: str
+                               ) -> tuple[float, float, float]:
+    """(vector, graph, hierarchical) triple per retrieval/mod.rs:807-819."""
+    if query_type == "entity_focused":
+        return (0.5, 0.4, 0.1)
+    if query_type == "relationship":
+        return (0.3, 0.6, 0.1)
+    if query_type == "conceptual":
+        return (0.2, 0.2, 0.6) if intent == "overview" else (0.4, 0.3, 0.3)
+    if query_type == "exploratory":
+        return (0.3, 0.2, 0.5) if intent == "overview" else (0.4, 0.4, 0.2)
+    return (0.6, 0.3, 0.1)  # factual
+
+
+# fixed query set for the driver-oracled query_analysis surface; chosen to
+# exercise every type/intent branch incl. the intent-rule precedence
+ANALYSIS_QUERIES = (
+    "overview about Morrison holdings",
+    "compare Globex versus Initech operations",
+    "the meaning of truth and justice",
+    "explain how things happen",
+    "plain data numbers",
+    "when did results change",
+    "precise cause of failure",
+)
+
+
+def adaptive_retrieve(docs_ds, query: str, entity_names, *,
+                      entities_ds=None, edges_ds=None, top_k: int = 10,
+                      embed_fn=None, text_column: str = "text",
+                      id_column: str = "doc_id"):
+    """Adaptive retrieval (retrieval/mod.rs:583-660 execute_adaptive_
+    retrieval): analyze the query, pick (vector, graph, hierarchical)
+    weights, run each strategy distributed, scale scores by weight, then
+    rank + dedup. Strategy mapping in this engine: vector = BM25 over the
+    chunk/doc store when no embed_fn is given (exact cosine ANN when one
+    is), graph = personalized PageRank from the matched key entities over
+    (entities_ds, edges_ds), hierarchical = BM25 over the 12-word abstract
+    index (the topic store, as in dual-level retrieval). Returns
+    (analysis, DataFrame[doc_or_entity, source, score] top-k by
+    (round4 weighted score DESC, id))."""
+    import pandas as pd
+    import pyarrow as _pa
+
+    analysis = analyze_query(query, entity_names)
+    vw, gw, hw = calculate_strategy_weights(
+        analysis["query_type"], analysis["intent"])
+    parts = []
+    if vw > 0.0:
+        v = bm25_topk(docs_ds, query, top_k,
+                      text_column=text_column, id_column=id_column)
+        for r in v.itertuples(index=False):
+            parts.append((str(r.doc_id), "vector", _r4(r.score * vw)))
+    if gw > 0.0 and entities_ds is not None and edges_ds is not None \
+            and analysis["key_entities"]:
+        from .graph_analytics import pagerank
+
+        seeds = set(analysis["key_entities"])
+
+        def seed_vec(batch: _pa.Table) -> _pa.Table:
+            names = batch.column("canonical_name").to_pylist()
+            keep = [n in seeds for n in names]
+            return batch.filter(_pa.array(keep))
+
+        seed_ids = [r["canonical_id"] for r in
+                    entities_ds.map_batches(seed_vec, batch_format="pyarrow")
+                    .select_columns(["canonical_id"]).take_all()]
+        if seed_ids:
+            w = 1.0 / len(seed_ids)
+            pr = pagerank(entities_ds, edges_ds,
+                          personalization={s: w for s in sorted(seed_ids)}
+                          ).to_pandas()
+            pr = pr.sort_values(["score", "entity_id"],
+                                ascending=[False, True]).head(top_k)
+            for r in pr.itertuples(index=False):
+                parts.append((str(r.entity_id), "graph",
+                              _r4(float(r.score) * gw)))
+    if hw > 0.0:
+        def abstract(batch: _pa.Table) -> _pa.Table:
+            texts = batch.column(text_column).to_pylist()
+            return _pa.Table.from_pydict({
+                id_column: batch.column(id_column),
+                text_column: _pa.array(
+                    [" ".join((t or "").split(" ")[:12]) for t in texts],
+                    _pa.string()),
+            })
+
+        h = bm25_topk(docs_ds.map_batches(abstract, batch_format="pyarrow"),
+                      query, top_k,
+                      text_column=text_column, id_column=id_column)
+        for r in h.itertuples(index=False):
+            parts.append((str(r.doc_id), "hierarchical", _r4(r.score * hw)))
+    # rank + dedup (mod.rs:1334-1360): score desc, first occurrence per id
+    parts.sort(key=lambda t: (-t[2], t[0], t[1]))
+    seen: set = set()
+    rows = []
+    for rid, source, score in parts:
+        if rid in seen:
+            continue
+        seen.add(rid)
+        rows.append((rid, source, score))
+        if len(rows) >= top_k:
+            break
+    return analysis, pd.DataFrame(rows, columns=["id", "source", "score"])

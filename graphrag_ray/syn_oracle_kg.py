@@ -944,3 +944,89 @@ def syn_mentions_sql() -> str:
                round(conf, 4) AS confidence
         FROM occ, unnest(range(n_events)) AS _r
     """
+
+
+def syn_query_analysis_sql() -> str:
+    """Oracle for the rule-based query analyzer (retrieval/mod.rs:497-581)
+    over the syn canonical-entity pool: two-way containment entity match,
+    concept filtering, the type cascade, first-match intent rules and the
+    complexity formula all replayed in SQL over the same fixed queries."""
+    from .stages.retrieval import (ABSTRACT_INDICATORS, ANALYSIS_QUERIES,
+                                   QUERY_STOPWORDS, QUESTION_WORDS,
+                                   _INTENT_RULES)
+
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(ANALYSIS_QUERIES))
+    stop_in = _lit(sorted(QUERY_STOPWORDS))
+    abs_in = _lit(sorted(ABSTRACT_INDICATORS))
+    qw_in = _lit(sorted(QUESTION_WORDS))
+    intents = {name: _lit(sorted(kws)) for name, kws in _INTENT_RULES}
+    return f"""
+        {_full_cte()},
+        q(qid, query) AS (VALUES {qvals}),
+        qw AS (SELECT qid, query, string_split(lower(query), ' ') AS ws
+               FROM q),
+        wx AS (SELECT qid, unnest(ws) AS w,
+                      unnest(range(1, len(ws) + 1)) AS i
+               FROM qw),
+        ent AS (SELECT canonical_name AS name,
+                       lower(canonical_name) AS low
+                FROM canonf),
+        ke AS (
+          SELECT DISTINCT q.qid, e.name, e.low
+          FROM q JOIN ent e ON EXISTS (
+            SELECT 1 FROM wx
+            WHERE wx.qid = q.qid
+              AND (strpos(e.low, wx.w) > 0 OR strpos(wx.w, e.low) > 0))),
+        kec AS (SELECT qid, count(*)::BIGINT AS n_ents,
+                       string_agg(name, '|' ORDER BY name) AS key_entities
+                FROM ke GROUP BY qid),
+        con AS (
+          SELECT wx.qid, wx.w, wx.i FROM wx
+          WHERE length(wx.w) > 3 AND wx.w NOT IN ({stop_in})
+            AND NOT EXISTS (
+              SELECT 1 FROM ke
+              WHERE ke.qid = wx.qid
+                AND (strpos(ke.low, wx.w) > 0 OR strpos(wx.w, ke.low) > 0))),
+        conc AS (SELECT qid, count(*)::BIGINT AS n_con,
+                        string_agg(w, '|' ORDER BY i) AS concepts
+                 FROM con GROUP BY qid),
+        fl AS (
+          SELECT qw.qid,
+                 len(qw.ws)::BIGINT AS n_words,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({abs_in})) AS has_abs,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({qw_in})) AS has_q,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({intents['overview']})) AS i_ov,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({intents['detailed']})) AS i_de,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({intents['comparative']})) AS i_cm,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({intents['causal']})) AS i_ca,
+                 EXISTS (SELECT 1 FROM wx WHERE wx.qid = qw.qid
+                         AND wx.w IN ({intents['temporal']})) AS i_te
+          FROM qw)
+        SELECT q.query,
+               CASE WHEN coalesce(kec.n_ents, 0) > 1 THEN 'relationship'
+                    WHEN coalesce(kec.n_ents, 0) >= 1 THEN 'entity_focused'
+                    WHEN fl.has_abs THEN 'conceptual'
+                    WHEN fl.has_q THEN 'exploratory'
+                    ELSE 'factual' END AS query_type,
+               CASE WHEN fl.i_ov THEN 'overview'
+                    WHEN fl.i_de THEN 'detailed'
+                    WHEN fl.i_cm THEN 'comparative'
+                    WHEN fl.i_ca THEN 'causal'
+                    WHEN fl.i_te THEN 'temporal'
+                    ELSE 'detailed' END AS intent,
+               coalesce(kec.key_entities, '') AS key_entities,
+               coalesce(conc.concepts, '') AS concepts,
+               round(least(0.1 * fl.n_words + 0.3 * coalesce(kec.n_ents, 0)
+                           + 0.2 * coalesce(conc.n_con, 0), 1.0), 4)
+                   AS complexity
+        FROM q
+        JOIN fl ON fl.qid = q.qid
+        LEFT JOIN kec ON kec.qid = q.qid
+        LEFT JOIN conc ON conc.qid = q.qid
+    """

@@ -673,3 +673,68 @@ def test_contextual_enricher_stage_output():
     assert row["enriched_content"].startswith("First sentence here.\n\n")
     assert row["enriched_content"].endswith("Second one follows. ")
     assert row["num_ctx"] == 4096
+
+
+def test_analyze_query_reference_rules():
+    """retrieval/mod.rs:497-581 classification cascade + intent rule
+    precedence ('precise' wins over 'cause' because the detailed rule is
+    checked first) + the complexity formula."""
+    from graphrag_ray.stages.retrieval import (analyze_query,
+                                               calculate_strategy_weights)
+
+    names = ["Alice Harmon", "Acme Corp"]
+    a = analyze_query("overview about Alice please", names)
+    assert a["query_type"] == "entity_focused"
+    assert a["intent"] == "overview"
+    assert a["key_entities"] == ["Alice Harmon"]
+    a = analyze_query("compare Alice versus Acme", names)
+    assert a["query_type"] == "relationship" and a["intent"] == "comparative"
+    a = analyze_query("the meaning of truth", [])
+    assert a["query_type"] == "conceptual"
+    a = analyze_query("explain this thing", [])
+    assert a["query_type"] == "exploratory"
+    a = analyze_query("plain data numbers", [])
+    assert a["query_type"] == "factual" and a["intent"] == "detailed"
+    a = analyze_query("precise cause of failure", [])
+    assert a["intent"] == "detailed"  # rule order: detailed before causal
+    # complexity = 0.1*4 + 0.3*0 + 0.2*3 (precise/cause/failure) = 1.0
+    assert a["complexity_score"] == 1.0
+    b = analyze_query("so do we", [])
+    assert b["complexity_score"] == pytest.approx(0.3)
+    # strategy weight table (mod.rs:807-819)
+    assert calculate_strategy_weights("entity_focused", "detailed") == (0.5, 0.4, 0.1)
+    assert calculate_strategy_weights("conceptual", "overview") == (0.2, 0.2, 0.6)
+    assert calculate_strategy_weights("exploratory", "detailed") == (0.4, 0.4, 0.2)
+    assert calculate_strategy_weights("factual", "overview") == (0.6, 0.3, 0.1)
+
+
+def test_adaptive_retrieve_composes_strategies(ray_session):
+    """Weighted fusion: a relationship query routes weight 0.6 to the PPR
+    seeds' neighborhood and dedups across strategies."""
+    from graphrag_ray.stages.retrieval import adaptive_retrieve
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alice works with acme systems daily",
+                 "bob tanner plays guitar alone",
+                 "acme factory output numbers rising"],
+    }))
+    ents = ray.data.from_pandas(pd.DataFrame({
+        "canonical_id": ["P_alice", "O_acme", "P_bob"],
+        "canonical_name": ["Alice Harmon", "Acme Corp", "Bob Tanner"],
+    }))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": ["P_alice", "O_acme"],
+        "dst": ["O_acme", "P_bob"],
+    }))
+    analysis, out = adaptive_retrieve(
+        docs, "compare Alice versus Acme", ["Acme Corp", "Alice Harmon",
+                                            "Bob Tanner"],
+        entities_ds=ents, edges_ds=edges, top_k=8)
+    assert analysis["query_type"] == "relationship"
+    sources = set(out.source)
+    assert "graph" in sources and "vector" in sources
+    # graph results are the PPR-ranked entity ids
+    assert {"P_alice", "O_acme"} <= set(out[out.source == "graph"].id)
+    assert out.score.is_monotonic_decreasing
+    assert out.id.is_unique
