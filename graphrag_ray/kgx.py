@@ -1363,3 +1363,102 @@ def kgx_structure_sql() -> str:
         JOIN fin f ON f.doc_id = p.doc_id AND f.i = p.i
         JOIN doclen d ON d.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# kgxc: causal-chain corpus (retrieval/causal_analysis.rs twin)
+
+_KGXC_NODES = tuple(f"EV{i}" for i in range(8))
+_KGXC_RELS = ("caused", "led_to", "enabled", "related_to")
+# temporal-typed rels carry the reference strength table values
+# (stages/temporal.TEMPORAL_STRENGTH); led_to is keyword-causal with no
+# strength (exercising the 0.7 default weight), related_to is non-causal
+_KGXC_TYPED = {"caused": ("Caused", 0.9), "enabled": ("Enabled", 0.6)}
+
+
+def _hc(doc_id: int, i: int) -> int:
+    return int(hashlib.md5(f"kgxc:{doc_id}:{i}".encode()).hexdigest()[:8], 16)
+
+
+def kgxc_edge_for_doc(doc_id: int) -> dict:
+    """One md5-derived DAG edge per doc: src index < dst index (acyclic by
+    construction), relation/confidence-grid/year all md5 draws."""
+    p = _hc(doc_id, 0) % 56
+    a = p % 8
+    off = 1 + (p // 8) % 7
+    b = (a + off) % 8
+    lo, hi = (a, b) if a < b else (b, a)
+    rel = _KGXC_RELS[_hc(doc_id, 1) % 4]
+    c50 = _hc(doc_id, 2) % 50
+    year = 1900 + _hc(doc_id, 3) % 100
+    typed = _KGXC_TYPED.get(rel)
+    return {
+        "src": _KGXC_NODES[lo], "dst": _KGXC_NODES[hi],
+        "rel_type": rel, "c50": c50, "confidence": 0.5 + c50 / 100.0,
+        "t_start": year, "t_end": year,
+        "temporal_type": typed[0] if typed else None,
+        "causal_strength": typed[1] if typed else None,
+    }
+
+
+def kgx_causal_sql(cause: str = "EV0", effect: str = "EV7",
+                   max_depth: int = 5) -> str:
+    """Oracle for find_causal_chains over the kgxc corpus: per-(src,dst)
+    dedup by (confidence-grid DESC, rel, year), then every <=max_depth-node
+    DAG path cause→effect folded in a recursive CTE — causal-step count,
+    weighted confidence product (conf·(0.5+0.5·strength) for typed rels,
+    conf·0.7 for keyword-causal), latched temporal monotonicity over
+    causal-step years, and first→last causal time span."""
+    weight = """CASE e.rel
+        WHEN 'caused' THEN 0.95 WHEN 'enabled' THEN 0.8
+        WHEN 'led_to' THEN 0.7 END"""
+    causal = "e.rel IN ('caused', 'led_to', 'enabled')"
+    return f"""
+        WITH RECURSIVE raw AS (
+          SELECT
+            ('0x'||substr(md5('kgxc:'||doc_id||':0'),1,8))::BIGINT % 56 AS p,
+            ('0x'||substr(md5('kgxc:'||doc_id||':1'),1,8))::BIGINT % 4 AS r,
+            ('0x'||substr(md5('kgxc:'||doc_id||':2'),1,8))::BIGINT % 50
+                AS c50,
+            1900 + ('0x'||substr(md5('kgxc:'||doc_id||':3'),1,8))::BIGINT
+                % 100 AS year
+          FROM documents),
+        raw2 AS (
+          SELECT least(p % 8, (p % 8 + 1 + (p // 8) % 7) % 8) AS lo,
+                 greatest(p % 8, (p % 8 + 1 + (p // 8) % 7) % 8) AS hi,
+                 list_extract(['caused','led_to','enabled','related_to'],
+                              r + 1) AS rel,
+                 c50, year
+          FROM raw),
+        dedup AS (
+          SELECT 'EV' || lo AS src, 'EV' || hi AS dst, rel,
+                 0.5 + c50 / 100.0 AS conf, year
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY lo, hi
+                    ORDER BY c50 DESC, rel, year) AS rn
+                FROM raw2)
+          WHERE rn = 1),
+        walk(node, path, nnodes, nsteps, prod, prev_ts, ok, t0, t1) AS (
+          SELECT '{cause}', '{cause}', 1, 0, 1.0::DOUBLE,
+                 NULL::BIGINT, true, NULL::BIGINT, NULL::BIGINT
+          UNION ALL
+          SELECT e.dst, w.path || ' -> ' || e.dst, w.nnodes + 1,
+                 w.nsteps + CASE WHEN {causal} THEN 1 ELSE 0 END,
+                 w.prod * CASE WHEN {causal} THEN e.conf * ({weight})
+                               ELSE 1.0 END,
+                 CASE WHEN {causal} THEN e.year ELSE w.prev_ts END,
+                 w.ok AND (NOT ({causal}) OR w.prev_ts IS NULL
+                           OR e.year >= w.prev_ts),
+                 coalesce(w.t0, CASE WHEN {causal} THEN e.year END),
+                 CASE WHEN {causal} THEN e.year ELSE w.t1 END
+          FROM walk w
+          JOIN dedup e ON e.src = w.node
+          WHERE w.node <> '{effect}' AND w.nnodes < {max_depth}
+            AND e.conf >= 0.5)
+        SELECT path, nsteps::BIGINT AS n_steps,
+               round(prod, 4) AS total_confidence,
+               ok AS temporal_consistency,
+               (t1 - t0)::BIGINT AS time_span
+        FROM walk
+        WHERE node = '{effect}' AND nsteps >= 1
+    """

@@ -891,6 +891,46 @@ def syn_contextual_chunks(sf_dir: str):
         ContextualEnricher, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def kgx_causal_chains(sf_dir: str):
+    """Causal chain discovery with temporal validation
+    (retrieval/causal_analysis.rs) over the md5-derived kgxc DAG —
+    driver-oracled: per-pair dedup, BFS path enumeration, weighted
+    confidence products and temporal monotonicity all replayed as a
+    recursive CTE. Edge generation is distributed; chain search runs on
+    the deduped <=56-edge graph (small-side disposition, like
+    PageRank)."""
+    import pandas as pd
+
+    from . import kgx
+    from .stages.temporal import find_causal_chains
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        rows = [kgx.kgxc_edge_for_doc(int(d))
+                for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_pylist(rows)
+
+    raw = docs.map_batches(edge_rows, batch_format="pyarrow").take_all()
+    # per-(src,dst) dedup: highest confidence grid, then (rel, year)
+    raw.sort(key=lambda e: (e["src"], e["dst"], -e["c50"], e["rel_type"],
+                            e["t_start"]))
+    edges, seen = [], set()
+    for e in raw:
+        key = (e["src"], e["dst"])
+        if key not in seen:
+            seen.add(key)
+            edges.append(e)
+    chains = find_causal_chains(edges, "EV0", "EV7", max_depth=5)
+    return pd.DataFrame([
+        {"path": c["path"], "n_steps": c["n_steps"],
+         "total_confidence": _round4([c["total_confidence"]])[0],
+         "temporal_consistency": c["temporal_consistency"],
+         "time_span": c["time_span"]}
+        for c in chains])
+
+
 def kgx_structure(sf_dir: str):
     """Hierarchical document structure (document_structure.rs +
     markdown.rs build_sections/build_hierarchy) over the kgxs corpus —

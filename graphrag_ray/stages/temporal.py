@@ -120,3 +120,117 @@ def snapshot_stats(snapshot_ds):
     return (snapshot_ds.map_batches(degree_partial, batch_format="pyarrow")
             .groupby("node_id")
             .aggregate(Sum("degree", alias_name="degree")))
+
+
+# ---------------------------------------------------------------------------
+# Causal chain analysis (retrieval/causal_analysis.rs)
+
+CAUSAL_KEYWORDS = ("caused", "led_to", "resulted_in", "enabled", "triggered")
+
+
+def _is_causal_relationship(rel: dict, min_causal_strength: float) -> bool:
+    """causal_analysis.rs:356-373: a causal temporal type gated by
+    causal_strength (absent strength passes), else causal keywords in the
+    relation type."""
+    ttype = rel.get("temporal_type")
+    if ttype is not None and is_causal(ttype):
+        strength = rel.get("causal_strength")
+        if strength is not None:
+            return strength >= min_causal_strength
+        return True
+    low = (rel.get("rel_type") or "").lower()
+    return any(kw in low for kw in CAUSAL_KEYWORDS)
+
+
+def _step_timestamp(rel: dict):
+    """Midpoint of the temporal range (causal_analysis.rs:90-92)."""
+    s, e = rel.get("t_start"), rel.get("t_end")
+    if s is None or e is None:
+        return None
+    return (int(s) + int(e)) // 2
+
+
+def find_causal_chains(edges, cause: str, effect: str, *,
+                       max_depth: int = 5, min_confidence: float = 0.5,
+                       min_causal_strength: float = 0.3,
+                       require_temporal_consistency: bool = False
+                       ) -> list[dict]:
+    """Causal chain discovery (causal_analysis.rs:247-321): BFS all simple
+    paths cause→effect (depth- and confidence-gated), keep each path's
+    CAUSAL steps only, score chains by the product of weighted step
+    confidences (conf · (0.5 + 0.5·strength), 0.7 weight without a
+    strength), validate temporal monotonicity over step midpoints, sort by
+    confidence descending (stable — BFS discovery order breaks ties).
+
+    ``edges`` is an iterable of dicts (src, dst, rel_type, confidence,
+    optional t_start/t_end/temporal_type/causal_strength); like the
+    reference's find_relationship, the FIRST edge listed for a (src, dst)
+    pair is the one a path step uses."""
+    from collections import deque
+
+    adj: dict[str, list[dict]] = {}
+    first_rel: dict[tuple[str, str], dict] = {}
+    for e in edges:
+        adj.setdefault(e["src"], []).append(e)
+        first_rel.setdefault((e["src"], e["dst"]), e)
+
+    paths: list[list[str]] = []
+    queue: deque = deque([(cause, [cause])])
+    while queue:
+        current, path = queue.popleft()
+        if len(path) > max_depth:
+            continue
+        if current == effect:
+            paths.append(path)
+            continue
+        for rel in adj.get(current, ()):  # insertion order == input order
+            nxt = rel["dst"]
+            if nxt in path:
+                continue
+            if rel["confidence"] < min_confidence:
+                continue
+            queue.append((nxt, path + [nxt]))
+
+    chains: list[dict] = []
+    for path in paths:
+        steps = []
+        for i in range(len(path) - 1):
+            rel = first_rel.get((path[i], path[i + 1]))
+            if rel is not None and _is_causal_relationship(
+                    rel, min_causal_strength):
+                steps.append(rel)
+        if not steps:
+            continue
+        product = 1.0
+        for s in steps:
+            strength = s.get("causal_strength")
+            if strength is not None:
+                product *= s["confidence"] * (0.5 + 0.5 * strength)
+            else:
+                product *= s["confidence"] * 0.7
+        consistent = True
+        prev_ts = None
+        for s in steps:
+            ts = _step_timestamp(s)
+            if ts is not None:
+                if prev_ts is not None and ts < prev_ts:
+                    consistent = False
+                    break
+                prev_ts = ts
+        first_ts = _step_timestamp(steps[0])
+        last_ts = _step_timestamp(steps[-1])
+        span = (last_ts - first_ts
+                if first_ts is not None and last_ts is not None else None)
+        if require_temporal_consistency and not consistent:
+            continue
+        chains.append({
+            "cause": cause,
+            "effect": effect,
+            "path": " -> ".join(path),
+            "n_steps": len(steps),
+            "total_confidence": product,
+            "temporal_consistency": consistent,
+            "time_span": span,
+        })
+    chains.sort(key=lambda c: -c["total_confidence"])
+    return chains

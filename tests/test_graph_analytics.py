@@ -247,3 +247,51 @@ def test_centrality_source_sampling_deterministic(ray_session):
     assert est["betweenness"].idxmax() == "hub"
     assert abs(est.loc["hub", "betweenness"]
                - exact.loc["hub", "betweenness"]) < 0.05
+
+
+def test_find_causal_chains_reference_semantics():
+    """causal_analysis.rs: BFS simple paths, causal-step filtering,
+    weighted confidence product (typed strength vs 0.7 keyword default),
+    temporal monotonicity over step midpoints, confidence-descending
+    order, and the require_temporal_consistency filter."""
+    from graphrag_ray.stages.temporal import find_causal_chains
+
+    edges = [
+        # A -> B typed Caused (strength 0.9): weight 0.95
+        {"src": "A", "dst": "B", "rel_type": "CAUSED", "confidence": 0.8,
+         "t_start": 1900, "t_end": 1900, "temporal_type": "Caused",
+         "causal_strength": 0.9},
+        # B -> D keyword-causal, no strength: weight 0.7, year AFTER
+        {"src": "B", "dst": "D", "rel_type": "led_to", "confidence": 0.9,
+         "t_start": 1950, "t_end": 1950},
+        # A -> C -> D alternative: C->D is non-causal (skipped as a step)
+        {"src": "A", "dst": "C", "rel_type": "triggered",
+         "confidence": 0.6, "t_start": 1980, "t_end": 1980},
+        {"src": "C", "dst": "D", "rel_type": "related_to",
+         "confidence": 0.9, "t_start": 1800, "t_end": 1800},
+    ]
+    chains = find_causal_chains(edges, "A", "D")
+    assert [c["path"] for c in chains] == ["A -> B -> D", "A -> C -> D"]
+    # A->B->D: 0.8*0.95 * 0.9*0.7 = 0.4788 ; consistent (1900 <= 1950)
+    assert chains[0]["total_confidence"] == pytest.approx(0.4788)
+    assert chains[0]["temporal_consistency"] is True
+    assert chains[0]["time_span"] == 50
+    # A->C->D: only the causal A->C step remains: 0.6*0.7 = 0.42
+    assert chains[1]["n_steps"] == 1
+    assert chains[1]["total_confidence"] == pytest.approx(0.42)
+    # temporal violation: flip B->D to an earlier year
+    edges[1] = dict(edges[1], t_start=1850, t_end=1850)
+    chains = find_causal_chains(edges, "A", "D")
+    top = [c for c in chains if c["path"] == "A -> B -> D"][0]
+    assert top["temporal_consistency"] is False
+    assert not any(c["path"] == "A -> B -> D" for c in find_causal_chains(
+        edges, "A", "D", require_temporal_consistency=True))
+    # confidence gate prunes the whole path during BFS
+    assert find_causal_chains(
+        [dict(e, confidence=0.4) for e in edges], "A", "D") == []
+    # min_causal_strength gates typed rels
+    weak = [dict(edges[0], causal_strength=0.1),
+            dict(edges[1])]
+    only_keyword = find_causal_chains(weak, "A", "D",
+                                      min_causal_strength=0.3)
+    assert only_keyword[0]["n_steps"] == 1  # A->B step dropped
