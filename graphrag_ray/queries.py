@@ -891,6 +891,36 @@ def syn_contextual_chunks(sf_dir: str):
         ContextualEnricher, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def syn_anchors(sf_dir: str):
+    """Symbolic anchoring (CatRAG, retrieval/symbolic_anchoring.rs) for
+    the fixed ANCHOR_QUERIES over the syn graph — driver-oracled: concept
+    extraction constants hand-derived, grounding + count relevance + the
+    top-5 ranking replayed in SQL."""
+    import pandas as pd
+
+    from .functions.anchoring import ANCHOR_QUERIES, extract_anchors
+
+    res = _syn(sf_dir)
+    ents = sorted(
+        (r["canonical_id"], r["canonical_name"], r["entity_type"])
+        for r in res.entities.select_columns(
+            ["canonical_id", "canonical_name", "entity_type"]).take_all())
+    rels: dict[str, list] = {}
+    for r in res.edges.select_columns(["src", "rel_type"]).take_all():
+        rels.setdefault(r["src"], []).append(r["rel_type"])
+    rows = []
+    for query in ANCHOR_QUERIES:
+        for a in extract_anchors(query, ents, rels, min_relevance=0.1):
+            rows.append({
+                "query": query,
+                "concept": a["concept"],
+                "n_entities": len(a["grounded_entities"]),
+                "entities": "|".join(sorted(a["grounded_entities"])),
+                "relevance": _round4([a["relevance_score"]])[0],
+            })
+    return pd.DataFrame(rows)
+
+
 def kgx_causal_chains(sf_dir: str):
     """Causal chain discovery with temporal validation
     (retrieval/causal_analysis.rs) over the md5-derived kgxc DAG —

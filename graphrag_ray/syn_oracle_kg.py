@@ -1030,3 +1030,48 @@ def syn_query_analysis_sql() -> str:
         LEFT JOIN kec ON kec.qid = q.qid
         LEFT JOIN conc ON conc.qid = q.qid
     """
+
+
+def syn_anchors_sql() -> str:
+    """Oracle for symbolic anchoring (retrieval/symbolic_anchoring.rs)
+    over the syn graph: per hand-derived query concept, grounded entities
+    are canonical names containing the concept (or an outgoing relation
+    type mentioning it), first 10 in canonical_id order; relevance =
+    min(n/10, 1) (count path — no PageRank injected), anchors with
+    relevance >= 0.3 ranked (relevance DESC, concept order) top-5."""
+    from .functions.anchoring import ANCHOR_QUERY_CONCEPTS
+
+    vals = []
+    for q, concepts in ANCHOR_QUERY_CONCEPTS.items():
+        for i, c in enumerate(concepts):
+            vals.append(f"('{q}', {i}, '{c}')")
+    qc = ", ".join(vals)
+    return f"""
+        {_full_cte()},
+        qc(query, ord, concept) AS (VALUES {qc}),
+        g AS (
+          SELECT qc.query, qc.ord, qc.concept, c.canonical_id,
+                 row_number() OVER (PARTITION BY qc.query, qc.ord
+                                    ORDER BY c.canonical_id) AS rn
+          FROM qc JOIN canonf c
+            ON strpos(lower(c.canonical_name), lower(qc.concept)) > 0
+            OR EXISTS (SELECT 1 FROM edge_agg e
+                       WHERE e.src = c.canonical_id
+                         AND strpos(lower(e.rel_type),
+                                    lower(qc.concept)) > 0)),
+        agg AS (
+          SELECT query, ord, concept,
+                 least(count(*), 10)::BIGINT AS n_entities,
+                 string_agg(canonical_id, '|' ORDER BY canonical_id)
+                     FILTER (WHERE rn <= 10) AS entities
+          FROM g GROUP BY query, ord, concept),
+        ranked AS (
+          SELECT *, round(least(n_entities / 10.0, 1.0), 4) AS relevance,
+                 row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY least(n_entities / 10.0, 1.0) DESC, ord)
+                     AS arank
+          FROM agg WHERE n_entities >= 1)   -- with_min_relevance(0.1)
+        SELECT query, concept, n_entities, entities, relevance
+        FROM ranked WHERE arank <= 5
+    """

@@ -738,3 +738,38 @@ def test_adaptive_retrieve_composes_strategies(ray_session):
     assert {"P_alice", "O_acme"} <= set(out[out.source == "graph"].id)
     assert out.score.is_monotonic_decreasing
     assert out.id.is_unique
+
+
+def test_symbolic_anchoring_reference_semantics():
+    """symbolic_anchoring.rs: concept extraction (marker-following words
+    incl. the 'the'-after-'is' quirk, abstract words, capitalized
+    fallback), grounding by name/relationship containment, count + PR
+    relevance, and boost_with_anchors rescoring."""
+    from graphrag_ray.functions.anchoring import (ANCHOR_QUERY_CONCEPTS,
+                                                  boost_with_anchors,
+                                                  calculate_relevance,
+                                                  extract_anchors,
+                                                  extract_concepts)
+
+    # the hand-derived SQL constants must equal the rule output
+    for q, want in ANCHOR_QUERY_CONCEPTS.items():
+        assert tuple(extract_concepts(q)) == want, q
+
+    ents = [("E1", "Temple of Love", "LOCATION"),
+            ("E2", "Socrates", "PERSON"),
+            ("E3", "Lovelace Inc", "ORGANIZATION")]
+    rels = {"E2": ["TEACHES_LOVE"], "E3": ["OWNS"]}
+    anchors = extract_anchors("what is the nature of love", ents, rels,
+                              min_relevance=0.1)
+    by_concept = {a["concept"]: a for a in anchors}
+    # 'love' grounds via name containment (E1, E3) and relationship (E2)
+    assert by_concept["love"]["grounded_entities"] == ["E1", "E2", "E3"]
+    assert by_concept["love"]["relevance_score"] == pytest.approx(0.3)
+    # PR-boosted relevance: 0.4*count + 0.6*avgPR over scored entities
+    assert calculate_relevance(["E1", "E2"], {"E1": 0.5}) == pytest.approx(
+        0.2 * 0.4 + 0.5 * 0.6)
+    # boost: score multiplied by 1 + mean anchor relevance of matches
+    results = [{"id": "r1", "score": 1.0, "entities": ["E2"]},
+               {"id": "r2", "score": 1.1, "entities": ["nope"]}]
+    out = boost_with_anchors(results, [by_concept["love"]])
+    assert out[0]["id"] == "r1" and out[0]["score"] == pytest.approx(1.3)
