@@ -773,3 +773,67 @@ def test_symbolic_anchoring_reference_semantics():
                {"id": "r2", "score": 1.1, "entities": ["nope"]}]
     out = boost_with_anchors(results, [by_concept["love"]])
     assert out[0]["id"] == "r1" and out[0]["score"] == pytest.approx(1.3)
+
+
+def test_cache_key_strategies():
+    """cache_key.rs: strategy-specific normalization — semantic strips
+    punctuation/normalizes quotes, content additionally drops stop words
+    and expands contractions, with_parameters mixes the 3dp param
+    serialization into the key."""
+    from graphrag_ray.state.cache import CacheKeyGenerator
+
+    g = CacheKeyGenerator("simple")
+    assert g.generate_key("a  b\n c") == g.generate_key("a b c")  # ws
+    sem = CacheKeyGenerator("semantic")
+    assert sem.generate_key("What is love?") == sem.generate_key(
+        "What is love")
+    con = CacheKeyGenerator("content_based")
+    assert con.generate_key("the meaning of love") == con.generate_key(
+        "meaning love")
+    assert con.generate_key("x", model_name="m1") != con.generate_key(
+        "x", model_name="m2")
+    wp = CacheKeyGenerator("with_parameters")
+    k1 = wp.generate_key("p", params={"temperature": 0.1})
+    k2 = wp.generate_key("p", params={"temperature": 0.2})
+    assert k1 != k2
+    assert CacheKeyGenerator.serialize_params(
+        {"max_tokens": 10, "temperature": 0.5, "top_p": 0.9,
+         "stop_sequences": ["a", "b"]}
+    ) == "max_tokens:10;temp:0.500;top_p:0.900;stop:a,b"
+
+
+def test_cache_stats_efficiency_and_warming():
+    """stats.rs efficiency formula (0.4/0.3/0.3, memory normalized at
+    1 KiB/entry) + warming outcomes."""
+    from graphrag_ray.state.cache import (CachedLLM, CacheStats,
+                                          CacheWarmer, ResponseCache)
+
+    st = CacheStats()
+    st.record_miss()
+    st.record_insertion(1024)
+    st.record_hit(time_saved_s=0.5)
+    assert st.hit_rate() == 0.5
+    # memory score at exactly 1KiB/entry = 1/(1+1) = 0.5
+    assert st.efficiency_score() == pytest.approx(
+        0.5 * 0.4 + 0.5 * 0.3 + 1.0 * 0.3)
+    st2 = CacheStats()
+    assert st2.efficiency_score() == pytest.approx(0.3 + 0.3)  # empty cache
+
+    calls = []
+
+    class Echo:
+        def complete(self, p):
+            calls.append(p)
+            return p.upper()
+
+    llm = CachedLLM(Echo(), cache=ResponseCache(capacity=16))
+    report = CacheWarmer("predefined").warm(llm)
+    assert report["warmed"] == 5 and report["failed"] == 0
+    n = len(calls)
+    llm.complete("Summarize the main entities in this document.")
+    assert len(calls) == n  # warm hit — no new model call
+    custom = CacheWarmer("custom", custom_queries=("q1", "q2"),
+                         max_queries=1).warm(llm)
+    assert custom["warmed"] == 1
+    with pytest.raises(ValueError):
+        CacheWarmer("made_up")
