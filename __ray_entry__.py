@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_structure": q.kgx_structure,        # SQL-oracled (heading hierarchy)
         "kgx_causal_chains": q.kgx_causal_chains,  # SQL-oracled (temporal causal chains)
         "syn_anchors": q.syn_anchors,            # SQL-oracled (symbolic anchoring)
+        "kgx_metadata_search": q.kgx_metadata_search,  # SQL-oracled (enriched metadata retrieval)
         "syn_contextual_chunks": q.syn_contextual_chunks,  # SQL-oracled (contextual retrieval enrichment)
         "kg_boundary_chunks": q.kg_boundary_chunks,  # boundary-aware chunking (rows-only)
         "kgx_rdf_import": q.kgx_rdf_import,
@@ -461,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "kgx_structure": _kgx_sql.kgx_structure_sql(),
         "kgx_causal_chains": _kgx_sql.kgx_causal_sql(),
         "syn_anchors": _synkg_sql.syn_anchors_sql(),
+        "kgx_metadata_search": _kgx_sql.kgx_metadata_search_sql(),
         "syn_contextual_chunks": _syn_sql.syn_contextual_sql(),
         "syn_triples": _synkg_sql.syn_triples_sql(),
         "kgx_graphml_import": _kgx_sql.kgx_graphml_import_sql(),

@@ -1462,3 +1462,48 @@ def kgx_causal_sql(cause: str = "EV0", effect: str = "EV7",
         FROM walk
         WHERE node = '{effect}' AND nsteps >= 1
     """
+
+
+METADATA_SEARCH_QUERY = "what did louis ingram say about london chapter 2"
+
+
+def kgx_metadata_search_sql(query: str = METADATA_SEARCH_QUERY) -> str:
+    """Oracle for enriched metadata-aware retrieval
+    (retrieval/enriched.rs:64-143) over the kgx enriched chunks: keyword-
+    fraction boost (0.3), summary half-match boost (0.15), the >0.05
+    significance gate and the min(base 0.5 + boost, 1) cap replayed in
+    SQL over the kgx_enriched replay. Structure refs parse from the query
+    but kgx chapters are NULL, and completeness is 2/9 < 0.7 — both
+    no-ops on BOTH sides by construction."""
+    qwords = sorted({w for w in query.lower().split() if len(w) > 3})
+    qvals = ", ".join(f"('{w}')" for w in qwords)
+    return f"""
+        WITH enr AS (SELECT * FROM ({kgx_enriched_sql()})),
+        qw(w) AS (VALUES {qvals}),
+        nqw AS (SELECT count(*)::BIGINT AS n FROM qw),
+        km AS (
+          SELECT chunk_id, count(*)::BIGINT AS m
+          FROM (SELECT chunk_id,
+                       unnest(string_split(keywords, '|')) AS kw
+                FROM enr) z
+          JOIN qw ON lower(z.kw) = qw.w
+          GROUP BY chunk_id),
+        sm AS (
+          SELECT e.chunk_id,
+                 (SELECT count(*) FROM qw
+                  WHERE strpos(lower(e.summary), qw.w) > 0) AS hits
+          FROM enr e),
+        sc AS (
+          SELECT e.chunk_id,
+                 coalesce(CASE WHEN km.m >= 1
+                          THEN (km.m::DOUBLE / greatest(nqw.n, 1)) * 0.3
+                          END, 0.0)
+                 + CASE WHEN sm.hits >= greatest(nqw.n // 2, 1)
+                        THEN 0.15 ELSE 0.0 END AS boost
+          FROM enr e
+          LEFT JOIN km ON km.chunk_id = e.chunk_id
+          JOIN sm ON sm.chunk_id = e.chunk_id
+          CROSS JOIN nqw)
+        SELECT chunk_id, round(least(0.5 + boost, 1.0), 4) AS score
+        FROM sc WHERE boost > 0.05
+    """

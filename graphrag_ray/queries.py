@@ -1406,6 +1406,31 @@ def kgx_enriched(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def kgx_metadata_search(sf_dir: str):
+    """Enriched metadata-aware retrieval (retrieval/enriched.rs) over the
+    kgx enriched chunks — driver-oracled: the keyword/summary boosting and
+    the significance gate replayed in SQL over the enrichment replay."""
+    from . import kgx
+    from .stages.enrich import enrich_chunks
+    from .stages.enriched_retrieval import make_metadata_search_fn
+
+    res = _kgx(sf_dir)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    ds = enrich_chunks(res.chunks.materialize(), total_docs=n_docs)
+    out = ds.map_batches(
+        make_metadata_search_fn(kgx.METADATA_SEARCH_QUERY),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"chunk_id": batch.column("chunk_id"),
+             "score": pa.array(_round4(s), pa.float64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def kgx_csv_import(sf_dir: str):
     """S2 CSV import, driver-oracled: a CSV of (name, type, confidence)
     rows derived from the md5 choices goes through the distributed CSV

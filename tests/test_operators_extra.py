@@ -837,3 +837,51 @@ def test_cache_stats_efficiency_and_warming():
     assert custom["warmed"] == 1
     with pytest.raises(ValueError):
         CacheWarmer("made_up")
+
+
+def test_enriched_retrieval_reference_semantics():
+    """retrieval/enriched.rs: keyword-fraction/structure/summary boosts,
+    the 0.05 significance gate, completeness bonus at >0.7, and
+    search_by_keywords fractional scoring."""
+    from graphrag_ray.stages.enriched_retrieval import (
+        completeness_score, extract_structure_references, matches_query,
+        score_chunk, structure_boost)
+
+    assert extract_structure_references(
+        "what happens in chapter 3 and section 1.2") == [
+            "chapter 3", "section 1.2"]
+    qw = {"louis", "london", "about"}
+    meta = {"keywords": ["Louis", "paris"], "summary": "louis in london",
+            "entities": []}
+    # keyword boost 1/3*0.3 = 0.1; summary hits 2 >= 1 -> +0.15
+    assert score_chunk(qw, [], meta) == pytest.approx(0.5 + 0.1 + 0.15)
+    # gate: insignificant boost emits nothing
+    assert score_chunk({"zzzz"}, [], {"keywords": ["a"], "summary": None,
+                                      "entities": ["e"]}) is None
+    # structure boost: chapter 0.5 + section 0.3 weights then *0.2
+    sb = structure_boost({"chapter": "Chapter 3", "section": "section 1.2"},
+                         ["chapter 3", "section 1.2"])
+    assert sb == pytest.approx(0.8)
+    # completeness: 7 of 9 fields -> bonus applies
+    full = {"chapter": "c", "section": "s", "subsection": "ss",
+            "topic": "t", "summary": "x", "structural_level": 1,
+            "position_in_document": 0.1, "keywords": ["k"],
+            "heading_path": []}
+    assert completeness_score(full) == pytest.approx(8 / 9)
+    # threshold is >= half: 2 of 4 matches, 1 of 4 does not
+    assert matches_query("alpha beta", {"alpha", "beta", "gamma",
+                                        "delta"}) is True
+    assert matches_query("alpha only", {"alpha", "beta", "gamma",
+                                        "delta"}) is False
+
+
+def test_search_by_keywords(ray_session):
+    from graphrag_ray.stages.enriched_retrieval import search_by_keywords
+
+    chunks = ray.data.from_pandas(pd.DataFrame({
+        "chunk_id": ["c1", "c2", "c3"],
+        "keywords": [["Alpha", "beta"], ["beta"], ["gamma"]],
+    }))
+    out = search_by_keywords(chunks, ["alpha", "BETA"], top_k=2)
+    assert list(out.chunk_id) == ["c1", "c2"]
+    assert list(out.score) == [pytest.approx(1.0), pytest.approx(0.5)]
