@@ -195,6 +195,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "media_frames": q.media_frames,
         "media_resized": q.media_resized,
+        # --- rograg: query-side subsystem over the kgx graph (SQL-oracled)
+        "rograg_intent": q.rograg_intent,
+        "rograg_decompose": q.rograg_decompose,
+        "rograg_logic_form": q.rograg_logic_form,
+        "rograg_fuzzy": q.rograg_fuzzy,
+        "rograg_responses": q.rograg_responses,
+        "rograg_quality": q.rograg_quality,
+        "rograg_stream": q.rograg_stream,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
