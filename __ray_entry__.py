@@ -214,10 +214,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx as _kgx_sql
     from graphrag_ray import kgx_fuzzy as _kgxf_sql
+    from graphrag_ray import rograg_oracle as _rograg_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
     return {
+        # rograg query-side subsystem (rograg_oracle.py rule replay)
+        "rograg_intent": _rograg_sql.rograg_intent_sql(),
+        "rograg_decompose": _rograg_sql.rograg_decompose_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure
