@@ -222,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         # rograg query-side subsystem (rograg_oracle.py rule replay)
         "rograg_intent": _rograg_sql.rograg_intent_sql(),
         "rograg_decompose": _rograg_sql.rograg_decompose_sql(),
+        "rograg_logic_form": _rograg_sql.rograg_logic_form_sql(),
+        "rograg_fuzzy": _rograg_sql.rograg_fuzzy_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

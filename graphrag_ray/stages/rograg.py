@@ -927,6 +927,15 @@ def run_rograg(queries: list[str], entities_ds, chunks_ds, edges_ds,
     pair_set = {(q, a["entity_id"], b["entity_id"])
                 for q, (a, b) in pair_slots.items()}
     seed_set = {(q, s) for q, ss in seeds.items() for s in ss}
+    # happened/caused execution scans the resolved subject's incident
+    # edges (executor.rs:263-530 strategy 1) — include it as a seed so the
+    # single edge pass serves that predicate too
+    for t in scan_texts:
+        lf_t = parse_logic_form(t)
+        if lf_t is not None and lf_t["predicate"] in ("happened", "caused"):
+            a = resolved.get((t, 0))
+            if a is not None:
+                seed_set.add((t, a["entity_id"]))
 
     def edge_fn(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_pylist()
