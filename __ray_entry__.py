@@ -224,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         "rograg_decompose": _rograg_sql.rograg_decompose_sql(),
         "rograg_logic_form": _rograg_sql.rograg_logic_form_sql(),
         "rograg_fuzzy": _rograg_sql.rograg_fuzzy_sql(),
+        "rograg_responses": _rograg_sql.rograg_responses_sql(),
+        "rograg_quality": _rograg_sql.rograg_quality_sql(),
+        "rograg_stream": _rograg_sql.rograg_stream_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -306,10 +306,10 @@ _HAPPENED_KWS = ("happened", "occurred", "during", "before", "after", "when")
 _CAUSED_KWS = ("caused", "causes", "led to", "resulted")
 
 
-def _logic_cte() -> str:
-    """CTEs: lf(qid, pred, a1, a2) — logic_form/parser.rs first-match
-    parse replay; resv — executor.rs:634-649 find_entity_by_name pinned to
-    (exact-first, canonical_id ASC); lfbind — is/related/compare/
+def _logic_cte(src: str = "q", p: str = "") -> str:
+    """CTEs: {p}lf(qid, pred, a1, a2) — logic_form/parser.rs first-match
+    parse replay; {p}resv — executor.rs:634-649 find_entity_by_name pinned to
+    (exact-first, canonical_id ASC); {p}lfbind — is/related/compare/
     happened/caused execution over canon + kgx_edge_agg."""
     cols, h_order = [], []
     for h, m, pat, groups in _LF_PATTERNS:
@@ -330,67 +330,70 @@ def _logic_cte() -> str:
     cau_kw = " OR ".join(f"strpos(lower(e.rel_type), '{k}') > 0"
                          for k in _CAUSED_KWS)
     return f"""
-    lfp AS (
+    {p}lfp AS (
       SELECT qid, query,
              {col_sql}
-      FROM q),
-    lf AS (
+      FROM {src}),
+    {p}lf AS (
       SELECT qid, query, {pred_case} AS pred,
              trim({a1_case}) AS a1, trim({a2_case}) AS a2
-      FROM lfp WHERE h1 OR h2 OR h3 OR h4 OR h5 OR h6),
-    isb AS (
+      FROM {p}lfp WHERE h1 OR h2 OR h3 OR h4 OR h5 OR h6),
+    {p}isb AS (
       SELECT l.qid, 'is' AS predicate, 'X' AS variable,
              c.canonical_name || ' (' || c.entity_type || ')' AS value,
              c.canonical_id AS entity_id,
              CASE WHEN lower(c.canonical_name) = lower(l.a1) THEN 1.0
-                  ELSE 0.8 END AS confidence
-      FROM lf l JOIN canon c
+                  ELSE 0.8 END AS confidence,
+             c.canonical_id AS bkey
+      FROM {p}lf l JOIN canon c
         ON strpos(lower(c.canonical_name), lower(l.a1)) > 0
       WHERE l.pred = 'is'),
-    resv AS (
+    {p}resv AS (
       SELECT qid, ai, canonical_id, canonical_name, entity_type FROM (
         SELECT l.qid, u.ai, c.canonical_id, c.canonical_name, c.entity_type,
                row_number() OVER (
                  PARTITION BY l.qid, u.ai
                  ORDER BY CASE WHEN lower(c.canonical_name) = lower(u.arg)
                                THEN 0 ELSE 1 END, c.canonical_id) AS rn
-        FROM lf l, LATERAL (VALUES (0, l.a1), (1, l.a2)) u(ai, arg)
+        FROM {p}lf l, LATERAL (VALUES (0, l.a1), (1, l.a2)) u(ai, arg)
         JOIN canon c
           ON (lower(c.canonical_name) = lower(u.arg)
               OR strpos(lower(c.canonical_name), lower(u.arg)) > 0
               OR strpos(lower(u.arg), lower(c.canonical_name)) > 0)
         WHERE l.pred <> 'is' AND u.arg IS NOT NULL)
       WHERE rn = 1),
-    relpair AS (
+    {p}relpair AS (
       SELECT l.qid, a.canonical_id AS aid, a.canonical_name AS aname,
              b.canonical_id AS bid, b.canonical_name AS bname
-      FROM lf l
-      JOIN resv a ON a.qid = l.qid AND a.ai = 0
-      JOIN resv b ON b.qid = l.qid AND b.ai = 1
+      FROM {p}lf l
+      JOIN {p}resv a ON a.qid = l.qid AND a.ai = 0
+      JOIN {p}resv b ON b.qid = l.qid AND b.ai = 1
       WHERE l.pred = 'related'),
-    reledges AS (
+    {p}reledges AS (
       SELECT p.qid,
-             p.aname || ' ' || e.rel_type || ' ' || p.bname AS value
-      FROM relpair p JOIN kgx_edge_agg e
+             p.aname || ' ' || e.rel_type || ' ' || p.bname AS value,
+             e.src || '|' || e.dst || '|' || e.rel_type AS bkey
+      FROM {p}relpair p JOIN kgx_edge_agg e
         ON (e.src = p.aid AND e.dst = p.bid)
         OR (e.src = p.bid AND e.dst = p.aid)),
-    lfbind AS (
-      SELECT * FROM isb
+    {p}lfbind AS (
+      SELECT * FROM {p}isb
       UNION ALL
-      SELECT qid, 'related', 'R', value, '', 0.5 FROM reledges
+      SELECT qid, 'related', 'R', value, '', 0.5, bkey FROM {p}reledges
       UNION ALL
       SELECT p.qid, 'related', 'R',
              'No direct relationship found between ' || p.aname || ' and '
-               || p.bname, '', 0.3
-      FROM relpair p
-      WHERE NOT EXISTS (SELECT 1 FROM reledges r WHERE r.qid = p.qid)
+               || p.bname, '', 0.3, '0'
+      FROM {p}relpair p
+      WHERE NOT EXISTS (SELECT 1 FROM {p}reledges r WHERE r.qid = p.qid)
       UNION ALL
       SELECT l.qid, 'compare', 'comparison',
              a.canonical_name || ' is a ' || a.entity_type || ' while '
-               || b.canonical_name || ' is a ' || b.entity_type, '', 0.7
-      FROM lf l
-      JOIN resv a ON a.qid = l.qid AND a.ai = 0
-      JOIN resv b ON b.qid = l.qid AND b.ai = 1
+               || b.canonical_name || ' is a ' || b.entity_type, '', 0.7,
+             '0'
+      FROM {p}lf l
+      JOIN {p}resv a ON a.qid = l.qid AND a.ai = 0
+      JOIN {p}resv b ON b.qid = l.qid AND b.ai = 1
       WHERE l.pred = 'compare'
       UNION ALL
       -- happened/caused strategy 1 (executor.rs:263-530): incident edges
@@ -398,9 +401,10 @@ def _logic_cte() -> str:
       -- relation vocabulary has none, so these legs yield zero rows
       SELECT l.qid, l.pred, 'T',
              l.a1 || ' ' || e.rel_type || ' ' || o.canonical_name,
-             o.canonical_id, 0.5
-      FROM lf l
-      JOIN resv a ON a.qid = l.qid AND a.ai = 0
+             o.canonical_id, 0.5,
+             e.src || '|' || e.dst || '|' || e.rel_type AS bkey
+      FROM {p}lf l
+      JOIN {p}resv a ON a.qid = l.qid AND a.ai = 0
       JOIN kgx_edge_agg e
         ON e.src = a.canonical_id OR e.dst = a.canonical_id
       JOIN canon o ON o.canonical_id
@@ -421,23 +425,23 @@ def rograg_logic_form_sql() -> str:
     """
 
 
-def _fuzzy_cte() -> str:
+def _fuzzy_cte(src: str = "q", p: str = "") -> str:
     """CTEs replaying fuzzy_matcher.rs over canon + the kgx sentences:
-    qtok (query word lists), fent (entity exact/partial/type matches),
-    fchunk (content/keyword matches), frank (stable similarity ranking
+    {p}qtok (query word lists), {p}fent (entity exact/partial/type matches),
+    fchunk (content/keyword matches), {p}frank (stable similarity ranking
     pinned to the engine's emission order, top-10).  Semantic expansion
     (rs:476-536) is provably empty here: every kgx edge confidence is the
     0.5 pattern constant and 0.5*0.6 < 0.6*0.7."""
-    return """
-    qtok AS MATERIALIZED (
+    return f"""
+    {p}qtok AS MATERIALIZED (
       SELECT qid, query, lower(query) AS lq,
              list_filter(string_split_regex(lower(query), '\\s+'),
                          x -> x <> '') AS qw_raw,
              list_distinct(list_filter(
                  string_split_regex(lower(query), '\\s+'),
                  x -> x <> '')) AS qw
-      FROM q),
-    fent AS (
+      FROM {src}),
+    {p}fent AS (
       SELECT t.qid, c.canonical_id, c.canonical_name, c.entity_type,
              lower(c.canonical_name) AS ln,
              len(list_intersect(t.qw, list_distinct(
@@ -449,8 +453,8 @@ def _fuzzy_cte() -> str:
              GREATEST(length(t.lq), length(c.canonical_name)) AS mxl,
              list_contains(t.qw_raw, lower(c.entity_type)) AS type_hit,
              len(t.qw_raw) AS nq_raw
-      FROM qtok t CROSS JOIN canon c),
-    fentm AS (
+      FROM {p}qtok t CROSS JOIN canon c),
+    {p}fentm AS (
       SELECT qid, canonical_id, canonical_name, entity_type, ln,
              CASE WHEN nq + ne - inter > 0
                   THEN inter::DOUBLE / (nq + ne - inter) ELSE 0.0 END * 0.4
@@ -460,8 +464,8 @@ def _fuzzy_cte() -> str:
              + CASE WHEN mxl = 0 THEN 1.0
                     ELSE 1.0 - lev::DOUBLE / mxl END * 0.2 AS combined,
              type_hit, nq_raw
-      FROM fent),
-    fe AS (
+      FROM {p}fent),
+    {p}fe AS (
       -- exact (rs:381-395) else partial (rs:397-408); plus type matches
       SELECT t.qid, 0 AS phase, m.canonical_id AS sid, 0 AS subrole,
              m.canonical_id AS match_id,
@@ -469,18 +473,18 @@ def _fuzzy_cte() -> str:
                   ELSE 'partial_entity' END AS match_type,
              CASE WHEN m.ln = t.lq THEN 1.0 ELSE m.combined * 0.9 END AS sim,
              m.canonical_name || ' (' || m.entity_type || ')' AS content
-      FROM fentm m JOIN qtok t USING (qid)
+      FROM {p}fentm m JOIN {p}qtok t USING (qid)
       WHERE m.ln = t.lq OR m.combined >= 0.6
       UNION ALL
       SELECT m.qid, 0, m.canonical_id, 1, 'type_' || m.canonical_id,
              'semantic_entity', 0.7,
              m.canonical_name || ' (' || m.entity_type || ')'
-      FROM fentm m
-      WHERE m.qid IN (SELECT qid FROM qtok WHERE lq <> lower(
+      FROM {p}fentm m
+      WHERE m.qid IN (SELECT qid FROM {p}qtok WHERE lq <> lower(
             (SELECT canonical_name FROM canon c2
              WHERE c2.canonical_id = m.canonical_id)))
         AND m.type_hit AND m.nq_raw > 0),
-    ftok AS MATERIALIZED (
+    {p}ftok AS MATERIALIZED (
       SELECT doc_id || '_0' AS chunk_id, s,
              lower(s) AS ls,
              list_filter(string_split_regex(lower(s), '\\s+'),
@@ -489,7 +493,7 @@ def _fuzzy_cte() -> str:
                  string_split_regex(lower(s), '\\s+'),
                  x -> x <> '')) AS cw
       FROM kgx_docs),
-    fchunkx AS (
+    {p}fchunkx AS (
       SELECT t.qid, k.chunk_id, k.s,
              len(list_intersect(t.qw, k.cw)) AS inter,
              len(t.qw) AS nq, len(k.cw) AS nc,
@@ -497,8 +501,8 @@ def _fuzzy_cte() -> str:
              GREATEST(length(t.lq), length(k.s)) AS mxl,
              len(list_intersect(t.qw, k.cw))::DOUBLE
                / NULLIF(LEAST(len(t.qw_raw), len(k.cw_raw)), 0) AS overlap
-      FROM qtok t CROSS JOIN ftok k),
-    fc AS (
+      FROM {p}qtok t CROSS JOIN {p}ftok k),
+    {p}fc AS (
       SELECT qid, 1 AS phase, chunk_id AS sid, u.subrole,
              u.match_id, 'chunk_content' AS match_type, u.sim,
              trim(s) AS content
@@ -512,19 +516,19 @@ def _fuzzy_cte() -> str:
                       ELSE inter::DOUBLE / LEAST(nq, nc) END * 0.4
                + CASE WHEN mxl = 0 THEN 1.0
                       ELSE 1.0 - lev::DOUBLE / mxl END * 0.2 AS combined
-        FROM fchunkx) x,
+        FROM {p}fchunkx) x,
       LATERAL (VALUES
           (0, x.chunk_id, x.combined, x.combined >= 0.6),
           (1, 'keywords_' || x.chunk_id, coalesce(x.overlap, 0.0),
            coalesce(x.overlap, 0.0) >= 0.48)) u(subrole, match_id, sim, keep)
       WHERE u.keep),
-    fall AS (SELECT * FROM fe UNION ALL SELECT * FROM fc),
-    frank AS (
-      SELECT qid, match_id, match_type, sim, content,
+    {p}fall AS (SELECT * FROM {p}fe UNION ALL SELECT * FROM {p}fc),
+    {p}frank AS (
+      SELECT qid, sid, match_id, match_type, sim, content,
              row_number() OVER (PARTITION BY qid
                                 ORDER BY sim DESC, phase, sid, subrole) - 1
                  AS rank
-      FROM fall)
+      FROM {p}fall)
     """
 
 
@@ -537,4 +541,358 @@ def rograg_fuzzy_sql() -> str:
                round(f.sim, 4) AS similarity, f.content
         FROM frank f JOIN q USING (qid)
         WHERE f.rank < 10
+    """
+
+
+_CONNECTOR_TEST = " OR ".join(
+    f"strpos(lower(s), '{c}') > 0"
+    for c in ("however", "therefore", "furthermore", "additionally",
+              "meanwhile", "consequently"))
+_CONTRA_TERMS = " + ".join(
+    f"(CASE WHEN strpos(lower(s), '{n}') > 0 AND strpos(lower(s), '{p}') > 0 "
+    f"THEN 1 ELSE 0 END)"
+    for n, p in (("not", "is"), ("never", "always"), ("none", "all"),
+                 ("impossible", "possible")))
+
+
+def _responses_cte() -> str:
+    """Processor replay (processor.rs:356-536): answered queries get one
+    retrieval pass per SUBQUERY (logic form → fuzzy → fallback), weighted
+    synthesis (streaming.rs:857-897), the intent-selected template with
+    full placeholder substitution, clean_content + citations, and the
+    validator's quality-folded confidence.  Requires intent + subq +
+    canon/kgx_docs/kgx_edge_agg CTEs in scope."""
+    logic = _logic_cte("q2", "s_")
+    fuzzy = _fuzzy_cte("q2", "s_")
+    return f"""
+    ans AS (SELECT qid, confidence AS iconf, primary_intent
+            FROM intent WHERE NOT should_refuse AND trim(query) <> ''),
+    q2 AS (SELECT s.qid * 100 + s.ord AS qid, s.text AS query
+           FROM subq s JOIN ans USING (qid)),
+    {logic},
+    {fuzzy},
+    lfr AS (
+      SELECT qid, any_value(pred) AS pred,
+             first(value ORDER BY bkey) AS answer_first,
+             string_agg(value, '; ' ORDER BY bkey) AS answer_all,
+             avg(confidence) AS conf
+      FROM (SELECT qid, predicate AS pred, value, confidence, bkey
+            FROM s_lfbind) GROUP BY qid),
+    fzr AS (
+      SELECT qid,
+             sum(sim * (1.0 / (rank + 1)) * tw)
+               / sum((1.0 / (rank + 1)) * tw) AS conf,
+             count(*) AS n
+      FROM (SELECT qid, sim, rank,
+                   CASE match_type
+                     WHEN 'exact_entity' THEN 1.0
+                     WHEN 'partial_entity' THEN 0.8
+                     WHEN 'semantic_entity' THEN 0.7
+                     WHEN 'chunk_content' THEN 0.6
+                     ELSE 0.5 END AS tw
+            FROM s_frank WHERE rank < 10) GROUP BY qid),
+    fzc AS (
+      SELECT qid,
+             string_agg('• ' || content || ' (similarity: '
+                        || printf('%.2f', sim) || ')', chr(10)
+                        ORDER BY rank) AS top3
+      FROM s_frank WHERE rank < 3 GROUP BY qid),
+    fzcontent AS (
+      SELECT f.qid,
+             CASE WHEN r.n > 3
+                  THEN f.top3 || chr(10) || '... and ' || (r.n - 3)
+                       || ' more results'
+                  ELSE f.top3 END AS content
+      FROM fzc f JOIN fzr r USING (qid)),
+    subres AS (
+      SELECT q2.qid AS k, q2.qid // 100 AS oq, q2.qid % 100 AS ord,
+             CASE WHEN l.qid IS NOT NULL THEN 'logic_form'
+                  WHEN f.qid IS NOT NULL THEN 'fuzzy_match'
+                  ELSE 'fallback' END AS rtype,
+             CASE WHEN l.qid IS NOT NULL THEN
+                    CASE WHEN l.pred IN ('is', 'related', 'compare')
+                         THEN l.answer_first ELSE l.answer_all END
+                  WHEN f.qid IS NOT NULL THEN fc2.content
+                  ELSE 'Unable to process this part of the query'
+             END AS content,
+             CASE WHEN l.qid IS NOT NULL THEN l.conf
+                  WHEN f.qid IS NOT NULL THEN f.conf
+                  ELSE 0.1 END AS conf
+      FROM q2
+      LEFT JOIN lfr l USING (qid)
+      LEFT JOIN fzr f USING (qid)
+      LEFT JOIN fzcontent fc2 USING (qid)),
+    subsrc AS (
+      -- per-subquery source ids in emission order (logic bindings by
+      -- bkey; fuzzy matches by first-occurrence rank)
+      SELECT qid AS k, bkey AS pos, entity_id AS src
+      FROM s_lfbind WHERE entity_id <> ''
+      UNION ALL
+      SELECT f.qid, printf('%04d', f.r0), f.sid
+      FROM (SELECT qid, sid, min(rank) AS r0 FROM s_frank
+            WHERE rank < 10 GROUP BY qid, sid) f
+      WHERE f.qid NOT IN (SELECT qid FROM lfr)),
+    allsrc AS (
+      SELECT oq, src, min((k % 100, pos)) AS fk
+      FROM subsrc JOIN (SELECT k, oq FROM subres) USING (k)
+      GROUP BY oq, src),
+    srcagg AS (
+      SELECT oq, list(src ORDER BY fk) AS srcs FROM allsrc GROUP BY oq),
+    syn0 AS (
+      SELECT oq, count(*) AS n, sum(conf) AS total,
+             sum(conf * conf) AS ss, avg(conf) AS mean,
+             bool_or(rtype <> 'logic_form') AS fallback_used
+      FROM subres GROUP BY oq),
+    synrank AS (
+      SELECT *, row_number() OVER (PARTITION BY oq
+                                   ORDER BY conf DESC, ord) AS crn
+      FROM subres),
+    syncontent AS (
+      SELECT oq,
+             string_agg(content, '. ' ORDER BY crn)
+                 FILTER (crn <= 3) AS top3,
+             string_agg(content, '. ' ORDER BY ord) AS seq
+      FROM synrank GROUP BY oq),
+    synth AS (
+      SELECT s0.oq,
+             CASE WHEN s0.total = 0.0 THEN sc.seq ELSE sc.top3 END AS content,
+             CASE WHEN s0.total = 0.0 THEN s0.mean
+                  ELSE sqrt(s0.ss / s0.n) END AS conf,
+             s0.n, s0.fallback_used
+      FROM syn0 s0 JOIN syncontent sc USING (oq)),
+    firstwords AS (
+      SELECT oq,
+             max(CASE WHEN ord = 0 THEN content END) AS c0,
+             max(CASE WHEN ord = 1 THEN content END) AS c1,
+             count(*) AS n
+      FROM subres GROUP BY oq),
+    placeholders AS (
+      SELECT f.oq,
+             coalesce(nullif(list_filter(string_split_regex(
+                 coalesce(f.c0, ''), '\\s+'), x -> x <> '')[1], ''),
+                 'the subject') AS ent0,
+             CASE WHEN f.c0 IS NULL THEN 'entity1'
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                      f.c0, '\\s+'), x -> x <> '')[1], ''), 'the subject')
+             END AS ent1,
+             CASE WHEN f.c1 IS NULL THEN 'entity2'
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                      f.c1, '\\s+'), x -> x <> '')[1], ''), 'entity')
+             END AS ent2
+      FROM firstwords f),
+    relsh AS (
+      SELECT oq, coalesce(first(content ORDER BY ord) FILTER (
+                 strpos(content, 'related') > 0
+                 OR strpos(content, 'relationship') > 0), 'a connection')
+                 AS relationship
+      FROM subres GROUP BY oq),
+    addctx AS (
+      SELECT oq,
+             CASE WHEN count(*) FILTER (ord >= 1) > 0
+                  THEN 'Additionally, ' || string_agg(content, '. '
+                       ORDER BY ord) FILTER (ord >= 1)
+                  ELSE '' END AS additional_context,
+             CASE WHEN count(*) FILTER (conf > 0.6) > 1
+                  THEN string_agg(content, '. ' ORDER BY ord)
+                       FILTER (conf > 0.6)
+                  ELSE '' END AS details,
+             'Key points: ' || string_agg((ord + 1) || '. ' || content,
+                 '; ' ORDER BY ord) FILTER (ord < 3) AS key_points
+      FROM subres GROUP BY oq),
+    assembled AS (
+      SELECT a.qid, sy.conf AS synconf, sy.n, sy.fallback_used,
+             a.iconf, sr.srcs,
+             CASE
+               WHEN a.primary_intent = 'factual' THEN
+                 'Based on the available information, ' || sy.content
+                 || '. ' ||
+                 CASE WHEN sy.conf >= 0.9
+                      THEN 'I''m very confident in this information.'
+                      WHEN sy.conf >= 0.7
+                      THEN 'This information appears to be reliable.'
+                      WHEN sy.conf >= 0.5
+                      THEN 'This information has moderate confidence.'
+                      ELSE 'Please note that this information has limited confidence.'
+                 END
+               WHEN a.primary_intent = 'definitional' THEN
+                 p.ent0 || ' is ' || sy.content || '. '
+                 || x.additional_context
+               WHEN a.primary_intent = 'relational' THEN
+                 p.ent1 || ' and ' || p.ent2 || ' are related through '
+                 || r.relationship || '. ' || x.details
+               WHEN a.primary_intent = 'comparative' THEN
+                 'Comparing ' || p.ent1 || ' and ' || p.ent2 || ': '
+                 || sy.content || '. ' ||
+                 CASE WHEN sy.conf > 0.8
+                      THEN 'This appears to be well-supported by the available information.'
+                      WHEN sy.conf > 0.6
+                      THEN 'This conclusion is supported by the available evidence.'
+                      ELSE 'This is based on limited information.' END
+               WHEN a.primary_intent IN ('summary', 'exploratory') THEN
+                 'Here''s what I found about ' || p.ent0 || ': '
+                 || sy.content || '. ' || coalesce(x.key_points, '')
+               ELSE 'Based on the available information: ' || sy.content
+             END AS raw
+      FROM ans a
+      JOIN synth sy ON sy.oq = a.qid
+      JOIN placeholders p ON p.oq = a.qid
+      JOIN relsh r ON r.oq = a.qid
+      JOIN addctx x ON x.oq = a.qid
+      LEFT JOIN srcagg sr ON sr.oq = a.qid),
+    cleaned AS (
+      SELECT qid, synconf, n, fallback_used, iconf, srcs,
+             trim(regexp_replace(regexp_replace(raw, '\\{{\\w+\\}}', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS c1
+      FROM assembled),
+    respbody AS (
+      SELECT qid, synconf, n, fallback_used, iconf, srcs,
+             CASE WHEN c1 = '' THEN c1
+                  WHEN c1 LIKE '%.' OR c1 LIKE '%!' OR c1 LIKE '%?' THEN c1
+                  ELSE c1 || '.' END AS body
+      FROM cleaned),
+    withcites AS (
+      SELECT r.qid, r.synconf, r.n, r.fallback_used, r.iconf, r.srcs,
+             CASE WHEN r.srcs IS NOT NULL AND len(r.srcs) > 0
+                  THEN r.body || chr(10) || chr(10) || 'Sources: ' ||
+                       array_to_string(list_transform(
+                           r.srcs[1:3],
+                           x -> '[' || list_position(r.srcs[1:3], x)
+                                || '] ' || x), ', ')
+                  ELSE r.body END AS content,
+             LEAST(r.synconf * 0.7 + r.iconf * 0.3, 1.0) AS pre_conf
+      FROM respbody r),
+    quality AS (
+      SELECT w.qid, w.content, w.pre_conf, w.n, w.fallback_used, w.srcs,
+             -- coherence (validator.rs:886-926)
+             CASE WHEN len(sents) > 1
+                  THEN LEAST(len(list_filter(sents,
+                       s -> {_CONNECTOR_TEST}))::DOUBLE / len(sents), 1.0)
+                  ELSE 1.0 END AS coherence,
+             -- relevance (validator.rs:962-984)
+             CASE WHEN len(list_distinct(qws)) + len(list_distinct(cws))
+                       - len(list_intersect(list_distinct(qws),
+                                            list_distinct(cws))) > 0
+                  THEN len(list_intersect(list_distinct(qws),
+                                          list_distinct(cws)))::DOUBLE
+                       / (len(list_distinct(qws)) + len(list_distinct(cws))
+                          - len(list_intersect(list_distinct(qws),
+                                               list_distinct(cws))))
+                  ELSE 0.0 END AS relevance,
+             -- factual consistency (validator.rs:523-550)
+             1.0 - LEAST(list_sum(list_transform(sents,
+                     s -> {_CONTRA_TERMS}))::DOUBLE
+                   / GREATEST(len(sents), 1), 1.0) AS consistency,
+             -- completeness (validator.rs:554-574)
+             ((CASE WHEN length(w.content) > 100 THEN 1.0
+                    ELSE length(w.content) / 100.0 END)
+              + (CASE WHEN coalesce(len(w.srcs), 0) > 2 THEN 1.0
+                      ELSE coalesce(len(w.srcs), 0) / 2.0 END)
+              + (CASE WHEN w.n > 1 THEN 1.0 ELSE w.n::DOUBLE END)) / 3.0
+                 AS completeness,
+             -- readability (validator.rs:576-600)
+             ((CASE WHEN len(cws)::DOUBLE / GREATEST(
+                      (length(w.content)
+                       - length(replace(w.content, '.', '')))
+                    + (length(w.content)
+                       - length(replace(w.content, '!', '')))
+                    + (length(w.content)
+                       - length(replace(w.content, '?', ''))), 1) > 30.0
+                    THEN 0.5 ELSE 1.0 END)
+              + (CASE WHEN length(regexp_replace(w.content, '[^a-zA-Z]',
+                          '', 'g'))::DOUBLE / GREATEST(len(cws), 1) > 8.0
+                      THEN 0.7 ELSE 1.0 END)) / 2.0 AS readability,
+             -- source credibility (validator.rs:602-620)
+             CASE WHEN coalesce(len(w.srcs), 0) = 0 THEN 0.0
+                  ELSE (LEAST(len(w.srcs) / 5.0, 1.0)
+                        + len(list_distinct(list_transform(w.srcs,
+                              s -> substr(s, 1, 10))))::DOUBLE
+                          / len(w.srcs)) / 2.0 END AS credibility
+      FROM (
+        SELECT w.*,
+               string_split_regex(w.content, '[.!?]') AS sents,
+               list_filter(string_split_regex(lower(i.query), '\\s+'),
+                           x -> x <> '') AS qws,
+               list_filter(string_split_regex(lower(w.content), '\\s+'),
+                           x -> x <> '') AS cws
+        FROM withcites w JOIN intent i USING (qid)) w),
+    qfinal AS (
+      SELECT qid, content, n, fallback_used, srcs,
+             coherence, relevance, consistency, completeness, readability,
+             credibility,
+             LEAST(GREATEST((coherence + relevance + consistency
+                             + completeness + readability + credibility)
+                            / 6.0, 0.0), 1.0) AS overall,
+             pre_conf
+      FROM quality),
+    responses AS (
+      -- refusal rows (validation empty-query first, then intent refusal)
+      SELECT i.qid, i.query,
+             CASE WHEN trim(i.query) = ''
+                  THEN 'Unable to provide an answer: Query is empty'
+                  ELSE 'Unable to provide an answer: ' || i.refusal_reason
+             END AS content,
+             0.0 AS confidence, TRUE AS is_refusal,
+             0::BIGINT AS n_subqueries, FALSE AS fallback_used,
+             '' AS sources
+      FROM intent i WHERE i.should_refuse OR trim(i.query) = ''
+      UNION ALL
+      SELECT f.qid, i.query, f.content,
+             LEAST(GREATEST(f.pre_conf * f.overall, 0.0), 1.0),
+             FALSE, f.n, f.fallback_used,
+             coalesce(array_to_string(f.srcs, '|'), '')
+      FROM qfinal f JOIN intent i USING (qid))
+    """
+
+
+def rograg_responses_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_queries_cte()},
+        {_intent_cte()},
+        {_decompose_cte()},
+        {_responses_cte()}
+        SELECT query, content, round(confidence, 4) AS confidence,
+               is_refusal, n_subqueries, fallback_used, sources
+        FROM responses
+    """
+
+
+def rograg_quality_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_queries_cte()},
+        {_intent_cte()},
+        {_decompose_cte()},
+        {_responses_cte()}
+        SELECT i.query, round(f.coherence, 4) AS coherence,
+               round(f.relevance, 4) AS relevance,
+               round(f.consistency, 4) AS consistency,
+               round(f.completeness, 4) AS completeness,
+               round(f.readability, 4) AS readability,
+               round(f.credibility, 4) AS credibility,
+               round(f.overall, 4) AS overall
+        FROM qfinal f JOIN intent i USING (qid)
+    """
+
+
+def rograg_stream_sql(chunk_size: int = 8) -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_queries_cte()},
+        {_intent_cte()},
+        {_decompose_cte()},
+        {_responses_cte()},
+        words AS (
+          SELECT f.qid, i.query,
+                 list_filter(string_split_regex(f.content, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM qfinal f JOIN intent i USING (qid))
+        SELECT w.query, t.i AS chunk_id,
+               array_to_string(w.ws[t.i * {chunk_size} + 1
+                                    : (t.i + 1) * {chunk_size}], ' ')
+                   AS content,
+               (t.i + 1) * {chunk_size} >= len(w.ws) AS is_final
+        FROM words w,
+        LATERAL unnest(range(0, (len(w.ws) + {chunk_size} - 1)
+                                // {chunk_size})) t(i)
     """
