@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rograg_responses": q.rograg_responses,
         "rograg_quality": q.rograg_quality,
         "rograg_stream": q.rograg_stream,
+        # --- query intelligence / routing / plan optimizer (SQL-oracled)
+        "qi_rewrite": q.qi_rewrite,
+        "qi_routing": q.qi_routing,
+        "qopt_plans": q.qopt_plans,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -215,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx as _kgx_sql
     from graphrag_ray import kgx_fuzzy as _kgxf_sql
     from graphrag_ray import rograg_oracle as _rograg_sql
+    from graphrag_ray import query_intel_oracle as _qi_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
@@ -227,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
         "rograg_responses": _rograg_sql.rograg_responses_sql(),
         "rograg_quality": _rograg_sql.rograg_quality_sql(),
         "rograg_stream": _rograg_sql.rograg_stream_sql(),
+        "qi_rewrite": _qi_sql.qi_rewrite_sql(),
+        "qi_routing": _qi_sql.qi_routing_sql(),
+        "qopt_plans": _qi_sql.qopt_plans_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -2317,3 +2317,89 @@ def rograg_stream(sf_dir: str):
     """Streaming chunk generation (rograg/streaming.rs:714-744): word-window
     response chunks with final-chunk flags."""
     return _rograg(sf_dir).stream
+
+
+def qi_rewrite(sf_dir: str):
+    """Query intelligence rewrite (query/intelligence.rs:92-381): type
+    cascade, template rewrite, in-order synonym expansion with stateful
+    dedup, stop-word key terms, specificity confidence."""
+    import pandas as pd
+
+    from .stages.query_intel import QI_QUERIES, rewrite_query
+
+    qds = ray.data.from_items([{"query": q} for q in QI_QUERIES])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"query": [], "rewritten": [], "query_type": [],
+               "expanded_terms": [], "confidence": []}
+        for q in batch.column("query").to_pylist():
+            r = rewrite_query(q)
+            out["query"].append(q)
+            out["rewritten"].append(r["rewritten"])
+            out["query_type"].append(r["query_type"])
+            out["expanded_terms"].append("|".join(r["expanded_terms"]))
+            out["confidence"].append(
+                float(np.floor(r["confidence"] * 1e4 + 0.5) / 1e4))
+        return pa.Table.from_pydict({
+            "query": pa.array(out["query"], pa.string()),
+            "rewritten": pa.array(out["rewritten"], pa.string()),
+            "query_type": pa.array(out["query_type"], pa.string()),
+            "expanded_terms": pa.array(out["expanded_terms"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+        })
+
+    return qds.map_batches(fn, batch_format="pyarrow")
+
+
+def qi_routing(sf_dir: str):
+    """Adaptive query routing (query/adaptive_routing.rs:77-270):
+    keyword/length/entity-weighted complexity → hierarchical level."""
+    from .stages.query_intel import QI_QUERIES, analyze_complexity
+
+    qds = ray.data.from_items([{"query": q} for q in QI_QUERIES])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [analyze_complexity(q)
+                for q in batch.column("query").to_pylist()]
+        return pa.Table.from_pydict({
+            "query": pa.array([r["query"] for r in rows], pa.string()),
+            "complexity": pa.array([r["complexity"] for r in rows],
+                                   pa.string()),
+            "suggested_level": pa.array(
+                [r["suggested_level"] for r in rows], pa.int64()),
+            "keyword_score": pa.array(
+                _round4([r["keyword_score"] for r in rows]), pa.float64()),
+            "length_score": pa.array(
+                _round4([r["length_score"] for r in rows]), pa.float64()),
+            "entity_score": pa.array(
+                _round4([r["entity_score"] for r in rows]), pa.float64()),
+        })
+
+    return qds.map_batches(fn, batch_format="pyarrow")
+
+
+def qopt_plans(sf_dir: str):
+    """Plan optimizer (query/optimizer.rs:141-475) over kgx graph
+    statistics (computed distributed: entity-type groupby + edge count):
+    rewrite swap, greedy multi-way join order, cost/cardinality/
+    selectivity estimates for the fixed plan workload."""
+    import pandas as pd
+
+    from .stages.query_intel import (OPTIMIZER_PLANS, QueryOptimizer,
+                                     graph_statistics, serialize_plan)
+
+    res = _kgx(sf_dir)
+    stats = graph_statistics(res.entities, res.edges)
+    opt = QueryOptimizer(stats)
+    rows = []
+    for name, plan in OPTIMIZER_PLANS:
+        best = opt.optimize(plan)
+        cost = opt.estimate_cost(best)
+        rows.append({
+            "plan": name,
+            "optimized": serialize_plan(best),
+            "cardinality": int(cost["cardinality"]),
+            "cost": float(_round4([cost["cost"]])[0]),
+            "selectivity": float(_round4([cost["selectivity"]])[0]),
+        })
+    return pd.DataFrame(rows)
