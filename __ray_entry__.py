@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qi_rewrite": q.qi_rewrite,
         "qi_routing": q.qi_routing,
         "qopt_plans": q.qopt_plans,
+        "gen_answers": q.gen_answers,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import kgx_fuzzy as _kgxf_sql
     from graphrag_ray import rograg_oracle as _rograg_sql
     from graphrag_ray import query_intel_oracle as _qi_sql
+    from graphrag_ray import generation_oracle as _gen_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
@@ -235,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "qi_rewrite": _qi_sql.qi_rewrite_sql(),
         "qi_routing": _qi_sql.qi_routing_sql(),
         "qopt_plans": _qi_sql.qopt_plans_sql(),
+        "gen_answers": _gen_sql.gen_answers_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -2403,3 +2403,48 @@ def qopt_plans(sf_dir: str):
             "selectivity": float(_round4([cost["selectivity"]])[0]),
         })
     return pd.DataFrame(rows)
+
+
+_GENR_CACHE: dict[str, object] = {}
+
+
+def gen_answers(sf_dir: str):
+    """Answer generation (generation/mod.rs:736-1060, Hybrid mode):
+    context assembly from the published 4-decimal fuzzy-match scores over
+    the kgx graph, MockLLM extractive sentence scoring, abstractive /
+    contextual fallbacks, citation formatting and answer confidence."""
+    import pandas as pd
+
+    out = _GENR_CACHE.get(sf_dir)
+    if out is not None:
+        return out
+    from .stages.generation import (GEN_QUERIES, format_with_citations,
+                                    generate_answer, quality_assessment)
+    from .stages.rograg import run_rograg
+
+    res = _kgx(sf_dir)
+    run = run_rograg(list(GEN_QUERIES), res.entities, res.chunks, res.edges)
+    fz = run.fuzzy_matches
+    rows = []
+    for q in GEN_QUERIES:
+        sub = fz[fz["query"] == q].sort_values("rank")
+        results = []
+        for r in sub.itertuples(index=False):
+            is_ent = r.match_type.endswith("_entity")
+            results.append({
+                "id": r.match_id, "content": r.content,
+                "score": float(r.similarity),
+                "result_type": "entity" if is_ent else "chunk",
+                "entities": ([r.content.split(" (")[0]] if is_ent else []),
+            })
+        ans = generate_answer(q, results)
+        rows.append({
+            "query": q,
+            "answer": format_with_citations(ans),
+            "confidence": float(_round4([ans["confidence"]])[0]),
+            "context_quality": float(_round4([ans["context_quality"]])[0]),
+            "n_sources": len(ans["sources"]),
+            "quality": quality_assessment(ans),
+        })
+    out = _GENR_CACHE[sf_dir] = pd.DataFrame(rows)
+    return out
