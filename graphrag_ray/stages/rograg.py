@@ -389,12 +389,22 @@ def levenshtein_sim(a: str, b: str) -> float:
     return 1.0 - levenshtein_distance(a, b) / ml if ml else 1.0
 
 
-def combined_text_sim(a: str, b: str) -> float:
+def combined_text_sim(a: str, b: str, *,
+                      prune_below: float | None = None) -> float:
     """fuzzy_matcher.rs:calculate_text_similarity — 0.4*jaccard +
-    0.4*containment + 0.2*levenshtein over lowercased texts."""
+    0.4*containment + 0.2*levenshtein over lowercased texts.
+
+    ``prune_below``: when the caller only consumes values ≥ the given
+    threshold, the O(|a|·|b|) levenshtein DP is skipped whenever even a
+    perfect levenshtein (1.0) cannot reach it — the returned
+    under-estimate is still < threshold, so filter semantics are
+    EXACTLY preserved while the hot path drops the quadratic term for
+    the overwhelming majority of corpus pairs."""
     al, bl = a.lower(), b.lower()
-    return (word_jaccard(al, bl) * 0.4 + containment_sim(al, bl) * 0.4
-            + levenshtein_sim(al, bl) * 0.2)
+    base = word_jaccard(al, bl) * 0.4 + containment_sim(al, bl) * 0.4
+    if prune_below is not None and base + 0.2 < prune_below:
+        return base
+    return base + levenshtein_sim(al, bl) * 0.2
 
 
 def word_overlap(words_a: list[str], words_b: list[str]) -> float:
@@ -768,7 +778,8 @@ def make_entity_scan_fn(queries: list[str]):
                 if ln == ql:
                     emit(q, "fz_exact", 0, ids[i], names[i], types[i], 1.0)
                     continue
-                sim = combined_text_sim(q, names[i])
+                sim = combined_text_sim(
+                    q, names[i], prune_below=SIMILARITY_THRESHOLD)
                 if sim >= SIMILARITY_THRESHOLD:
                     emit(q, "fz_partial", 0, ids[i], names[i], types[i],
                          sim * 0.9)
@@ -802,7 +813,8 @@ def make_chunk_scan_fn(queries: list[str]):
         for q in queries:
             qwords = fuzzy_words[q]
             for cid, content in zip(cids, contents):
-                sim = combined_text_sim(q, content)
+                sim = combined_text_sim(
+                    q, content, prune_below=SIMILARITY_THRESHOLD)
                 if sim >= SIMILARITY_THRESHOLD:
                     out["query"].append(q)
                     out["role"].append("fz_content")
