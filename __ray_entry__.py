@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qi_routing": q.qi_routing,
         "qopt_plans": q.qopt_plans,
         "gen_answers": q.gen_answers,
+        "explained_steps": q.explained_steps,
+        "explained_sources": q.explained_sources,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -238,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
         "qi_routing": _qi_sql.qi_routing_sql(),
         "qopt_plans": _qi_sql.qopt_plans_sql(),
         "gen_answers": _gen_sql.gen_answers_sql(),
+        "explained_steps": _gen_sql.explained_steps_sql(),
+        "explained_sources": _gen_sql.explained_sources_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -252,3 +252,89 @@ def gen_answers_sql() -> str:
         JOIN qg g USING (qid)
         LEFT JOIN cites c USING (qid)
     """
+
+
+def _explained_base() -> str:
+    """Shared CTEs: srch (typed fuzzy results), exconf (avg*0.7+0.3
+    clamp), exents (pinned-order unique entity names) —
+    retrieval/explained.rs:93-180."""
+    return f"""
+        WITH {_corpus_cte()},
+        {_gen_queries_cte()},
+        {_fuzzy_cte("qg", "g_")},
+        srch AS (
+          SELECT qid, rank, match_id, content,
+                 round(sim, 4) AS score,
+                 match_type LIKE '%_entity' AS is_ent,
+                 CASE WHEN match_type LIKE '%_entity'
+                      THEN split_part(content, ' (', 1) END AS ent_name
+          FROM g_frank WHERE rank < 10),
+        exconf AS (
+          SELECT g.qid,
+                 CASE WHEN count(s.qid) = 0 THEN 0.0
+                      ELSE LEAST(GREATEST(avg(s.score) * 0.7 + 0.3, 0.0),
+                                 1.0) END AS conf,
+                 count(*) FILTER (NOT s.is_ent) AS chunk_count
+          FROM qg g LEFT JOIN srch s USING (qid) GROUP BY g.qid),
+        exents AS (
+          SELECT qid, list(DISTINCT ent_name ORDER BY ent_name) AS ents
+          FROM srch WHERE is_ent GROUP BY qid),
+        first_snip AS (
+          SELECT qid,
+                 CASE WHEN length(content) > 100
+                      THEN substr(content, 1, 100) || '...'
+                      ELSE content END AS snippet
+          FROM srch WHERE rank = 0)
+    """
+
+
+def explained_steps_sql() -> str:
+    return f"""
+        {_explained_base()},
+        s1 AS (
+          SELECT qid, 1 AS ord, 'Analyzed query: "' || query || '"'
+                     AS description,
+                 '' AS entities_used, '' AS evidence, 0.95 AS confidence
+          FROM qg),
+        s2 AS (
+          SELECT e.qid, 2 AS ord,
+                 'Found ' || len(e.ents) || ' relevant entities',
+                 array_to_string(e.ents[1:5], '|'), '', 0.85
+          FROM exents e),
+        s3 AS (
+          SELECT c.qid, 3 AS ord,
+                 'Retrieved ' || c.chunk_count || ' relevant text chunks',
+                 '', coalesce(f.snippet, ''), c.conf
+          FROM exconf c LEFT JOIN first_snip f USING (qid)
+          WHERE c.chunk_count > 0),
+        s4 AS (
+          SELECT c.qid, 4 AS ord,
+                 'Synthesized answer from retrieved information',
+                 coalesce(array_to_string(e.ents[1:3], '|'), ''), '',
+                 c.conf
+          FROM exconf c LEFT JOIN exents e USING (qid)),
+        allsteps AS (
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        SELECT g.query,
+               row_number() OVER (PARTITION BY a.qid ORDER BY a.ord)
+                   AS step_number,
+               a.description, a.entities_used, a.evidence,
+               round(a.confidence, 4) AS confidence
+        FROM allsteps a JOIN qg g USING (qid)
+    """
+
+
+def explained_sources_sql() -> str:
+    return f"""
+        {_explained_base()}
+        SELECT g.query, s.rank, s.match_id AS source_id,
+               CASE WHEN s.is_ent THEN 'entity' ELSE 'text_chunk' END
+                   AS source_type,
+               CASE WHEN length(s.content) > 200
+                    THEN substr(s.content, 1, 200) || '...'
+                    ELSE s.content END AS excerpt,
+               s.score AS relevance
+        FROM srch s JOIN qg g USING (qid)
+        WHERE s.rank < 5
+    """

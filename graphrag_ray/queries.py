@@ -2406,6 +2406,36 @@ def qopt_plans(sf_dir: str):
 
 
 _GENR_CACHE: dict[str, object] = {}
+_GENRUN_CACHE: dict[str, object] = {}
+
+
+def _gen_run(sf_dir: str):
+    """Shared fuzzy-retrieval pass for the generation + explained
+    surfaces (one corpus scan for the GEN_QUERIES workload)."""
+    run = _GENRUN_CACHE.get(sf_dir)
+    if run is None:
+        from .stages.generation import GEN_QUERIES
+        from .stages.rograg import run_rograg
+
+        res = _kgx(sf_dir)
+        run = _GENRUN_CACHE[sf_dir] = run_rograg(
+            list(GEN_QUERIES), res.entities, res.chunks, res.edges)
+    return run
+
+
+def _gen_search_results(sf_dir: str, q: str) -> list:
+    fz = _gen_run(sf_dir).fuzzy_matches
+    sub = fz[fz["query"] == q].sort_values("rank")
+    results = []
+    for r in sub.itertuples(index=False):
+        is_ent = r.match_type.endswith("_entity")
+        results.append({
+            "id": r.match_id, "content": r.content,
+            "score": float(r.similarity),
+            "result_type": "entity" if is_ent else "chunk",
+            "entities": ([r.content.split(" (")[0]] if is_ent else []),
+        })
+    return results
 
 
 def gen_answers(sf_dir: str):
@@ -2420,23 +2450,10 @@ def gen_answers(sf_dir: str):
         return out
     from .stages.generation import (GEN_QUERIES, format_with_citations,
                                     generate_answer, quality_assessment)
-    from .stages.rograg import run_rograg
 
-    res = _kgx(sf_dir)
-    run = run_rograg(list(GEN_QUERIES), res.entities, res.chunks, res.edges)
-    fz = run.fuzzy_matches
     rows = []
     for q in GEN_QUERIES:
-        sub = fz[fz["query"] == q].sort_values("rank")
-        results = []
-        for r in sub.itertuples(index=False):
-            is_ent = r.match_type.endswith("_entity")
-            results.append({
-                "id": r.match_id, "content": r.content,
-                "score": float(r.similarity),
-                "result_type": "entity" if is_ent else "chunk",
-                "entities": ([r.content.split(" (")[0]] if is_ent else []),
-            })
+        results = _gen_search_results(sf_dir, q)
         ans = generate_answer(q, results)
         rows.append({
             "query": q,
@@ -2448,3 +2465,46 @@ def gen_answers(sf_dir: str):
         })
     out = _GENR_CACHE[sf_dir] = pd.DataFrame(rows)
     return out
+
+
+def explained_steps(sf_dir: str):
+    """Explained retrieval reasoning trace (retrieval/explained.rs:93-180):
+    per query the 1-indexed step list with pinned-order entity sets and
+    evidence snippets."""
+    import pandas as pd
+
+    from .stages.generation import GEN_QUERIES, explained_answer
+
+    rows = []
+    for q in GEN_QUERIES:
+        ex = explained_answer(q, _gen_search_results(sf_dir, q))
+        for s in ex["steps"]:
+            rows.append({
+                "query": q, "step_number": s["step_number"],
+                "description": s["description"],
+                "entities_used": "|".join(s["entities_used"]),
+                "evidence": s["evidence_snippet"],
+                "confidence": float(_round4([s["confidence"]])[0]),
+            })
+    return pd.DataFrame(rows)
+
+
+def explained_sources(sf_dir: str):
+    """Explained retrieval source references (explained.rs:104-125):
+    top-5 results with typed excerpts and relevance."""
+    import pandas as pd
+
+    from .stages.generation import GEN_QUERIES, explained_answer
+
+    rows = []
+    for q in GEN_QUERIES:
+        ex = explained_answer(q, _gen_search_results(sf_dir, q))
+        for i, s in enumerate(ex["sources"]):
+            rows.append({
+                "query": q, "rank": i, "source_id": s["id"],
+                "source_type": s["source_type"], "excerpt": s["excerpt"],
+                "relevance": float(_round4([s["relevance_score"]])[0]),
+            })
+    return pd.DataFrame(
+        rows, columns=["query", "rank", "source_id", "source_type",
+                       "excerpt", "relevance"])

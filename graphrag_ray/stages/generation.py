@@ -319,3 +319,55 @@ GEN_QUERIES: tuple[str, ...] = (
     "what is alice harmon?",
     "12345 67890",
 )
+
+
+# ---------------------------------------------------------------------------
+# explained retrieval (retrieval/explained.rs:93-203)
+
+
+def explained_answer(query: str, search_results: list[dict]) -> dict:
+    """ExplainedAnswer::from_results — reasoning-step trace and source
+    references.  The reference draws step entities from a HashSet
+    (unspecified order); here the order is pinned to sorted(name)."""
+    if search_results:
+        avg = sum(r["score"] for r in search_results) / len(search_results)
+        confidence = min(max(avg * 0.7 + 0.3, 0.0), 1.0)
+    else:
+        confidence = 0.0
+    sources = []
+    for r in search_results[:5]:
+        excerpt = r["content"] if len(r["content"]) <= 200 \
+            else r["content"][:200] + "..."
+        sources.append({"id": r["id"],
+                        "source_type": ("entity" if r["result_type"]
+                                        == "entity" else "text_chunk"),
+                        "excerpt": excerpt,
+                        "relevance_score": r["score"]})
+    uniq = sorted({e for r in search_results for e in r["entities"]})
+    steps = [{"step_number": 1,
+              "description": f'Analyzed query: "{query}"',
+              "entities_used": [], "evidence_snippet": "",
+              "confidence": 0.95}]
+    if uniq:
+        steps.append({"step_number": len(steps) + 1,
+                      "description": f"Found {len(uniq)} relevant entities",
+                      "entities_used": uniq[:5], "evidence_snippet": "",
+                      "confidence": 0.85})
+    chunk_count = sum(1 for r in search_results
+                      if r["result_type"] == "chunk")
+    if chunk_count > 0:
+        first = search_results[0]["content"]
+        snippet = first if len(first) <= 100 else first[:100] + "..."
+        steps.append({"step_number": len(steps) + 1,
+                      "description":
+                          f"Retrieved {chunk_count} relevant text chunks",
+                      "entities_used": [], "evidence_snippet": snippet,
+                      "confidence": confidence})
+    steps.append({"step_number": len(steps) + 1,
+                  "description":
+                      "Synthesized answer from retrieved information",
+                  "entities_used": uniq[:3], "evidence_snippet": "",
+                  "confidence": confidence})
+    key_entities = [e for r in search_results for e in r["entities"]][:10]
+    return {"confidence": confidence, "sources": sources, "steps": steps,
+            "key_entities": key_entities}
