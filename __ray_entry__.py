@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rograg_quality": q.rograg_quality,
         "rograg_stream": q.rograg_stream,
         # --- query intelligence / routing / plan optimizer (SQL-oracled)
+        "rograg_metrics": q.rograg_metrics,
         "qi_rewrite": q.qi_rewrite,
         "qi_routing": q.qi_routing,
         "qopt_plans": q.qopt_plans,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "rograg_responses": _rograg_sql.rograg_responses_sql(),
         "rograg_quality": _rograg_sql.rograg_quality_sql(),
         "rograg_stream": _rograg_sql.rograg_stream_sql(),
+        "rograg_metrics": _rograg_sql.rograg_metrics_sql(),
         "qi_rewrite": _qi_sql.qi_rewrite_sql(),
         "qi_routing": _qi_sql.qi_routing_sql(),
         "qopt_plans": _qi_sql.qopt_plans_sql(),

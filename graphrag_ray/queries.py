@@ -2508,3 +2508,25 @@ def explained_sources(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query", "rank", "source_id", "source_type",
                        "excerpt", "relevance"])
+
+
+def rograg_metrics(sf_dir: str):
+    """Quality-metrics tracking scores (rograg/quality_metrics.rs:986-1122
+    — its OWN weights, distinct from the validator's six-way mean) over
+    every processed ROGRAG response, consuming the published 4-decimal
+    response confidences."""
+    import pandas as pd
+
+    from .state.quality_metrics import response_quality
+
+    resp = _rograg(sf_dir).responses
+    rows = []
+    for r in resp.itertuples(index=False):
+        sources = [s for s in str(r.sources).split("|") if s]
+        q = response_quality(r.query, r.content, float(r.confidence),
+                            sources, int(r.n_subqueries))
+        rows.append({"query": r.query,
+                     **{k: float(_round4([v])[0]) for k, v in q.items()}})
+    return pd.DataFrame(
+        rows, columns=["query", "accuracy", "completeness", "coherence",
+                       "relevance", "credibility", "overall"])

@@ -896,3 +896,74 @@ def rograg_stream_sql(chunk_size: int = 8) -> str:
         LATERAL unnest(range(0, (len(w.ws) + {chunk_size} - 1)
                                 // {chunk_size})) t(i)
     """
+
+
+_TRANSITION_TEST = " OR ".join(
+    f"strpos(lower(s), '{t}') > 0"
+    for t in ("however", "therefore", "furthermore", "additionally",
+              "meanwhile", "consequently", "moreover", "nevertheless",
+              "thus", "hence"))
+
+
+def rograg_metrics_sql() -> str:
+    """quality_metrics.rs scoring replay over the composed responses:
+    accuracy folds the published (4-decimal) response confidence with the
+    5-char-prefix source credibility; completeness/coherence/relevance
+    use the 500-char / transition-density+repetition / len>3-word-overlap
+    formulas."""
+    return f"""
+        WITH {_corpus_cte()},
+        {_queries_cte()},
+        {_intent_cte()},
+        {_decompose_cte()},
+        {_responses_cte()},
+        rq AS (
+          SELECT r.qid, r.query, r.content,
+                 round(r.confidence, 4) AS conf,
+                 r.n_subqueries,
+                 list_filter(string_split(r.sources, '|'), x -> x <> '')
+                     AS srcs,
+                 string_split_regex(r.content, '[.!?]') AS sents,
+                 list_filter(string_split_regex(r.content, '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split_regex(lower(r.query), '\\s+'),
+                             x -> x <> '' AND length(x) > 3) AS qw,
+                 list_distinct(list_filter(string_split_regex(
+                     lower(r.content), '\\s+'), x -> x <> '')) AS aw
+          FROM responses r),
+        rm AS (
+          SELECT qid, query,
+                 CASE WHEN len(srcs) = 0 THEN 0.0
+                      ELSE (LEAST(len(srcs) / 5.0, 1.0)
+                            + len(list_distinct(list_transform(srcs,
+                                  s -> substr(s, 1, 5))))::DOUBLE
+                              / len(srcs)) / 2.0 END AS credibility,
+                 (LEAST(length(content) / 500.0, 1.0)
+                  + LEAST(len(srcs) / 3.0, 1.0)
+                  + LEAST(n_subqueries / 5.0, 1.0)) / 3.0 AS completeness,
+                 CASE WHEN len(sents) <= 1 THEN 1.0
+                      ELSE (LEAST(len(list_filter(sents,
+                              s -> {_TRANSITION_TEST}))::DOUBLE
+                            / len(sents), 1.0)
+                            + CASE WHEN len(words) = 0 THEN 1.0
+                                   ELSE len(list_distinct(words))::DOUBLE
+                                        / len(words) END) / 2.0
+                 END AS coherence,
+                 CASE WHEN len(list_distinct(qw)) = 0 THEN 1.0
+                      ELSE len(list_intersect(list_distinct(qw), aw))
+                           ::DOUBLE / len(list_distinct(qw)) END
+                     AS relevance,
+                 conf
+          FROM rq)
+        SELECT query,
+               round((conf + credibility) / 2.0, 4) AS accuracy,
+               round(completeness, 4) AS completeness,
+               round(coherence, 4) AS coherence,
+               round(relevance, 4) AS relevance,
+               round(credibility, 4) AS credibility,
+               round(LEAST((conf + credibility) / 2.0 * 0.3
+                           + completeness * 0.25 + coherence * 0.2
+                           + relevance * 0.15 + credibility * 0.1, 1.0), 4)
+                   AS overall
+        FROM rm
+    """
