@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_answers": q.gen_answers,
         "explained_steps": q.explained_steps,
         "explained_sources": q.explained_sources,
+        "rerank_fuzzy": q.rerank_fuzzy,
+        "rerank_stats": q.rerank_stats,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -244,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "gen_answers": _gen_sql.gen_answers_sql(),
         "explained_steps": _gen_sql.explained_steps_sql(),
         "explained_sources": _gen_sql.explained_sources_sql(),
+        "rerank_fuzzy": _gen_sql.rerank_fuzzy_sql(),
+        "rerank_stats": _gen_sql.rerank_stats_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -338,3 +338,71 @@ def explained_sources_sql() -> str:
         FROM srch s JOIN qg g USING (qid)
         WHERE s.rank < 5
     """
+
+
+def _rerank_cte(min_confidence: float = 0.45) -> str:
+    """Dice-sigmoid rerank replay over the fuzzy candidates
+    (cross_encoder.rs:168-198 orchestration; scorer = the declared
+    deterministic seam, stages/rerank.py lexical_score)."""
+    return f"""
+        srch AS (
+          SELECT qid, rank, match_id, content, round(sim, 4) AS score
+          FROM g_frank WHERE rank < 10),
+        scored AS (
+          SELECT s.qid, s.rank, s.match_id, s.score,
+                 1.0 / (1.0 + exp(-(2.0 * (
+                     CASE WHEN len(qw) + len(dw) = 0 THEN 0.0
+                          ELSE 2.0 * len(list_intersect(qw, dw))::DOUBLE
+                               / (len(qw) + len(dw)) END) - 1.0)))
+                     AS relevance
+          FROM (
+            SELECT s.*,
+                   list_distinct(list_filter(string_split_regex(
+                       lower(g.query), '\\s+'), x -> x <> '')) AS qw,
+                   list_distinct(list_filter(string_split_regex(
+                       lower(s.content), '\\s+'), x -> x <> '')) AS dw
+            FROM srch s JOIN qg g USING (qid)) s),
+        kept2 AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY relevance DESC, rank) - 1 AS rrank
+          FROM scored WHERE relevance >= {min_confidence}),
+        reranked AS (SELECT * FROM kept2 WHERE rrank < 10)
+    """
+
+
+def rerank_fuzzy_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_gen_queries_cte()},
+        {_fuzzy_cte("qg", "g_")},
+        {_rerank_cte()}
+        SELECT g.query, r.rrank AS rank, r.match_id AS id,
+               round(r.relevance, 4) AS relevance,
+               round(r.score, 4) AS original,
+               round(r.relevance - r.score, 4) AS delta
+        FROM reranked r JOIN qg g USING (qid)
+    """
+
+
+def rerank_stats_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_gen_queries_cte()},
+        {_fuzzy_cte("qg", "g_")},
+        {_rerank_cte()}
+        SELECT g.query,
+               coalesce(c.n, 0) AS candidates_count,
+               coalesce(k.n, 0) AS results_count,
+               round(coalesce(k.avg_delta, 0.0), 4) AS avg_improvement,
+               round(coalesce(k.max_delta, 0.0), 4) AS max_improvement,
+               round(CASE WHEN coalesce(c.n, 0) = 0 THEN 0.0
+                     ELSE (c.n - coalesce(k.n, 0))::DOUBLE / c.n * 100.0
+                     END, 4) AS filter_rate
+        FROM qg g
+        LEFT JOIN (SELECT qid, count(*) AS n FROM srch GROUP BY qid) c
+            USING (qid)
+        LEFT JOIN (SELECT qid, count(*) AS n,
+                          avg(relevance - score) AS avg_delta,
+                          max(relevance - score) AS max_delta
+                   FROM reranked GROUP BY qid) k USING (qid)
+    """

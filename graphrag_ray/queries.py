@@ -2530,3 +2530,53 @@ def rograg_metrics(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query", "accuracy", "completeness", "coherence",
                        "relevance", "credibility", "overall"])
+
+
+def rerank_fuzzy(sf_dir: str):
+    """Cross-encoder reranking (reranking/cross_encoder.rs:168-198) of the
+    fuzzy retrieval candidates with the deterministic Dice-sigmoid scorer
+    seam (min_confidence 0.45 exercises the filter): stable re-sort by
+    reranked relevance, top-10."""
+    import pandas as pd
+
+    from .stages.generation import GEN_QUERIES
+    from .stages.rerank import rerank
+
+    rows = []
+    for q in GEN_QUERIES:
+        ranked = rerank(q, _gen_search_results(sf_dir, q),
+                        min_confidence=0.45)
+        for i, r in enumerate(ranked):
+            rows.append({
+                "query": q, "rank": i, "id": r["id"],
+                "relevance": float(_round4([r["relevance_score"]])[0]),
+                "original": float(_round4([r["original_score"]])[0]),
+                "delta": float(_round4([r["score_delta"]])[0]),
+            })
+    return pd.DataFrame(
+        rows, columns=["query", "rank", "id", "relevance", "original",
+                       "delta"])
+
+
+def rerank_stats(sf_dir: str):
+    """RerankingStats (cross_encoder.rs:284-314) per query for the same
+    rerank pass: filter rate and score-improvement aggregates."""
+    import pandas as pd
+
+    from .stages.generation import GEN_QUERIES
+    from .stages.rerank import rerank, reranking_stats
+
+    rows = []
+    for q in GEN_QUERIES:
+        cands = _gen_search_results(sf_dir, q)
+        ranked = rerank(q, cands, min_confidence=0.45)
+        st = reranking_stats(len(cands), ranked)
+        rows.append({
+            "query": q,
+            "candidates_count": st["candidates_count"],
+            "results_count": st["results_count"],
+            "avg_improvement": float(_round4([st["avg_score_improvement"]])[0]),
+            "max_improvement": float(_round4([st["max_score_improvement"]])[0]),
+            "filter_rate": float(_round4([st["filter_rate"]])[0]),
+        })
+    return pd.DataFrame(rows)
