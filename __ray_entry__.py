@@ -213,6 +213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explained_sources": q.explained_sources,
         "rerank_fuzzy": q.rerank_fuzzy,
         "rerank_stats": q.rerank_stats,
+        # --- rule-based NLP over the kgx sentences (SQL-oracled)
+        "nlp_pos": q.nlp_pos,
+        "nlp_noun_phrases": q.nlp_noun_phrases,
+        "nlp_dependencies": q.nlp_dependencies,
+        "ner_custom": q.ner_custom,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -227,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import rograg_oracle as _rograg_sql
     from graphrag_ray import query_intel_oracle as _qi_sql
     from graphrag_ray import generation_oracle as _gen_sql
+    from graphrag_ray import nlp_oracle as _nlp_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
@@ -248,6 +254,10 @@ def oracle_sql() -> dict[str, str]:
         "explained_sources": _gen_sql.explained_sources_sql(),
         "rerank_fuzzy": _gen_sql.rerank_fuzzy_sql(),
         "rerank_stats": _gen_sql.rerank_stats_sql(),
+        "nlp_pos": _nlp_sql.nlp_pos_sql(),
+        "nlp_noun_phrases": _nlp_sql.nlp_noun_phrases_sql(),
+        "nlp_dependencies": _nlp_sql.nlp_dependencies_sql(),
+        "ner_custom": _nlp_sql.ner_custom_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

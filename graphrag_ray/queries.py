@@ -2580,3 +2580,116 @@ def rerank_stats(sf_dir: str):
             "filter_rate": float(_round4([st["filter_rate"]])[0]),
         })
     return pd.DataFrame(rows)
+
+
+def _kgx_sentences(sf_dir: str):
+    """kgx chunks → (doc_id, content) — the corpus for the NLP surfaces."""
+    return _kgx(sf_dir).chunks
+
+
+def nlp_pos(sf_dir: str):
+    """Dictionary POS tagger with suffix fallbacks
+    (nlp/syntax_analyzer.rs:194-356) over the kgx sentences."""
+    from .stages.nlp import pos_tag
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "idx": [], "token": [], "position": [],
+               "pos": [], "lemma": []}
+        for doc_id, content in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("content").to_pylist()):
+            for i, t in enumerate(pos_tag(content)):
+                out["doc_id"].append(int(doc_id))
+                out["idx"].append(i)
+                out["token"].append(t["text"])
+                out["position"].append(t["position"])
+                out["pos"].append(t["pos"])
+                out["lemma"].append(t["lemma"])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "idx": pa.array(out["idx"], pa.int64()),
+            "token": pa.array(out["token"], pa.string()),
+            "position": pa.array(out["position"], pa.int64()),
+            "pos": pa.array(out["pos"], pa.string()),
+            "lemma": pa.array(out["lemma"], pa.string()),
+        })
+
+    return _kgx_sentences(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def nlp_noun_phrases(sf_dir: str):
+    """DET/ADJ/NOUN-run noun-phrase chunking
+    (syntax_analyzer.rs:451-509)."""
+    from .stages.nlp import extract_noun_phrases, pos_tag
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "phrase_idx": [], "text": [], "head_idx": []}
+        for doc_id, content in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("content").to_pylist()):
+            for i, p in enumerate(extract_noun_phrases(pos_tag(content))):
+                out["doc_id"].append(int(doc_id))
+                out["phrase_idx"].append(i)
+                out["text"].append(p["text"])
+                out["head_idx"].append(p["head_idx"])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "phrase_idx": pa.array(out["phrase_idx"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "head_idx": pa.array(out["head_idx"], pa.int64()),
+        })
+
+    return _kgx_sentences(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def nlp_dependencies(sf_dir: str):
+    """First-match dependency heuristic (syntax_analyzer.rs:359-448)."""
+    from .stages.nlp import parse_dependencies, pos_tag
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "head": [], "dependent": [], "relation": []}
+        for doc_id, content in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("content").to_pylist()):
+            for d in parse_dependencies(pos_tag(content)):
+                out["doc_id"].append(int(doc_id))
+                out["head"].append(d["head"])
+                out["dependent"].append(d["dependent"])
+                out["relation"].append(d["relation"])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "head": pa.array(out["head"], pa.int64()),
+            "dependent": pa.array(out["dependent"], pa.int64()),
+            "relation": pa.array(out["relation"], pa.string()),
+        })
+
+    return _kgx_sentences(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def ner_custom(sf_dir: str):
+    """Rule-based custom NER (nlp/custom_ner.rs:104-390) with the fixed
+    seven-kind rule set and greedy overlap resolution."""
+    from .stages.nlp import NER_DICTIONARIES, NER_RULES, ner_extract
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "start": [], "end": [], "text": [],
+               "entity_type": [], "confidence": [], "rule_name": []}
+        for doc_id, content in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("content").to_pylist()):
+            for e in ner_extract(content, list(NER_RULES),
+                                 NER_DICTIONARIES):
+                out["doc_id"].append(int(doc_id))
+                out["start"].append(e["start"])
+                out["end"].append(e["end"])
+                out["text"].append(e["text"])
+                out["entity_type"].append(e["entity_type"])
+                out["confidence"].append(e["confidence"])
+                out["rule_name"].append(e["rule_name"])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "start": pa.array(out["start"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "entity_type": pa.array(out["entity_type"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+            "rule_name": pa.array(out["rule_name"], pa.string()),
+        })
+
+    return _kgx_sentences(sf_dir).map_batches(fn, batch_format="pyarrow")
