@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nlp_noun_phrases": q.nlp_noun_phrases,
         "nlp_dependencies": q.nlp_dependencies,
         "ner_custom": q.ner_custom,
+        # --- function-calling toolset over the kgx graph (SQL-oracled)
+        "fc_graph_search": q.fc_graph_search,
+        "fc_entity_expand": q.fc_entity_expand,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import query_intel_oracle as _qi_sql
     from graphrag_ray import generation_oracle as _gen_sql
     from graphrag_ray import nlp_oracle as _nlp_sql
+    from graphrag_ray import fc_oracle as _fc_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
 
@@ -258,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
         "nlp_noun_phrases": _nlp_sql.nlp_noun_phrases_sql(),
         "nlp_dependencies": _nlp_sql.nlp_dependencies_sql(),
         "ner_custom": _nlp_sql.ner_custom_sql(),
+        "fc_graph_search": _fc_sql.fc_graph_search_sql(),
+        "fc_entity_expand": _fc_sql.fc_entity_expand_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

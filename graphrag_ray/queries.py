@@ -2693,3 +2693,76 @@ def ner_custom(sf_dir: str):
         })
 
     return _kgx_sentences(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _fc_graph(sf_dir: str):
+    """Pinned-order entity/edge lists for the function-calling surfaces
+    (one collect of the small canonical tables)."""
+    res = _kgx(sf_dir)
+    ents = sorted(res.entities.select_columns(
+        ["canonical_id", "canonical_name", "entity_type", "confidence",
+         "mention_count"]).take_all(), key=lambda r: r["canonical_id"])
+    entities = [{"id": r["canonical_id"], "name": r["canonical_name"],
+                 "type": r["entity_type"],
+                 "confidence": float(_round4([r["confidence"]])[0]),
+                 "mention_count": int(r["mention_count"])} for r in ents]
+    edge_rows = sorted(res.edges.select_columns(
+        ["src", "dst", "rel_type", "confidence", "n_occurrences"])
+        .take_all(), key=lambda r: (r["src"], r["dst"], r["rel_type"]))
+    edges = [{"src": r["src"], "dst": r["dst"], "rel_type": r["rel_type"],
+              "confidence": float(_round4([r["confidence"]])[0]),
+              "n_occurrences": int(r["n_occurrences"])} for r in edge_rows]
+    return entities, edges
+
+
+def fc_graph_search(sf_dir: str):
+    """Phased agent entity search (function_calling/functions.rs:121-197)
+    for the fixed argument workload."""
+    import pandas as pd
+
+    from .stages.function_calling import FC_SEARCH_ARGS, graph_search
+
+    entities, _ = _fc_graph(sf_dir)
+    rows = []
+    for qname, limit in FC_SEARCH_ARGS:
+        for rank, m in enumerate(graph_search(qname, entities, limit)):
+            rows.append({
+                "qname": qname, "rank": rank, "entity_id": m["id"],
+                "name": m["name"], "entity_type": m["type"],
+                "confidence": m["confidence"],
+                "relevance": m["relevance"],
+                "mention_count": m["mention_count"],
+            })
+    return pd.DataFrame(
+        rows, columns=["qname", "rank", "entity_id", "name", "entity_type",
+                       "confidence", "relevance", "mention_count"])
+
+
+def fc_entity_expand(sf_dir: str):
+    """Agent entity expansion (functions.rs:247-318): incident
+    relationships with direction, first-N in pinned edge order."""
+    import pandas as pd
+
+    from .stages.function_calling import FC_EXPAND_ARGS, entity_expand
+
+    entities, edges = _fc_graph(sf_dir)
+    rows = []
+    for eid, limit in FC_EXPAND_ARGS:
+        ex = entity_expand(eid, entities, edges, limit)
+        if ex is None:
+            continue
+        for i, r in enumerate(ex["relationships"]):
+            rows.append({
+                "entity_id": eid, "rel_idx": i,
+                "relationship_type": r["relationship_type"],
+                "direction": r["direction"],
+                "related_id": r["related_id"],
+                "related_name": r["related_name"],
+                "related_type": r["related_type"],
+                "confidence": r["confidence"],
+                "context_count": r["context_count"],
+            })
+    return pd.DataFrame(
+        rows, columns=["entity_id", "rel_idx", "relationship_type",
+                       "direction", "related_id", "related_name",
+                       "related_type", "confidence", "context_count"])
