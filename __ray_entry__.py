@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- function-calling toolset over the kgx graph (SQL-oracled)
         "fc_graph_search": q.fc_graph_search,
         "fc_entity_expand": q.fc_entity_expand,
+        "pipeline_validation": q.pipeline_validation,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_custom": _nlp_sql.ner_custom_sql(),
         "fc_graph_search": _fc_sql.fc_graph_search_sql(),
         "fc_entity_expand": _fc_sql.fc_entity_expand_sql(),
+        "pipeline_validation": _fc_sql.pipeline_validation_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -115,3 +115,187 @@ def fc_entity_expand_sql() -> str:
             = CASE WHEN i.is_src THEN i.dst ELSE i.src END
         WHERE i.rel_idx < i.lim
     """
+
+
+def pipeline_validation_sql() -> str:
+    """evaluation/pipeline_validation.rs replay over the kgx corpus
+    expectations — every count re-derived in SQL, all check/message
+    strings reproduced."""
+    return f"""
+        WITH {_corpus_cte()},
+        st AS (
+          SELECT
+            (SELECT count(*) FROM documents) AS n_docs,
+            (SELECT count(*) FROM kgx_docs) AS n_chunks,
+            (SELECT sum(length(s)) FROM kgx_docs) AS chars,
+            (SELECT count(*) FROM kgx_docs WHERE trim(s) = '') AS n_empty,
+            (SELECT count(*) FROM canon) AS n_ents,
+            (SELECT count(*) FROM canon
+             WHERE confidence <= 0.0 OR confidence > 1.0) AS e_bad,
+            (SELECT count(*) FROM canon
+             WHERE entity_type IS NULL OR entity_type = '') AS e_notype,
+            (SELECT count(*) FROM canon
+             WHERE trim(canonical_name) = '') AS e_noname,
+            (SELECT count(*) FROM kgx_edge_agg) AS n_rels,
+            0::BIGINT AS r_bad,
+            (SELECT count(*) FROM kgx_edge_agg
+             WHERE rel_type IS NULL OR rel_type = '') AS r_notype,
+            (SELECT count(*) FROM kgx_edge_agg e
+             WHERE NOT EXISTS (SELECT 1 FROM canon c
+                               WHERE c.canonical_id = e.src)
+                OR NOT EXISTS (SELECT 1 FROM canon c
+                               WHERE c.canonical_id = e.dst)) AS r_orphans),
+        rows AS (
+          SELECT 0 AS ord, 'Document Processing' AS phase,
+                 'document_not_empty' AS "check", chars > 0 AS passed,
+                 'Non-empty content' AS expected,
+                 chars || ' characters' AS actual,
+                 CASE WHEN chars = 0 THEN 'Document content is empty'
+                      ELSE 'Document contains content' END AS message
+          FROM st
+          UNION ALL
+          SELECT 1, 'Document Processing', 'chunks_created', n_chunks > 0,
+                 'At least 1 chunk', n_chunks || ' chunks',
+                 CASE WHEN n_chunks = 0
+                      THEN 'No chunks were created from document'
+                      ELSE 'Successfully created ' || n_chunks
+                           || ' chunks' END
+          FROM st
+          UNION ALL
+          SELECT 2, 'Document Processing', 'content_coverage',
+                 chars::DOUBLE / chars >= 0.9, 'Coverage ratio >= 0.9',
+                 printf('%.2f', chars::DOUBLE / chars),
+                 'Chunks cover '
+                   || printf('%.1f', chars::DOUBLE / chars * 100.0)
+                   || '% of original content'
+          FROM st WHERE n_chunks > 0
+          UNION ALL
+          SELECT 3, 'Document Processing', 'no_empty_chunks',
+                 n_empty = 0, '0 empty chunks',
+                 n_empty || ' empty chunks',
+                 CASE WHEN n_empty > 0
+                      THEN 'Found ' || n_empty || ' empty chunks'
+                      ELSE 'All chunks have content' END
+          FROM st
+          UNION ALL
+          SELECT 4, 'Document Processing', 'metadata_enrichment', TRUE,
+                 'Metadata enrichment (optional)',
+                 '0/' || n_chunks || ' chunks',
+                 printf('%.1f', 0.0) || '% of chunks have metadata'
+          FROM st
+          UNION ALL
+          SELECT 5, 'Entity Extraction', 'entities_extracted', n_ents > 0,
+                 'At least 1 entity', n_ents || ' entities',
+                 CASE WHEN n_ents = 0 THEN 'No entities extracted'
+                      ELSE 'Extracted ' || n_ents || ' entities' END
+          FROM st
+          UNION ALL
+          SELECT 6, 'Entity Extraction', 'entity_confidence_valid',
+                 e_bad = 0, 'All confidence in (0, 1]',
+                 e_bad || ' invalid',
+                 CASE WHEN e_bad > 0
+                      THEN e_bad || ' entities have invalid confidence'
+                      ELSE 'All confidence scores valid' END
+          FROM st
+          UNION ALL
+          SELECT 7, 'Entity Extraction', 'entity_types_populated',
+                 e_notype = 0, 'All entities typed',
+                 e_notype || ' missing',
+                 CASE WHEN e_notype > 0
+                      THEN e_notype || ' entities missing types'
+                      ELSE 'All entities typed' END
+          FROM st
+          UNION ALL
+          SELECT 8, 'Entity Extraction', 'entity_names_not_empty',
+                 e_noname = 0, 'All names non-empty',
+                 e_noname || ' empty',
+                 CASE WHEN e_noname > 0
+                      THEN e_noname || ' entities have empty names'
+                      ELSE 'All entity names populated' END
+          FROM st
+          UNION ALL
+          SELECT 9, 'Relationship Extraction', 'relationships_extracted',
+                 n_rels > 0, 'At least 1 relationship',
+                 n_rels || ' relationships',
+                 CASE WHEN n_rels = 0
+                      THEN 'No relationships found between entities'
+                      ELSE 'Extracted ' || n_rels || ' relationships' END
+          FROM st WHERE n_ents > 1
+          UNION ALL
+          SELECT 10, 'Relationship Extraction',
+                 'relationship_confidence_valid', r_bad = 0,
+                 'All confidence in (0, 1]', r_bad || ' invalid',
+                 CASE WHEN r_bad > 0
+                      THEN r_bad
+                           || ' relationships have invalid confidence'
+                      ELSE 'All confidence scores valid' END
+          FROM st
+          UNION ALL
+          SELECT 11, 'Relationship Extraction',
+                 'relationship_types_populated', r_notype = 0,
+                 'All relationships typed', r_notype || ' missing',
+                 CASE WHEN r_notype > 0
+                      THEN r_notype || ' relationships missing types'
+                      ELSE 'All relationships typed' END
+          FROM st
+          UNION ALL
+          SELECT 12, 'Relationship Extraction',
+                 'relationship_entities_exist', r_orphans = 0,
+                 '0 orphan relationships', r_orphans || ' orphans',
+                 CASE WHEN r_orphans > 0
+                      THEN r_orphans
+                           || ' relationships reference missing entities'
+                      ELSE 'All relationship endpoints exist' END
+          FROM st
+          UNION ALL
+          SELECT 13, 'Graph Construction', 'graph_not_empty',
+                 n_ents > 0 OR n_docs > 0, 'At least some nodes',
+                 n_ents || ' entities, ' || n_docs || ' docs',
+                 CASE WHEN n_ents = 0 AND n_docs = 0
+                      THEN 'Graph is completely empty'
+                      ELSE 'Graph contains content' END
+          FROM st
+          UNION ALL
+          SELECT 14, 'Graph Construction', 'entity_chunk_ratio_reasonable',
+                 n_ents::DOUBLE / n_chunks BETWEEN 0.1 AND 10.0,
+                 '0.1 to 10 entities per chunk',
+                 printf('%.2f', n_ents::DOUBLE / n_chunks)
+                   || ' entities/chunk',
+                 CASE WHEN n_ents::DOUBLE / n_chunks BETWEEN 0.1 AND 10.0
+                      THEN 'Entity density looks reasonable'
+                      ELSE 'Unusual entity-to-chunk ratio: '
+                           || printf('%.2f', n_ents::DOUBLE / n_chunks)
+                 END
+          FROM st WHERE n_chunks > 0
+          UNION ALL
+          SELECT 15, 'Graph Construction', 'graph_connectivity',
+                 n_rels::DOUBLE / n_ents > 0.1,
+                 '>0.1 relationships per entity',
+                 printf('%.2f', n_rels::DOUBLE / n_ents)
+                   || ' rels/entity',
+                 CASE WHEN n_rels::DOUBLE / n_ents > 0.1
+                      THEN 'Graph has reasonable connectivity'
+                      ELSE 'Graph is sparsely connected' END
+          FROM st WHERE n_ents > 1),
+        phs AS (
+          SELECT phase, min(ord) AS ord0, bool_and(passed) AS ppass
+          FROM rows GROUP BY phase),
+        agg AS (
+          SELECT (SELECT count(*) FROM rows) AS total,
+                 (SELECT count(*) FILTER (passed) FROM rows) AS ok,
+                 (SELECT bool_and(ppass) FROM phs) AS overall,
+                 (SELECT string_agg(phase, ', ' ORDER BY ord0)
+                  FROM phs WHERE NOT ppass) AS failed)
+        SELECT phase, "check", passed, expected, actual, message FROM rows
+        UNION ALL
+        SELECT 'Report', 'summary', overall,
+               total || ' checks', ok || ' passed',
+               CASE WHEN overall
+                    THEN '✅ All pipeline phases validated successfully ('
+                         || ok || '/' || total || ' checks passed)'
+                    ELSE '❌ Pipeline validation failed in: ' || failed
+                         || ' (' || ok || '/' || total
+                         || ' checks passed)'
+               END
+        FROM agg
+    """

@@ -2766,3 +2766,108 @@ def fc_entity_expand(sf_dir: str):
         rows, columns=["entity_id", "rel_idx", "relationship_type",
                        "direction", "related_id", "related_name",
                        "related_type", "confidence", "context_count"])
+
+
+def pipeline_validation(sf_dir: str):
+    """Pipeline validation harness (evaluation/pipeline_validation.rs)
+    over the kgx build: per-(phase, check) rows with the reference's pass
+    conditions and messages, plus the aggregate report row.  Every count
+    is a distributed dataset aggregation."""
+    import pandas as pd
+
+    from .stages.pipeline_validation import (build_report,
+                                             validate_document_processing,
+                                             validate_entity_extraction,
+                                             validate_graph_construction,
+                                             validate_relationship_extraction)
+
+    res = _kgx(sf_dir)
+
+    def chunk_stats(batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        return pa.Table.from_pydict({
+            "n": pa.array([len(contents)], pa.int64()),
+            "chars": pa.array([sum(len(c) for c in contents)], pa.int64()),
+            "empty": pa.array([sum(1 for c in contents
+                                   if not c.strip())], pa.int64()),
+        })
+
+    cs = res.chunks.map_batches(chunk_stats,
+                                batch_format="pyarrow").take_all()
+    n_chunks = sum(r["n"] for r in cs)
+    chunk_chars = sum(r["chars"] for r in cs)
+    n_empty = sum(r["empty"] for r in cs)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    # kgx documents are single-sentence spans; the chunker passes the
+    # full text through, so corpus doc chars == chunk chars
+    doc_chars = chunk_chars
+
+    def ent_stats(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_pylist()
+        types = batch.column("entity_type").to_pylist()
+        names = batch.column("canonical_name").to_pylist()
+        return pa.Table.from_pydict({
+            "n": pa.array([len(conf)], pa.int64()),
+            "bad_conf": pa.array([sum(1 for c in conf
+                                      if c <= 0.0 or c > 1.0)], pa.int64()),
+            "no_type": pa.array([sum(1 for t in types if not t)],
+                                pa.int64()),
+            "no_name": pa.array([sum(1 for n in names
+                                     if not n.strip())], pa.int64()),
+        })
+
+    es = res.entities.map_batches(ent_stats,
+                                  batch_format="pyarrow").take_all()
+    n_entities = sum(r["n"] for r in es)
+    ent_ids = {r["canonical_id"] for r in
+               res.entities.select_columns(["canonical_id"]).take_all()}
+    ids_ref = ray.put(ent_ids)
+
+    def rel_stats(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ray.get(ids_ref)
+        conf = batch.column("confidence").to_pylist()
+        types = batch.column("rel_type").to_pylist()
+        srcs = batch.column("src").to_pylist()
+        dsts = batch.column("dst").to_pylist()
+        return pa.Table.from_pydict({
+            "n": pa.array([len(conf)], pa.int64()),
+            "bad_conf": pa.array([sum(1 for c in conf
+                                      if c <= 0.0 or c > 1.0)], pa.int64()),
+            "no_type": pa.array([sum(1 for t in types if not t)],
+                                pa.int64()),
+            "orphans": pa.array([sum(1 for s, d in zip(srcs, dsts)
+                                     if s not in ids or d not in ids)],
+                                pa.int64()),
+        })
+
+    rs = res.edges.map_batches(rel_stats,
+                               batch_format="pyarrow").take_all()
+    n_rels = sum(r["n"] for r in rs)
+
+    phases = [
+        validate_document_processing(doc_chars, n_docs, n_chunks,
+                                     chunk_chars, n_empty, 0),
+        validate_entity_extraction(
+            n_entities, sum(r["bad_conf"] for r in es),
+            sum(r["no_type"] for r in es), sum(r["no_name"] for r in es)),
+        validate_relationship_extraction(
+            n_entities, n_rels, sum(r["bad_conf"] for r in rs),
+            sum(r["no_type"] for r in rs), sum(r["orphans"] for r in rs)),
+        validate_graph_construction(n_docs, n_chunks, n_entities, n_rels),
+    ]
+    report = build_report(phases)
+    rows = []
+    for p in phases:
+        for c in p["checks"]:
+            rows.append({"phase": p["phase_name"], "check": c["name"],
+                         "passed": c["passed"], "expected": c["expected"],
+                         "actual": c["actual"], "message": c["message"]})
+    rows.append({"phase": "Report", "check": "summary",
+                 "passed": report["overall_passed"],
+                 "expected": f"{report['total_checks']} checks",
+                 "actual": f"{report['passed_checks']} passed",
+                 "message": report["summary"]})
+    return pd.DataFrame(rows)
