@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fc_graph_search": q.fc_graph_search,
         "fc_entity_expand": q.fc_entity_expand,
         "pipeline_validation": q.pipeline_validation,
+        "concept_nodes": q.concept_nodes,
+        "concept_edges": q.concept_edges,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -266,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "fc_graph_search": _fc_sql.fc_graph_search_sql(),
         "fc_entity_expand": _fc_sql.fc_entity_expand_sql(),
         "pipeline_validation": _fc_sql.pipeline_validation_sql(),
+        "concept_nodes": _fc_sql.concept_nodes_sql(),
+        "concept_edges": _fc_sql.concept_edges_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

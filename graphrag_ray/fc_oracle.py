@@ -299,3 +299,80 @@ def pipeline_validation_sql() -> str:
                END
         FROM agg
     """
+
+
+def _concept_cte() -> str:
+    """Concept-extraction replay (lightrag/concept_graph.rs:162-249):
+    capitalized + noun-phrase regexes with the stopword-density validity
+    filter, per-document frequency keywords (ties pinned word ASC),
+    distinct per document."""
+    from .stages.concept_graph import STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    cap = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+"
+    noun = r"[A-Z][a-z]+(?:\s+[A-Z]?[a-z]+){1,4}"
+    return f"""
+    phr AS (
+      SELECT doc_id, unnest(regexp_extract_all(s, '\\b{cap}\\b')) AS c
+      FROM kgx_docs
+      UNION ALL
+      SELECT doc_id, unnest(regexp_extract_all(s, '\\b{noun}\\b')) AS c
+      FROM kgx_docs),
+    phrv AS (
+      SELECT doc_id, c FROM phr
+      WHERE length(c) >= 3
+        AND len(string_split(c, ' ')) <= 5
+        AND len(list_filter(string_split(c, ' '),
+                w -> list_contains([{stops}], lower(w))))
+            <= len(string_split(c, ' ')) // 2),
+    kwraw AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(w.w),
+                 '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS nw
+      FROM kgx_docs,
+      LATERAL unnest(list_filter(string_split_regex(s, '\\s+'),
+                                 x -> x <> '')) w(w)),
+    kwfreq AS (
+      SELECT doc_id, nw, count(*) AS f
+      FROM kwraw
+      WHERE length(nw) >= 3 AND nw NOT IN ({stops})
+      GROUP BY doc_id, nw),
+    kwtop AS (
+      SELECT doc_id, nw AS c
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY f DESC, nw) AS rn
+            FROM kwfreq)
+      WHERE rn <= 20 AND f >= 2),
+    con AS (
+      SELECT DISTINCT doc_id, c FROM (
+        SELECT doc_id, c FROM phrv
+        UNION ALL SELECT doc_id, c FROM kwtop))
+    """
+
+
+def concept_nodes_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_concept_cte()}
+        SELECT c AS concept, count(*)::BIGINT AS frequency,
+               count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_chunks
+        FROM con GROUP BY c
+    """
+
+
+def concept_edges_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_concept_cte()},
+        tot AS (SELECT c, count(*) AS n FROM con GROUP BY c),
+        pr AS (
+          SELECT a.c AS source, b.c AS target, count(*) AS cnt
+          FROM con a JOIN con b
+            ON a.doc_id = b.doc_id AND a.c < b.c
+          GROUP BY a.c, b.c)
+        SELECT p.source, p.target, p.cnt::BIGINT AS count,
+               round(p.cnt::DOUBLE
+                     / (ta.n + tb.n - p.cnt), 4) AS confidence
+        FROM pr p
+        JOIN tot ta ON ta.c = p.source
+        JOIN tot tb ON tb.c = p.target
+    """

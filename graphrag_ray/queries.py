@@ -2871,3 +2871,80 @@ def pipeline_validation(sf_dir: str):
                  "actual": f"{report['passed_checks']} passed",
                  "message": report["summary"]})
     return pd.DataFrame(rows)
+
+
+def _concept_rows(sf_dir: str):
+    from .stages.concept_graph import make_concept_batch_fn
+
+    return _kgx(sf_dir).chunks.map_batches(
+        make_concept_batch_fn(), batch_format="pyarrow")
+
+
+def concept_nodes(sf_dir: str):
+    """LazyGraphRAG concept-graph nodes (lightrag/concept_graph.rs:
+    319-356): per-document concept extraction (regex phrases + frequency
+    keywords) aggregated to node frequencies via a distributed groupby."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "concept": batch.column("concept"),
+            # per-doc extraction is deduplicated, so frequency ==
+            # document count == chunk count for this corpus shape
+            "frequency": batch.column("count()"),
+            "n_docs": batch.column("count()"),
+            "n_chunks": batch.column("count()"),
+        })
+
+    return _concept_rows(sf_dir).groupby("concept").count().map_batches(
+        project, batch_format="pyarrow")
+
+
+def concept_edges(sf_dir: str):
+    """Concept co-occurrence relations (concept_graph.rs:387-447):
+    lexicographically-ordered pairs sharing ≥1 chunk with Jaccard
+    confidence; pair counting and node totals are groupby passes, node
+    totals broadcast into the confidence map."""
+    rows = _concept_rows(sf_dir)
+
+    from .stages.concept_graph import extract_concepts
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        # pairs are emitted inside the SAME per-document extraction pass
+        # (a document never spans batches), so no doc-key shuffle is
+        # needed before the pair groupby
+        out = []
+        for content in batch.column("content").to_pylist():
+            cs = extract_concepts(content)
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    out.append(cs[i] + "\x1f" + cs[j])
+        return pa.Table.from_pydict({"pair": pa.array(out, pa.string())})
+
+    pair_counts = _kgx(sf_dir).chunks.map_batches(
+        pairs, batch_format="pyarrow").groupby("pair").count()
+    totals = {r["concept"]: r["count()"] for r in
+              rows.groupby("concept").count().take_all()}
+    totals_ref = ray.put(totals)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = _ray.get(totals_ref)
+        srcs, dsts, counts, confs = [], [], [], []
+        for pair, n in zip(batch.column("pair").to_pylist(),
+                           batch.column("count()").to_pylist()):
+            a, b = pair.split("\x1f")
+            union = t[a] + t[b] - n
+            srcs.append(a)
+            dsts.append(b)
+            counts.append(int(n))
+            confs.append(float(np.floor((n / union if union else 0.0)
+                                        * 1e4 + 0.5) / 1e4))
+        return pa.Table.from_pydict({
+            "source": pa.array(srcs, pa.string()),
+            "target": pa.array(dsts, pa.string()),
+            "count": pa.array(counts, pa.int64()),
+            "confidence": pa.array(confs, pa.float64()),
+        })
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")

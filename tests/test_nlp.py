@@ -128,3 +128,29 @@ def test_kgx_char_rules_single_occurrence():
         assert tl.count("tokyo") <= 1
         assert tl.count("dr.") <= 1 and tl.count("prof.") <= 1
         assert len(org_re.findall(t)) <= 1
+
+
+# ------------------------------------------------------- concept graph
+
+def test_concept_extraction_components():
+    from graphrag_ray.stages.concept_graph import (extract_concepts,
+                                                   extract_keywords,
+                                                   is_valid_concept)
+
+    assert is_valid_concept("Acme Corp")
+    assert not is_valid_concept("ab")                      # too short
+    assert not is_valid_concept("a b c d e f")             # too many words
+    assert not is_valid_concept("The Of It")               # stopword majority
+    # keywords need frequency >= 2 after trim/normalize
+    assert extract_keywords("alpha, alpha! beta") == ["alpha"]
+    cs = extract_concepts("Alice Harmon met Alice Harmon today.")
+    assert "Alice Harmon" in cs
+    assert "alice" in cs and "harmon" in cs                # freq-2 keywords
+    assert cs == sorted(set(cs))
+
+
+def test_concept_jaccard():
+    from graphrag_ray.stages.concept_graph import jaccard_confidence
+
+    assert jaccard_confidence(3, 4, 2) == 2 / 5
+    assert jaccard_confidence(0, 0, 0) == 0.0
