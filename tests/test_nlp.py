@@ -109,14 +109,9 @@ def test_kgx_char_rules_single_occurrence():
     matched strings within one sentence."""
     import re as _re
 
-    from graphrag_ray import kgx
-
-    for doc in range(200):
-        text = " ".join(
-            s for s in [kgx.kgx_sentence(doc)] if s) if hasattr(
-                kgx, "kgx_sentence") else None
-    # fall back: render via the spans batch helper
     import pyarrow as pa
+
+    from graphrag_ray import kgx
 
     batch = pa.table({"doc_id": [str(i) for i in range(300)]})
     spans = kgx.kgx_spans_batch(batch)
