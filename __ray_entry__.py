@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_validation": q.pipeline_validation,
         "concept_nodes": q.concept_nodes,
         "concept_edges": q.concept_edges,
+        "concept_rank": q.concept_rank,
+        "concept_match": q.concept_match,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -270,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_validation": _fc_sql.pipeline_validation_sql(),
         "concept_nodes": _fc_sql.concept_nodes_sql(),
         "concept_edges": _fc_sql.concept_edges_sql(),
+        "concept_rank": _fc_sql.concept_rank_sql(),
+        "concept_match": _fc_sql.concept_match_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

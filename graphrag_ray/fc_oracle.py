@@ -376,3 +376,168 @@ def concept_edges_sql() -> str:
         JOIN tot ta ON ta.c = p.source
         JOIN tot tb ON tb.c = p.target
     """
+
+
+def _concept_rank_cte() -> str:
+    """Concept ranking replay (concept_selection.rs:134-303): degree /
+    (n-1), the undirected power-iteration PageRank (kgx_pagerank_sql's
+    op-for-op pattern over the concept pair graph) max-normalized,
+    tanh-IDF, weighted combine with the 0.1 floor."""
+    return f"""
+    {_concept_cte()},
+    cn AS (SELECT c, count(*) AS n_docs FROM con GROUP BY c),
+    cpr AS (
+      SELECT a.c AS source, b.c AS target
+      FROM con a JOIN con b ON a.doc_id = b.doc_id AND a.c < b.c
+      GROUP BY a.c, b.c),
+    cdirs AS (SELECT source AS a, target AS b FROM cpr
+              UNION ALL SELECT target, source FROM cpr),
+    cdeg AS (
+      SELECT cn.c, coalesce(d.n, 0) AS deg
+      FROM cn LEFT JOIN (SELECT a, count(*) AS n FROM cdirs GROUP BY a) d
+        ON d.a = cn.c),
+    coinv AS (SELECT a, 1.0::DOUBLE / count(*) AS inv
+              FROM cdirs GROUP BY a),
+    ccst AS (SELECT 1.0::DOUBLE / count(*) AS reset,
+                    count(*)::BIGINT AS n FROM cn),
+    cpr2(iter, node, score, prev) AS (
+      SELECT 0, c, (SELECT reset FROM ccst), 0.0::DOUBLE FROM cn
+      UNION ALL
+      SELECT p.iter + 1, p.node,
+             (1.0::DOUBLE - 0.85::DOUBLE) * c.reset
+             + 0.85::DOUBLE * (
+                 coalesce((SELECT sum(q.score * oi.inv)
+                           FROM cpr2 q
+                           JOIN cdirs d ON d.a = q.node AND d.b = p.node
+                           JOIN coinv oi ON oi.a = q.node), 0.0)
+                 + coalesce((SELECT sum(q2.score) FROM cpr2 q2
+                             LEFT JOIN coinv o2 ON o2.a = q2.node
+                             WHERE o2.a IS NULL), 0.0) * c.reset),
+             p.score
+      FROM cpr2 p CROSS JOIN ccst c
+      WHERE p.iter < 100
+        AND (SELECT sum(abs(q3.score - q3.prev)) FROM cpr2 q3) >= 1e-6),
+    cprf AS (
+      SELECT node, score FROM cpr2
+      WHERE iter = (SELECT max(iter) FROM cpr2)),
+    cprn AS (
+      SELECT node, score / (SELECT max(score) FROM cprf) AS pr
+      FROM cprf),
+    crank AS (
+      SELECT cn.c AS concept,
+             CASE WHEN st2.n > 1
+                  THEN cdeg.deg::DOUBLE / (st2.n - 1) ELSE 0.0 END AS deg,
+             cprn.pr,
+             -- tanh(x) = (exp(2x)-1)/(exp(2x)+1); DuckDB lacks tanh
+             CASE WHEN cn.n_docs > 0
+                  THEN (exp(2.0 * (ln((SELECT count(*) FROM documents)
+                           ::DOUBLE / cn.n_docs) / 5.0)) - 1.0)
+                       / (exp(2.0 * (ln((SELECT count(*) FROM documents)
+                           ::DOUBLE / cn.n_docs) / 5.0)) + 1.0)
+                  ELSE 0.0 END AS idf,
+             cn.n_docs,
+             cn.n_docs AS frequency
+      FROM cn
+      JOIN cdeg ON cdeg.c = cn.c
+      JOIN cprn ON cprn.node = cn.c
+      CROSS JOIN ccst st2),
+    cranked AS (
+      SELECT concept,
+             0.4 * deg + 0.4 * pr + 0.2 * idf AS score,
+             deg, pr, idf, n_docs, frequency
+      FROM crank
+      WHERE 0.4 * deg + 0.4 * pr + 0.2 * idf >= 0.1)
+    """
+
+
+def concept_rank_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_concept_rank_cte()}
+        SELECT concept, round(score, 4) AS score,
+               round(deg, 4) AS degree_score,
+               round(pr, 4) AS pagerank_score,
+               round(idf, 4) AS idf_score,
+               n_docs::BIGINT AS document_frequency,
+               frequency::BIGINT AS total_frequency
+        FROM cranked
+    """
+
+
+def concept_match_sql() -> str:
+    from .stages.concept_select import CONCEPT_QUERIES
+    qvals = ", ".join(f"({i}, '{_esc(q)}')"
+                      for i, q in enumerate(CONCEPT_QUERIES))
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_concept_rank_cte()},
+        cq(qid, query) AS (VALUES {qvals}),
+        qtok AS (
+          -- query_concepts.rs:211-222: ≥2 chars pre-trim, edges trimmed
+          SELECT qid, regexp_replace(regexp_replace(t.t, '^[^a-z0-9]+',
+                     ''), '[^a-z0-9]+$', '') AS tok
+          FROM cq,
+          LATERAL unnest(list_filter(string_split_regex(lower(query),
+              '\\s+'), x -> length(x) >= 2)) t(t)),
+        qtok2 AS (SELECT qid, tok FROM qtok WHERE tok <> ''),
+        qn AS (SELECT qid, count(*) AS nt FROM qtok2 GROUP BY qid),
+        ctok AS (
+          SELECT r.concept,
+                 regexp_replace(regexp_replace(t.t, '^[^a-z0-9]+', ''),
+                     '[^a-z0-9]+$', '') AS tok
+          FROM cranked r,
+          LATERAL unnest(list_filter(string_split_regex(lower(r.concept),
+              '\\s+'), x -> length(x) >= 2)) t(t)),
+        ctok2 AS (SELECT concept, tok FROM ctok WHERE tok <> ''),
+        exactm AS (
+          SELECT q.qid, r.concept,
+                 count(*) FILTER (strpos(lower(r.concept), t.tok) > 0)
+                     ::DOUBLE / any_value(qn.nt) AS exact,
+                 string_agg(t.tok, '|' ORDER BY t.rowid)
+                     FILTER (strpos(lower(r.concept), t.tok) > 0)
+                     AS matched
+          FROM cq q
+          JOIN (SELECT qid, tok,
+                       row_number() OVER (PARTITION BY qid) AS rowid
+                FROM qtok2) t USING (qid)
+          JOIN qn USING (qid)
+          CROSS JOIN cranked r
+          GROUP BY q.qid, r.concept),
+        fuzzy0 AS (
+          SELECT t.qid, c.concept, t.tok,
+                 max(CASE WHEN levenshtein(t.tok, c.tok)
+                            <= 2
+                          THEN 1.0 - levenshtein(t.tok, c.tok)::DOUBLE
+                               / GREATEST(length(t.tok), length(c.tok))
+                          ELSE 0.0 END) AS best
+          FROM qtok2 t
+          CROSS JOIN ctok2 c
+          GROUP BY t.qid, c.concept, t.tok),
+        fuzzym AS (
+          SELECT f.qid, f.concept,
+                 sum(f.best) / any_value(qn.nt) AS fuzzy
+          FROM fuzzy0 f JOIN qn ON qn.qid = f.qid
+          GROUP BY f.qid, f.concept),
+        scored AS (
+          SELECT e.qid, e.concept, e.exact,
+                 coalesce(f.fuzzy, 0.0) AS fuzzy,
+                 0.5 * e.exact + 0.3 * coalesce(f.fuzzy, 0.0) AS match0,
+                 r.score AS rscore,
+                 coalesce(e.matched, '') AS matched
+          FROM exactm e
+          LEFT JOIN fuzzym f ON f.qid = e.qid AND f.concept = e.concept
+          JOIN cranked r ON r.concept = e.concept),
+        kept3 AS (
+          SELECT *, match0 + 0.2 * rscore AS final,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY match0 + 0.2 * rscore DESC, concept) - 1
+                     AS rank
+          FROM scored WHERE match0 > 0.0 OR exact > 0.0)
+        SELECT c.query, k.rank, k.concept,
+               round(k.final, 4) AS match_score,
+               round(k.exact, 4) AS exact_score,
+               round(k.fuzzy, 4) AS fuzzy_score,
+               k.matched AS matched_tokens
+        FROM kept3 k JOIN cq c USING (qid)
+        WHERE k.rank < 20
+    """

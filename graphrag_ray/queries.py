@@ -2948,3 +2948,66 @@ def concept_edges(sf_dir: str):
         })
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def _concept_rank_raw(sf_dir: str):
+    """Raw (unrounded) ranked concepts shared by the rank/match
+    surfaces.  The concept vocabulary is the small side (bounded by the
+    template pools; ≪ corpus), so the global ranking runs driver-side —
+    same disposition as the entity-graph analytics."""
+    from .stages.concept_select import rank_concepts
+
+    nodes = [{"concept": r["concept"], "frequency": r["frequency"],
+              "n_docs": r["n_docs"]}
+             for r in concept_nodes(sf_dir).take_all()]
+    nodes.sort(key=lambda r: r["concept"])
+    edges = [(r["source"], r["target"])
+             for r in concept_edges(sf_dir)
+             .select_columns(["source", "target"]).take_all()]
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    return rank_concepts(nodes, edges, n_docs)
+
+
+def concept_rank(sf_dir: str):
+    """Concept selection ranking (lightrag/concept_selection.rs:134-303):
+    0.4·degree + 0.4·normalized-PageRank + 0.2·tanh-IDF, min-score 0.1."""
+    import pandas as pd
+
+    rows = []
+    for r in _concept_rank_raw(sf_dir):
+        rows.append({
+            "concept": r["concept"],
+            "score": float(_round4([r["score"]])[0]),
+            "degree_score": float(_round4([r["degree_score"]])[0]),
+            "pagerank_score": float(_round4([r["pagerank_score"]])[0]),
+            "idf_score": float(_round4([r["idf_score"]])[0]),
+            "document_frequency": int(r["document_frequency"]),
+            "total_frequency": int(r["total_frequency"]),
+        })
+    return pd.DataFrame(rows)
+
+
+def concept_match(sf_dir: str):
+    """Query→concept matching (lightrag/query_concepts.rs:135-377):
+    exact containment + edit-distance-bounded fuzzy + ranking boost over
+    the fixed CONCEPT_QUERIES workload."""
+    import pandas as pd
+
+    from .stages.concept_select import (CONCEPT_QUERIES,
+                                        match_query_to_concepts)
+
+    ranked = _concept_rank_raw(sf_dir)
+    rows = []
+    for q in CONCEPT_QUERIES:
+        for i, m in enumerate(match_query_to_concepts(q, ranked)):
+            rows.append({
+                "query": q, "rank": i, "concept": m["concept"],
+                "match_score": float(_round4([m["match_score"]])[0]),
+                "exact_score": float(_round4([m["exact_score"]])[0]),
+                "fuzzy_score": float(_round4([m["fuzzy_score"]])[0]),
+                "matched_tokens": "|".join(m["matched_tokens"]),
+            })
+    return pd.DataFrame(
+        rows, columns=["query", "rank", "concept", "match_score",
+                       "exact_score", "fuzzy_score", "matched_tokens"])
