@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_edges": q.concept_edges,
         "concept_rank": q.concept_rank,
         "concept_match": q.concept_match,
+        "query_refine": q.query_refine,        # rows-only (pytest-gated)
+        "ids_search_depths": q.ids_search_depths,  # rows-only (pytest-gated)
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,

@@ -3011,3 +3011,87 @@ def concept_match(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query", "rank", "concept", "match_score",
                        "exact_score", "fuzzy_score", "matched_tokens"])
+
+
+def _concept_view(sf_dir: str):
+    """ConceptGraphView over the kgx concept graph (small-side collect of
+    the concept tables; the per-document extraction behind them is the
+    distributed pass)."""
+    from .stages.lazy_search import ConceptGraphView
+    from .stages.concept_graph import extract_concepts
+
+    freqs = {r["concept"]: int(r["frequency"])
+             for r in concept_nodes(sf_dir).take_all()}
+    rels = [(r["source"], r["target"], float(r["confidence"]))
+            for r in concept_edges(sf_dir).take_all()]
+
+    def cc(batch: pa.Table) -> pa.Table:
+        docs, cons = [], []
+        for doc_id, content in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("content").to_pylist()):
+            for c in extract_concepts(content):
+                docs.append(str(doc_id))
+                cons.append(c)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(docs, pa.string()),
+            "concept": pa.array(cons, pa.string())})
+
+    concept_chunks: dict[str, list[str]] = {}
+    for r in _kgx(sf_dir).chunks.map_batches(
+            cc, batch_format="pyarrow").take_all():
+        concept_chunks.setdefault(r["concept"], []).append(r["doc_id"])
+    return ConceptGraphView(freqs, rels, concept_chunks)
+
+
+def query_refine(sf_dir: str):
+    """LazyGraphRAG query refinement (lightrag/query_refinement.rs:
+    104-301): initial query concepts + co-occurrence expansion with
+    connectivity scoring and relevance feedback (rows-only; gated by
+    tests/test_lazy_search.py hand fixtures)."""
+    import pandas as pd
+
+    from .stages.concept_select import CONCEPT_QUERIES
+    from .stages.lazy_search import refine_query
+
+    view = _concept_view(sf_dir)
+    rows = []
+    for q in CONCEPT_QUERIES:
+        r = refine_query(q, view)
+        for c in r["initial_concepts"]:
+            rows.append({"query": q, "kind": "initial", "concept": c,
+                         "score": 1.0,
+                         "n_chunks": len(r["relevant_chunk_ids"])})
+        for c in r["expanded_concepts"]:
+            rows.append({"query": q, "kind": "expanded", "concept": c,
+                         "score": float(_round4(
+                             [r["relevance_scores"][c]])[0]),
+                         "n_chunks": len(r["relevant_chunk_ids"])})
+    return pd.DataFrame(
+        rows, columns=["query", "kind", "concept", "score", "n_chunks"])
+
+
+def ids_search_depths(sf_dir: str):
+    """Iterative-deepening search (lightrag/iterative_deepening.rs:
+    112-313): per-depth exploration stats + the terminal stop reason
+    (rows-only; gated by hand fixtures)."""
+    import pandas as pd
+
+    from .stages.concept_select import CONCEPT_QUERIES
+    from .stages.lazy_search import ids_search
+
+    view = _concept_view(sf_dir)
+    rows = []
+    for q in CONCEPT_QUERIES:
+        r = ids_search(q, view)
+        for d in r["depths"]:
+            rows.append({"query": q, "depth": d["depth"],
+                         "concepts_explored": d["concepts_explored"],
+                         "new_chunks_found": d["new_chunks_found"],
+                         "stop_reason": ""})
+        rows.append({"query": q, "depth": -1,
+                     "concepts_explored": r["total_concepts"],
+                     "new_chunks_found": r["total_chunks"],
+                     "stop_reason": r["stop_reason"]})
+    return pd.DataFrame(
+        rows, columns=["query", "depth", "concepts_explored",
+                       "new_chunks_found", "stop_reason"])

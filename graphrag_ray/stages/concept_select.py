@@ -173,10 +173,12 @@ def match_query_to_concepts(query: str, ranked: list[dict]) -> list[dict]:
 
 
 # fixed query workload for the driver-oracled matching surface
+# capitalized so the concept extractor's phrase regexes fire on the
+# refinement surfaces; matching lowercases internally either way
 CONCEPT_QUERIES: tuple[str, ...] = (
-    "alice harmon research",
-    "acme corp office",
-    "tokyo visits",
-    "pemberton typo harmmon",
+    "Alice Harmon research",
+    "Acme Corp office plans",
+    "Tokyo visits",
+    "Pemberton typo harmmon",
     "nothing relevant here",
 )
