@@ -196,3 +196,101 @@ def ids_search(query: str, graph: ConceptGraphView) -> dict:
     return {"query": query, "depths": depths,
             "total_chunks": len(visited), "total_concepts": len(current),
             "depth_reached": depth_reached, "stop_reason": stop}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end lazy pipeline facade (lightrag/lazy_pipeline.rs:87-290)
+
+CHUNK_SIZE = 512      # LazyPipelineConfig::default
+CHUNK_OVERLAP = 128
+
+
+def chunk_text(text: str, document_id: str,
+               chunk_size: int = CHUNK_SIZE,
+               chunk_overlap: int = CHUNK_OVERLAP) -> list[dict]:
+    """lazy_pipeline.rs:242-278 — fixed windows with overlap carry-back."""
+    chunks = []
+    n = len(text)
+    start = 0
+    idx = 0
+    while start < n:
+        end = min(start + chunk_size, n)
+        chunks.append({"id": f"{document_id}_{idx}",
+                       "document_id": document_id,
+                       "content": text[start:end],
+                       "start": start, "end": end})
+        if end >= n:
+            break
+        start = end - chunk_overlap
+        idx += 1
+    return chunks
+
+
+class LazyPipeline:
+    """LazyGraphRAGPipeline — chunk → concept-extract → build the
+    co-occurrence graph + chunk index → iterative-deepening query.
+
+    The in-memory facade mirrors the reference's single-process shape
+    (pytest-gated); the distributed equivalents of each stage are the
+    concept_* surfaces (one map_batches extraction pass + groupbys)."""
+
+    def __init__(self, chunk_size: int = CHUNK_SIZE,
+                 chunk_overlap: int = CHUNK_OVERLAP):
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+        self.doc_concepts: dict[str, list[str]] = {}
+        self.chunk_concepts: dict[str, list[str]] = {}
+        self.chunks: dict[str, dict] = {}
+        self.document_count = 0
+        self.view: ConceptGraphView | None = None
+
+    def index_document(self, document_id: str, text: str) -> None:
+        for chunk in chunk_text(text, document_id, self.chunk_size,
+                                self.chunk_overlap):
+            concepts = extract_concepts(chunk["content"])
+            self.doc_concepts.setdefault(document_id, []).extend(concepts)
+            self.chunk_concepts[chunk["id"]] = concepts
+            self.chunks[chunk["id"]] = chunk
+        self.document_count += 1
+
+    def build_graph(self) -> None:
+        from .concept_graph import jaccard_confidence
+
+        freqs: dict[str, int] = {}
+        for cs in self.doc_concepts.values():
+            for c in cs:
+                freqs[c] = freqs.get(c, 0) + 1
+        chunk_sets: dict[str, set[str]] = {}
+        concept_chunks: dict[str, list[str]] = {}
+        for cid, cs in self.chunk_concepts.items():
+            for c in cs:
+                chunk_sets.setdefault(c, set()).add(cid)
+                concept_chunks.setdefault(c, []).append(cid)
+        relations = []
+        names = sorted(chunk_sets)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                shared = chunk_sets[a] & chunk_sets[b]
+                if shared:
+                    relations.append((a, b, jaccard_confidence(
+                        len(chunk_sets[a]), len(chunk_sets[b]),
+                        len(shared))))
+        self.view = ConceptGraphView(freqs, relations, concept_chunks)
+
+    def query(self, query: str) -> dict:
+        if self.view is None:
+            return {"query": query, "depths": [], "total_chunks": 0,
+                    "total_concepts": 0, "depth_reached": 0,
+                    "stop_reason": "max_depth_reached"}
+        return ids_search(query, self.view)
+
+    def statistics(self) -> dict:
+        """lazy_pipeline.rs:222-240."""
+        return {
+            "document_count": self.document_count,
+            "chunk_count": len(self.chunks),
+            "concept_count": (len(self.view.frequencies)
+                              if self.view else 0),
+            "relation_count": (len(self.view.relations)
+                               if self.view else 0),
+        }

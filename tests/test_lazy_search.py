@@ -74,3 +74,35 @@ def test_ids_search_max_chunks_stop():
     r = ids_search("Hub One data", v)
     assert r["stop_reason"] == "max_chunks_reached"
     assert r["total_chunks"] == 60
+
+
+# ------------------------------------------------------- lazy pipeline
+
+def test_chunk_text_windows_and_overlap():
+    from graphrag_ray.stages.lazy_search import chunk_text
+
+    chunks = chunk_text("x" * 1000, "d", chunk_size=512, chunk_overlap=128)
+    assert [c["start"] for c in chunks] == [0, 384, 768]
+    assert chunks[0]["id"] == "d_0" and chunks[-1]["end"] == 1000
+    assert chunk_text("", "d") == []
+    one = chunk_text("short", "d")
+    assert len(one) == 1 and one[0]["content"] == "short"
+
+
+def test_lazy_pipeline_end_to_end():
+    from graphrag_ray.stages.lazy_search import LazyPipeline
+
+    p = LazyPipeline()
+    p.index_document("d1", "Alice Harmon joined Acme Corp. "
+                           "Acme Corp opened in Tokyo Tower.")
+    p.index_document("d2", "Tokyo Tower hosted Alice Harmon.")
+    p.build_graph()
+    st = p.statistics()
+    assert st["document_count"] == 2 and st["chunk_count"] == 2
+    assert st["concept_count"] > 0 and st["relation_count"] > 0
+    res = p.query("Alice Harmon visit")
+    assert res["total_chunks"] == 2  # both chunks mention Alice Harmon
+    assert res["depths"][0]["new_chunks_found"] >= 1
+    # unbuilt pipeline returns empty results
+    empty = LazyPipeline().query("x")
+    assert empty["total_chunks"] == 0
