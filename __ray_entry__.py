@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nlp_noun_phrases": q.nlp_noun_phrases,
         "nlp_dependencies": q.nlp_dependencies,
         "ner_custom": q.ner_custom,
+        "lightrag_entities": q.lightrag_entities,
+        "lightrag_relationships": q.lightrag_relationships,
         # --- function-calling toolset over the kgx graph (SQL-oracled)
         "fc_graph_search": q.fc_graph_search,
         "fc_entity_expand": q.fc_entity_expand,
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "nlp_noun_phrases": _nlp_sql.nlp_noun_phrases_sql(),
         "nlp_dependencies": _nlp_sql.nlp_dependencies_sql(),
         "ner_custom": _nlp_sql.ner_custom_sql(),
+        "lightrag_entities": _nlp_sql.lightrag_entities_sql(),
+        "lightrag_relationships": _nlp_sql.lightrag_relationships_sql(),
         "fc_graph_search": _fc_sql.fc_graph_search_sql(),
         "fc_entity_expand": _fc_sql.fc_entity_expand_sql(),
         "pipeline_validation": _fc_sql.pipeline_validation_sql(),

@@ -288,3 +288,120 @@ def ner_custom_sql() -> str:
         FROM ranked r JOIN keepr k
           ON k.doc_id = r.doc_id AND k.i = r.rn AND k.kept
     """
+
+
+def _lightrag_ent_cte() -> str:
+    """graph_indexer.rs entity replay: window-3 capitalized phrases
+    (0.6) + single capitalized words >2 chars (0.5), emission-order
+    stable dedup per name; the type-guess cascade."""
+    type_case = """
+      CASE WHEN strpos(lower(name), 'person') > 0 THEN 'person'
+           WHEN strpos(lower(name), 'organization') > 0
+               THEN 'organization'
+           WHEN strpos(lower(name), 'location') > 0 THEN 'location'
+           WHEN lower(name) LIKE '%company' OR lower(name) LIKE '%corp'
+             OR lower(name) LIKE '%inc' THEN 'organization'
+           WHEN strpos(lower(name), 'city') > 0
+             OR strpos(lower(name), 'country') > 0
+             OR strpos(lower(name), 'state') > 0 THEN 'location'
+           WHEN len(string_split(name, ' ')) = 1 AND length(name) < 20
+               THEN 'person'
+           ELSE 'other' END
+"""
+    return f"""
+    lrw AS (SELECT doc_id, s, lower(s) AS tl,
+                   string_split(s, ' ') AS ws
+            FROM kgx_docs),
+    went AS (
+      SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]
+                 AS name,
+             0.6 AS confidence, 0 AS kind, t.i AS ord
+      FROM lrw, LATERAL unnest(range(1, len(ws) - 1)) t(i)
+      WHERE substr(ws[t.i], 1, 1) BETWEEN 'A' AND 'Z'
+        AND substr(ws[t.i + 1], 1, 1) BETWEEN 'A' AND 'Z'
+        AND substr(ws[t.i + 2], 1, 1) BETWEEN 'A' AND 'Z'),
+    sent2 AS (
+      SELECT doc_id, ws[t.i] AS name, 0.5, 1, t.i
+      FROM lrw, LATERAL unnest(range(1, len(ws) + 1)) t(i)
+      WHERE length(ws[t.i]) > 2
+        AND substr(ws[t.i], 1, 1) BETWEEN 'A' AND 'Z'),
+    lrent0 AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, name
+                    ORDER BY kind, ord) AS rn
+      FROM (SELECT * FROM went UNION ALL SELECT * FROM sent2)),
+    lrent AS (
+      SELECT doc_id, name, {type_case} AS entity_type, confidence
+      FROM lrent0 WHERE rn = 1)
+    """
+
+
+def lightrag_entities_sql() -> str:
+    return f"""
+        WITH {_corpus_cte()},
+        {_lightrag_ent_cte()}
+        SELECT doc_id, name, entity_type, confidence FROM lrent
+    """
+
+
+def lightrag_relationships_sql() -> str:
+    from .stages.lightrag_extract import REL_PATTERNS
+    pats = ", ".join(
+        f"({i}, '{p.replace(chr(39), chr(39) * 2)}', '{t}', {c})"
+        for i, (p, t, c) in enumerate(REL_PATTERNS))
+    return f"""
+        WITH {_corpus_cte()},
+        {_lightrag_ent_cte()},
+        pat(ord, pattern, rel_type, base) AS (VALUES {pats}),
+        pairs2 AS (
+          SELECT a.doc_id, w.tl,
+                 a.name AS n1, a.entity_type AS t1,
+                 b.name AS n2, b.entity_type AS t2,
+                 strpos(w.tl, lower(a.name)) - 1 AS p1,
+                 strpos(w.tl, lower(b.name)) - 1 AS p2
+          FROM lrent a
+          JOIN lrent b ON a.doc_id = b.doc_id AND a.name < b.name
+          JOIN lrw w ON w.doc_id = a.doc_id
+          WHERE strpos(w.tl, lower(a.name)) > 0
+            AND strpos(w.tl, lower(b.name)) > 0),
+        pm AS (
+          SELECT p.*, t.rel_type, t.base,
+                 row_number() OVER (PARTITION BY p.doc_id, p.n1, p.n2
+                                    ORDER BY t.ord) AS rn
+          FROM pairs2 p JOIN pat t
+            ON strpos(substr(p.tl, LEAST(p.p1, p.p2) + 1,
+                             GREATEST(p.p1, p.p2) - LEAST(p.p1, p.p2)),
+                      t.pattern) > 0),
+        scored2 AS (
+          SELECT doc_id,
+                 -- first/second by position; ties (equal pos) are
+                 -- "not forward", matching the reference's p1 < p2 test
+                 CASE WHEN p1 < p2 THEN n1 ELSE n2 END AS fname,
+                 CASE WHEN p1 < p2 THEN n2 ELSE n1 END AS sname,
+                 CASE WHEN p1 < p2 THEN t1 ELSE t2 END AS ftype,
+                 CASE WHEN p1 < p2 THEN t2 ELSE t1 END AS stype,
+                 p1 < p2 AS forward, rel_type, base
+          FROM pm WHERE rn = 1),
+        rel3 AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN NOT forward
+                       AND rel_type IN ('works_at', 'located_in', 'from')
+                      THEN sname ELSE fname END AS source,
+                 CASE WHEN NOT forward
+                       AND rel_type IN ('works_at', 'located_in', 'from')
+                      THEN fname ELSE sname END AS target,
+                 rel_type,
+                 LEAST(base
+                   + CASE WHEN rel_type = 'works_at' AND ftype = 'person'
+                            AND stype = 'organization' THEN 0.2
+                          WHEN rel_type = 'located_in'
+                            AND stype = 'location' THEN 0.2
+                          WHEN rel_type = 'founded' AND ftype = 'person'
+                            AND stype = 'organization' THEN 0.2
+                          WHEN rel_type = 'manages' AND ftype = 'person'
+                            THEN 0.1
+                          ELSE 0.0 END, 1.0) AS confidence
+          FROM scored2)
+        SELECT doc_id, source, target, rel_type,
+               round(confidence, 4) AS confidence
+        FROM rel3
+    """

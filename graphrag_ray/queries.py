@@ -3095,3 +3095,22 @@ def ids_search_depths(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query", "depth", "concepts_explored",
                        "new_chunks_found", "stop_reason"])
+
+
+def lightrag_entities(sf_dir: str):
+    """LightRAG graph-indexer entity extraction
+    (lightrag/graph_indexer.rs:68-115) over the kgx sentences."""
+    from .stages.lightrag_extract import make_indexer_batch_fn
+
+    return _kgx_sentences(sf_dir).map_batches(
+        make_indexer_batch_fn("entities"), batch_format="pyarrow")
+
+
+def lightrag_relationships(sf_dir: str):
+    """LightRAG graph-indexer relationship patterns
+    (graph_indexer.rs:121-248): between-text scan with type boosts and
+    positional reversal rules."""
+    from .stages.lightrag_extract import make_indexer_batch_fn
+
+    return _kgx_sentences(sf_dir).map_batches(
+        make_indexer_batch_fn("relationships"), batch_format="pyarrow")

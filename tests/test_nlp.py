@@ -149,3 +149,45 @@ def test_concept_jaccard():
 
     assert jaccard_confidence(3, 4, 2) == 2 / 5
     assert jaccard_confidence(0, 0, 0) == 0.0
+
+
+# ---------------------------------------------------- lightrag indexer
+
+def test_lightrag_entity_windows_and_dedup():
+    from graphrag_ray.stages.lightrag_extract import extract_entities
+
+    es = extract_entities("Prof. Alice Harmon works for Acme Corp.")
+    names = [e["name"] for e in es]
+    assert "Prof. Alice Harmon" in names       # window-3 phrase
+    assert "Alice" in names and "Corp." in names
+    assert names == sorted(names)              # name-sorted dedup
+    by = {e["name"]: e for e in es}
+    assert by["Prof. Alice Harmon"]["confidence"] == 0.6
+    assert by["Alice"]["confidence"] == 0.5
+
+
+def test_lightrag_type_guess():
+    from graphrag_ray.stages.lightrag_extract import guess_entity_type
+
+    assert guess_entity_type("Acme Corp") == "organization"
+    assert guess_entity_type("Big City Hall") == "location"
+    assert guess_entity_type("Alice") == "person"
+    assert guess_entity_type("Some Long Phrase Here") == "other"
+    assert guess_entity_type("Personnel") == "person"  # contains 'person'
+
+
+def test_lightrag_relationship_direction_and_boost():
+    from graphrag_ray.stages.lightrag_extract import (extract_entities,
+                                                      extract_relationships)
+
+    s = "Alice works for Acmecorp today."
+    es = extract_entities(s)
+    rels = extract_relationships(s, es)
+    r = next(x for x in rels if x["source"] == "Alice"
+             and x["target"] == "Acmecorp")
+    # works_at with person → organization boost: 0.7 + 0.2
+    assert r["rel_type"] == "works_at"
+    assert r["confidence"] == pytest.approx(0.9)
+    # reversal: pair sorted (Acmecorp < Alice) but Alice appears first →
+    # not forward + works_at → reversed to (Alice → Acmecorp)... verified
+    # by the source/target above
