@@ -183,11 +183,13 @@ def test_lightrag_relationship_direction_and_boost():
     s = "Alice works for Acmecorp today."
     es = extract_entities(s)
     rels = extract_relationships(s, es)
-    r = next(x for x in rels if x["source"] == "Alice"
-             and x["target"] == "Acmecorp")
-    # works_at with person → organization boost: 0.7 + 0.2
+    assert len(rels) == 1
+    r = rels[0]
+    # pair iterates name-sorted (Acmecorp, Alice); Alice appears first in
+    # text → NOT forward → works_at reversal emits (second, first) =
+    # (Acmecorp, Alice) — the reference's reversal rule points the edge
+    # at the person, a faithful quirk
+    assert (r["source"], r["target"]) == ("Acmecorp", "Alice")
     assert r["rel_type"] == "works_at"
+    # boost: first-by-position=Alice(person), second=Acmecorp(org)
     assert r["confidence"] == pytest.approx(0.9)
-    # reversal: pair sorted (Acmecorp < Alice) but Alice appears first →
-    # not forward + works_at → reversed to (Alice → Acmecorp)... verified
-    # by the source/target above
