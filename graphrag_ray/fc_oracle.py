@@ -541,3 +541,99 @@ def concept_match_sql() -> str:
         FROM kept3 k JOIN cq c USING (qid)
         WHERE k.rank < 20
     """
+def _weight_fold_exprs() -> tuple[str, str, str]:
+    """Symbolic expansion of the three sequential boost+normalize steps
+    (relevance, faithfulness, conciseness — each +0.05 then /sum), with
+    the same left-associative addition order as the engine."""
+    wr, wf, wc = "wr", "wf", "wc"
+    for name in ("r", "f", "c"):
+        if name == "r":
+            br, bf, bc = f"(({wr}) + 0.05)", f"({wf})", f"({wc})"
+        elif name == "f":
+            br, bf, bc = f"({wr})", f"(({wf}) + 0.05)", f"({wc})"
+        else:
+            br, bf, bc = f"({wr})", f"({wf})", f"(({wc}) + 0.05)"
+        s = f"(({br}) + ({bf}) + ({bc}))"
+        wr, wf, wc = (f"(({br}) / {s})", f"(({bf}) / {s})",
+                      f"(({bc}) / {s})")
+    return wr, wf, wc
+
+
+def weight_opt_history_sql() -> str:
+    """graph_weight_optimizer.rs replay: heuristic metrics from the kgx
+    canon/edge expectations (flat across iterations — the reference's
+    adjust step is a placeholder, so the zero slopes trigger all three
+    stagnation boosts every post-window iteration), the sequential
+    boost+renormalize weight recursion, and the pre-boost combined score
+    per step."""
+    from .stages.weight_optimizer import WEIGHT_TEST_QUERIES
+    vals = ", ".join(
+        f"({i}, '{_esc(t['query'])}', '{_esc(t['expected_answer'])}', "
+        f"{t['weight']})"
+        for i, t in enumerate(WEIGHT_TEST_QUERIES))
+    er, ef, ec = _weight_fold_exprs()
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        wq(qid, query, answer, w) AS (VALUES {vals}),
+        qt AS (
+          SELECT qid, unnest(list_filter(string_split_regex(lower(query),
+                     '\\s+'), x -> length(x) > 2)) AS tok
+          FROM wq),
+        at2 AS (
+          SELECT qid, unnest(list_filter(string_split_regex(lower(answer),
+                     '\\s+'), x -> x <> '')) AS tok
+          FROM wq),
+        gsz AS (
+          SELECT (SELECT count(*) FROM canon) AS n_ents,
+                 (SELECT count(*) FROM kgx_edge_agg) AS n_rels),
+        rel1 AS (
+          SELECT q.qid,
+                 count(*) FILTER (EXISTS (
+                     SELECT 1 FROM qt
+                     WHERE qt.qid = q.qid
+                       AND strpos(lower(c.canonical_name), qt.tok) > 0))
+                     AS matching
+          FROM wq q CROSS JOIN canon c GROUP BY q.qid),
+        metr AS (
+          SELECT q.qid, q.w,
+                 LEAST(r.matching::DOUBLE
+                       / LEAST(g.n_ents, 10), 1.0) AS relevance,
+                 (SELECT count(*) FILTER (
+                      EXISTS (SELECT 1 FROM canon c
+                              WHERE strpos(lower(c.canonical_name),
+                                           a.tok) > 0
+                                 OR strpos(lower(c.entity_type),
+                                           a.tok) > 0)
+                      OR EXISTS (SELECT 1 FROM kgx_edge_agg e
+                                 WHERE strpos(lower(e.rel_type),
+                                              a.tok) > 0))::DOUBLE
+                      / count(*)
+                  FROM at2 a WHERE a.qid = q.qid) AS faithfulness,
+                 0.5 * 0.7
+                 + (1.0 - LEAST(g.n_rels / 100.0, 1.0)) * 0.3
+                     AS conciseness
+          FROM wq q JOIN rel1 r USING (qid) CROSS JOIN gsz g),
+        flat AS (
+          SELECT sum(relevance * w) / sum(w) AS r,
+                 sum(faithfulness * w) / sum(w) AS f,
+                 sum(conciseness * w) / sum(w) AS c
+          FROM metr),
+        wrec(it, wr, wf, wc) AS (
+          SELECT 0, 0.4::DOUBLE, 0.4::DOUBLE, 0.2::DOUBLE
+          UNION ALL
+          SELECT it + 1,
+                 CASE WHEN it >= 3 THEN {er} ELSE wr END,
+                 CASE WHEN it >= 3 THEN {ef} ELSE wf END,
+                 CASE WHEN it >= 3 THEN {ec} ELSE wc END
+          FROM wrec WHERE it < 19)
+        SELECT w.it AS iteration,
+               round(f2.r, 4) AS relevance,
+               round(f2.f, 4) AS faithfulness,
+               round(f2.c, 4) AS conciseness,
+               round(f2.r * w.wr + f2.f * w.wf + f2.c * w.wc, 4)
+                   AS combined,
+               round(w.wr, 4) AS w_relevance,
+               round(w.wf, 4) AS w_faithfulness,
+               round(w.wc, 4) AS w_conciseness
+        FROM wrec w CROSS JOIN flat f2
+    """

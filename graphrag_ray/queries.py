@@ -3114,3 +3114,43 @@ def lightrag_relationships(sf_dir: str):
 
     return _kgx_sentences(sf_dir).map_batches(
         make_indexer_batch_fn("relationships"), batch_format="pyarrow")
+
+
+def weight_opt_history(sf_dir: str):
+    """Graph weight optimizer (optimization/graph_weight_optimizer.rs:
+    228-305, DW-GRPO-style): heuristic relevance/faithfulness/conciseness
+    over the kgx graph, slope-based stagnation boosting of the objective
+    weights across the 20-iteration loop (the reference's weight-adjust
+    step is a placeholder, so per-iteration metrics are flat and the
+    weight drift is the observable)."""
+    import pandas as pd
+
+    from .stages.weight_optimizer import (WEIGHT_TEST_QUERIES,
+                                          optimize_weights)
+
+    res = _kgx(sf_dir)
+    entities = [{"name": r["canonical_name"],
+                 "entity_type": r["entity_type"]}
+                for r in res.entities.select_columns(
+                    ["canonical_name", "entity_type"]).take_all()]
+    relationships = [{"rel_type": r["rel_type"],
+                      "confidence": float(r["confidence"])}
+                     for r in res.edges.select_columns(
+                         ["rel_type", "confidence"]).take_all()]
+    history = optimize_weights(entities, relationships,
+                               list(WEIGHT_TEST_QUERIES))
+    rows = []
+    for s in history:
+        rows.append({
+            "iteration": s["iteration"],
+            "relevance": float(_round4([s["relevance_score"]])[0]),
+            "faithfulness": float(_round4([s["faithfulness_score"]])[0]),
+            "conciseness": float(_round4([s["conciseness_score"]])[0]),
+            "combined": float(_round4([s["combined_score"]])[0]),
+            "w_relevance": float(_round4([s["weights"]["relevance"]])[0]),
+            "w_faithfulness": float(_round4(
+                [s["weights"]["faithfulness"]])[0]),
+            "w_conciseness": float(_round4(
+                [s["weights"]["conciseness"]])[0]),
+        })
+    return pd.DataFrame(rows)
