@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_rank": q.concept_rank,
         "concept_match": q.concept_match,
         "weight_opt_history": q.weight_opt_history,
+        "inferred_relations": q.inferred_relations,
         "query_refine": q.query_refine,        # rows-only (pytest-gated)
         "ids_search_depths": q.ids_search_depths,  # rows-only (pytest-gated)
         # --- stream-shaped event operators (SQL-oracled)
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "concept_rank": _fc_sql.concept_rank_sql(),
         "concept_match": _fc_sql.concept_match_sql(),
         "weight_opt_history": _fc_sql.weight_opt_history_sql(),
+        "inferred_relations": _fc_sql.inferred_relations_sql(),
         # synth-corpus md5 replay (synth_oracle.py): the named-md5-draw
         # respec of synth.py makes the real kg corpus SQL-derivable, so
         # the flagship pipeline's chunk offsets and media span structure

@@ -637,3 +637,115 @@ def weight_opt_history_sql() -> str:
                round(w.wc, 4) AS w_conciseness
         FROM wrec w CROSS JOIN flat f2
     """
+
+
+def inferred_relations_sql() -> str:
+    """inference.rs replay over the kgx expectations: per-chunk evidence
+    (0.2 base + word-proximity buckets + the full friendship/negative
+    pattern sweep with ±100-char context windows + family damping,
+    clamped), chunk-normalized, 0.3 floor, top-10 per target (ties
+    pinned target-id ASC)."""
+    from .stages.inference import (FAMILY_PATTERNS, FRIENDSHIP_PATTERNS,
+                                   INFER_TARGETS, NEGATIVE_PATTERNS)
+    targets = ", ".join(f"('{_esc(t)}', '{_esc(r)}')"
+                        for t, r in INFER_TARGETS)
+
+    def near(p):
+        pe = _esc(p)
+        return (f"(strpos(dc.na, '') >= 0 AND "
+                f"strpos(substr(dc.tl, GREATEST(strpos(dc.tl, '{pe}') "
+                f"- 100, 1), LEAST(strpos(dc.tl, '{pe}') - 1 "
+                f"+ {len(p)} + 100, length(dc.tl)) "
+                f"- GREATEST(strpos(dc.tl, '{pe}') - 100, 1) + 1), dc.na)"
+                f" > 0 AND "
+                f"strpos(substr(dc.tl, GREATEST(strpos(dc.tl, '{pe}') "
+                f"- 100, 1), LEAST(strpos(dc.tl, '{pe}') - 1 "
+                f"+ {len(p)} + 100, length(dc.tl)) "
+                f"- GREATEST(strpos(dc.tl, '{pe}') - 100, 1) + 1), dc.nb)"
+                f" > 0)")
+
+    fterms = " + ".join(
+        f"(CASE WHEN strpos(dc.tl, '{_esc(p)}') > 0 THEN "
+        f"CASE WHEN {near(p)} THEN {w} * 0.5 ELSE {w} * 0.3 END "
+        f"ELSE 0.0 END)"
+        for p, w in FRIENDSHIP_PATTERNS)
+    nterms = " + ".join(
+        f"(CASE WHEN strpos(dc.tl, '{_esc(p)}') > 0 THEN "
+        f"CASE WHEN {near(p)} THEN ({w}) * 1.2 ELSE ({w}) * 0.8 END "
+        f"ELSE 0.0 END)"
+        for p, w in NEGATIVE_PATTERNS)
+    fam = " OR ".join(f"strpos(dc.tl, '{p}') > 0"
+                      for p in FAMILY_PATTERNS)
+    return f"""
+        WITH {_corpus_cte()},
+        tgt(target_id, rel) AS (VALUES {targets}),
+        docent AS (
+          SELECT DISTINCT doc_id,
+                 entity_type || '_' || lower(replace(name, ' ', ''))
+                     AS cid
+          FROM ents_raw),
+        dtext AS (SELECT doc_id, lower(s) AS tl FROM kgx_docs),
+        tchunks AS (
+          SELECT t.target_id, t.rel, d.doc_id
+          FROM tgt t JOIN docent d ON d.cid = t.target_id),
+        tcount AS (
+          SELECT target_id, count(*) AS n FROM tchunks
+          GROUP BY target_id),
+        pairs4 AS (
+          SELECT tc.target_id, tc.rel, tc.doc_id, o.cid AS other,
+                 x.tl,
+                 lower(replace(split_part(tc.target_id, '_', 2), '_', ' '))
+                     AS na,
+                 lower(replace(split_part(o.cid, '_', 2), '_', ' '))
+                     AS nb
+          FROM tchunks tc
+          JOIN docent o ON o.doc_id = tc.doc_id
+            AND o.cid <> tc.target_id
+          JOIN dtext x ON x.doc_id = tc.doc_id),
+        wordsp AS (
+          SELECT p.target_id, p.doc_id, p.other,
+                 min(abs(ia.i - ib.i)) AS dist
+          FROM pairs4 p
+          JOIN LATERAL (
+            SELECT t.i FROM unnest(range(1,
+                len(string_split(p.tl, ' ')) + 1)) t(i)
+            WHERE strpos(lower(string_split(p.tl, ' ')[t.i]), p.na) > 0
+          ) ia ON TRUE
+          JOIN LATERAL (
+            SELECT t.i FROM unnest(range(1,
+                len(string_split(p.tl, ' ')) + 1)) t(i)
+            WHERE strpos(lower(string_split(p.tl, ' ')[t.i]), p.nb) > 0
+          ) ib ON TRUE
+          GROUP BY p.target_id, p.doc_id, p.other),
+        evid AS (
+          SELECT dc.target_id, dc.rel, dc.doc_id, dc.other,
+                 LEAST(GREATEST(
+                   (0.2
+                    + CASE WHEN w.dist IS NULL THEN 0.0
+                           WHEN w.dist <= 2 THEN 0.4
+                           WHEN w.dist <= 5 THEN 0.3
+                           WHEN w.dist <= 10 THEN 0.2
+                           WHEN w.dist <= 20 THEN 0.1
+                           ELSE 0.05 END
+                    + {fterms}
+                    + {nterms})
+                   * CASE WHEN {fam} THEN 0.8 ELSE 1.0 END,
+                   0.0), 1.0) AS score
+          FROM pairs4 dc
+          LEFT JOIN wordsp w ON w.target_id = dc.target_id
+            AND w.doc_id = dc.doc_id AND w.other = dc.other),
+        agg2 AS (
+          SELECT e.target_id, e.rel, e.other,
+                 LEAST(sum(e.score) / any_value(tc.n), 1.0) AS conf,
+                 any_value(tc.n) AS n
+          FROM evid e JOIN tcount tc USING (target_id)
+          GROUP BY e.target_id, e.rel, e.other),
+        ranked4 AS (
+          SELECT *, row_number() OVER (PARTITION BY target_id
+                        ORDER BY conf DESC, other) AS rn
+          FROM agg2 WHERE conf >= 0.05)
+        SELECT target_id AS source, other AS target,
+               rel AS relation_type, round(conf, 4) AS confidence,
+               n::BIGINT AS evidence_count
+        FROM ranked4 WHERE rn <= 10
+    """

@@ -3154,3 +3154,53 @@ def weight_opt_history(sf_dir: str):
                 [s["weights"]["conciseness"]])[0]),
         })
     return pd.DataFrame(rows)
+
+
+def inferred_relations(sf_dir: str):
+    """Implicit relationship inference (inference.rs:83-156) for the
+    fixed targets over the kgx corpus: per-chunk evidence scoring
+    (base + proximity + weighted patterns), chunk-count normalization,
+    0.3 threshold, top-10."""
+    import pandas as pd
+
+    from .stages.inference import INFER_TARGETS, infer_relationships
+
+    res = _kgx(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        names = batch.column("name").to_pylist()
+        types = batch.column("entity_type").to_pylist()
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([str(d) for d in
+                                batch.column("doc_id").to_pylist()],
+                               pa.string()),
+            "canonical_id": pa.array(
+                [f"{t}_{n.replace(' ', '').lower()}"
+                 for n, t in zip(names, types)], pa.string()),
+        })
+
+    ent_rows = res.extraction.map_batches(
+        project, batch_format="pyarrow").take_all()
+    chunk_map: dict[str, set] = {}
+    for r in ent_rows:
+        chunk_map.setdefault(r["doc_id"], set()).add(r["canonical_id"])
+    chunk_entities = [(d, sorted(es)) for d, es in sorted(chunk_map.items())]
+    contents = {str(r["doc_id"]): r["content"] for r in
+                res.chunks.select_columns(["doc_id", "content"]).take_all()}
+
+    rows = []
+    for target, rel_type in INFER_TARGETS:
+        for r in infer_relationships(target, rel_type, chunk_entities,
+                                     contents, min_confidence=0.05):
+            rows.append({
+                "source": r["source"], "target": r["target"],
+                "relation_type": r["relation_type"],
+                "confidence": float(_round4([r["confidence"]])[0]),
+                "evidence_count": r["evidence_count"],
+            })
+    return pd.DataFrame(
+        rows, columns=["source", "target", "relation_type", "confidence",
+                       "evidence_count"])
