@@ -138,8 +138,38 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def candidate_pairs_from_bands(batch: pa.Table) -> pa.Table:
-    """(bucket) group → distinct candidate pairs sharing any band bucket."""
+def _pair_rq_table(pairs_sorted, rq_rows) -> pa.Table:
+    """Tagged union of direct candidate pairs and requeue rows (hot-group
+    salt-and-requeue, VERDICT r03 #4). ``rq_rows`` entries are
+    (band, hash, cell_lo, cell_hi, cell, doc)."""
+    n_p, n_r = len(pairs_sorted), len(rq_rows)
+    return pa.Table.from_pydict(
+        {
+            "kind": pa.array(["pair"] * n_p + ["rq"] * n_r, pa.string()),
+            "doc_a": pa.array([a for a, _ in pairs_sorted] + [None] * n_r, pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs_sorted] + [None] * n_r, pa.int64()),
+            "rq_band": pa.array([None] * n_p + [r[0] for r in rq_rows], pa.int32()),
+            "rq_hash": pa.array([None] * n_p + [r[1] for r in rq_rows], pa.string()),
+            "cell_lo": pa.array([None] * n_p + [r[2] for r in rq_rows], pa.int32()),
+            "cell_hi": pa.array([None] * n_p + [r[3] for r in rq_rows], pa.int32()),
+            "cell": pa.array([None] * n_p + [r[4] for r in rq_rows], pa.int32()),
+            "doc": pa.array([None] * n_p + [r[5] for r in rq_rows], pa.int64()),
+        }
+    )
+
+
+def candidate_pairs_from_bands(batch: pa.Table, cap: int = 0) -> pa.Table:
+    """(bucket) group → distinct candidate pairs sharing any band bucket.
+
+    Hot-group bound: with ``cap > 0``, a degenerate band value shared by m
+    > cap docs (e.g. every near-empty doc hashing identically on a 100 TB
+    crawl) is NOT expanded quadratically here. Its sorted member list is
+    split into s = ceil(m/cap) contiguous cells and each member is
+    re-emitted once per cell pair (kind='rq', key (band, hash, cell_lo,
+    cell_hi)); a second groupby over those keys (``pairs_between_cells``)
+    expands each cell pair with ≤ 2·cap members per task. Every (i<j) pair
+    lands in exactly one cell pair, so the pair SET is identical to the
+    uncapped expansion — only the per-task work is bounded (O(cap²))."""
     groups: dict[tuple[int, str], list[int]] = {}
     for band, h, doc in zip(
         batch.column("band_id").to_pylist(),
@@ -148,14 +178,49 @@ def candidate_pairs_from_bands(batch: pa.Table) -> pa.Table:
     ):
         groups.setdefault((band, h), []).append(doc)
     pairs: set[tuple[int, int]] = set()
-    for docs in groups.values():
+    rq_rows: list[tuple] = []
+    for (band, h), docs in groups.items():
         if len(docs) < 2:
             continue
         docs = sorted(set(docs))
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
+        m = len(docs)
+        if cap and m > cap:
+            s = -(-m // cap)  # ceil
+            for idx, doc in enumerate(docs):
+                c = idx // cap
+                for c2 in range(s):
+                    rq_rows.append((band, h, min(c, c2), max(c, c2), c, doc))
+            continue
+        for i in range(m):
+            for j in range(i + 1, m):
                 pairs.add((docs[i], docs[j]))
-    pairs_sorted = sorted(pairs)
+    return _pair_rq_table(sorted(pairs), rq_rows)
+
+
+def pairs_between_cells(batch: pa.Table) -> pa.Table:
+    """(band, hash, cell_lo, cell_hi) requeue group → candidate pairs.
+
+    cell_lo == cell_hi: all (i<j) pairs within the cell; else all cross
+    pairs (lo-cell doc, hi-cell doc). Cells are contiguous ranges of the
+    SORTED member list, so cross pairs are already (smaller, larger) —
+    identical orientation to the uncapped expansion."""
+    lo = batch.column("cell_lo")[0].as_py()
+    hi = batch.column("cell_hi")[0].as_py()
+    cells = batch.column("cell").to_pylist()
+    docs = batch.column("doc").to_pylist()
+    out: set[tuple[int, int]] = set()
+    if lo == hi:
+        members = sorted(set(docs))
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out.add((members[i], members[j]))
+    else:
+        a_side = sorted({d for d, c in zip(docs, cells) if c == lo})
+        b_side = sorted({d for d, c in zip(docs, cells) if c == hi})
+        for a in a_side:
+            for b in b_side:
+                out.add((a, b))
+    pairs_sorted = sorted(out)
     return pa.Table.from_pydict(
         {
             "doc_a": pa.array([a for a, _ in pairs_sorted], pa.int64()),
@@ -199,6 +264,91 @@ def make_shingle_halves_fn(partner_ref):
         )
 
     return shingle_halves
+
+
+# --- fully distributed verify (VERDICT r03 #3): the candidate pair set
+# never lands on the driver. Pairs explode to per-doc participation rows,
+# union with per-doc shingle rows, and ONE groupby(doc_id) co-locates each
+# doc's shingles with its pair participations (a shuffle semi-join). The
+# shingle exchange is corpus-linear; driver memory is O(1).
+
+_HALVES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("side", pa.int32()),
+        ("sh", pa.list_(pa.int64())),
+    ]
+)
+
+
+def pair_participation_rows(batch: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) candidate group → 2 participation rows (dedups the
+    multi-band duplicates distributedly)."""
+    a = batch.column("doc_a")[0].as_py()
+    b = batch.column("doc_b")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([a, b], pa.int64()),
+            "doc_a": pa.array([a, a], pa.int64()),
+            "doc_b": pa.array([b, b], pa.int64()),
+            "side": pa.array([0, 1], pa.int32()),
+            "sh": pa.array([None, None], pa.list_(pa.int64())),
+        },
+        schema=_HALVES_SCHEMA,
+    )
+
+
+def doc_shingle_list_rows(batch: pa.Table) -> pa.Table:
+    """docs → one (doc_id, sh) row each (pair cols null)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sh_lists = []
+    for text in batch.column("text").to_pylist():
+        sh = np.fromiter(shingles(text or ""), dtype=np.uint64)
+        sh_lists.append(sh.astype(np.int64).tolist())
+    n = len(doc_ids)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_a": pa.array([None] * n, pa.int64()),
+            "doc_b": pa.array([None] * n, pa.int64()),
+            "side": pa.array([None] * n, pa.int32()),
+            "sh": pa.array(sh_lists, pa.list_(pa.int64())),
+        },
+        schema=_HALVES_SCHEMA,
+    )
+
+
+def emit_pair_halves(batch: pa.Table) -> pa.Table:
+    """(doc_id) group of [1 shingle row + k participation rows] → k halves
+    carrying this doc's shingles into the per-pair verify groupby."""
+    sh_col = batch.column("sh")
+    sides = batch.column("side").to_pylist()
+    sh_list = None
+    for i, s in enumerate(sides):
+        if s is None:
+            sh_list = sh_col[i].as_py()
+            break
+    out_a, out_b, out_side, out_sh = [], [], [], []
+    if sh_list is not None:
+        a_col = batch.column("doc_a").to_pylist()
+        b_col = batch.column("doc_b").to_pylist()
+        for i, s in enumerate(sides):
+            if s is None:
+                continue
+            out_a.append(a_col[i])
+            out_b.append(b_col[i])
+            out_side.append(s)
+            out_sh.append(sh_list)
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "side": pa.array(out_side, pa.int32()),
+            "sh": pa.array(out_sh, pa.list_(pa.int64())),
+        }
+    )
 
 
 def make_verify_pairs_fn(threshold: float):
@@ -304,36 +454,93 @@ def ngram_shingle_rows(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
     )
 
 
-def ngram_pairs_from_bucket(batch: pa.Table) -> pa.Table:
-    """(bucket) group → per-pair partial intersection counts. Quadratic
-    only within a single shingle's posting list; a stop-shingle cap is the
-    standard relaxation for adversarially hot shingles (not applied here —
-    exactness is the point of this operator)."""
+def ngram_pairs_from_bucket(batch: pa.Table, cap: int = 0) -> pa.Table:
+    """(bucket) group → per-pair partial intersection counts (tagged).
+
+    Quadratic only within a single shingle's posting list. Hot-posting
+    bound (VERDICT r03 #4): with ``cap > 0``, a boilerplate shingle shared
+    by m > cap docs is not expanded here; its sorted posting list splits
+    into contiguous cells and members re-emit once per cell pair
+    (kind='rq'), expanded by ``ngram_pairs_between_cells`` under a second
+    groupby with ≤ 2·cap members per task. Each (i<j) pair lands in
+    exactly one cell pair, so summed intersections are exact."""
     posting: dict[int, list] = {}
     for sh, doc, n in zip(batch.column("shingle").to_pylist(),
                           batch.column("doc_id").to_pylist(),
                           batch.column("n_sh").to_pylist()):
         posting.setdefault(sh, []).append((doc, n))
     acc: dict[tuple[int, int], list] = {}
-    for docs in posting.values():
+    rq_rows: list[tuple] = []
+    for sh, docs in posting.items():
         if len(docs) < 2:
             continue
         docs = sorted(set(docs))
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
+        m = len(docs)
+        if cap and m > cap:
+            s = -(-m // cap)
+            for idx, (doc, n) in enumerate(docs):
+                c = idx // cap
+                for c2 in range(s):
+                    rq_rows.append((sh, min(c, c2), max(c, c2), c, doc, n))
+            continue
+        for i in range(m):
+            for j in range(i + 1, m):
                 (da, na), (db, nb) = docs[i], docs[j]
                 slot = acc.get((da, db))
                 if slot is None:
                     acc[(da, db)] = [na, nb, 1]
                 else:
                     slot[2] += 1
+    n_p, n_r = len(acc), len(rq_rows)
     return pa.Table.from_pydict(
         {
-            "doc_a": pa.array([k[0] for k in acc], pa.int64()),
-            "doc_b": pa.array([k[1] for k in acc], pa.int64()),
-            "n_a": pa.array([v[0] for v in acc.values()], pa.int64()),
-            "n_b": pa.array([v[1] for v in acc.values()], pa.int64()),
-            "inter": pa.array([v[2] for v in acc.values()], pa.int64()),
+            "kind": pa.array(["pair"] * n_p + ["rq"] * n_r, pa.string()),
+            "doc_a": pa.array([k[0] for k in acc] + [None] * n_r, pa.int64()),
+            "doc_b": pa.array([k[1] for k in acc] + [None] * n_r, pa.int64()),
+            "n_a": pa.array([v[0] for v in acc.values()]
+                            + [None] * n_r, pa.int64()),
+            "n_b": pa.array([v[1] for v in acc.values()]
+                            + [None] * n_r, pa.int64()),
+            "inter": pa.array([v[2] for v in acc.values()]
+                              + [None] * n_r, pa.int64()),
+            "rq_sh": pa.array([None] * n_p + [r[0] for r in rq_rows], pa.int64()),
+            "cell_lo": pa.array([None] * n_p + [r[1] for r in rq_rows], pa.int32()),
+            "cell_hi": pa.array([None] * n_p + [r[2] for r in rq_rows], pa.int32()),
+            "cell": pa.array([None] * n_p + [r[3] for r in rq_rows], pa.int32()),
+            "doc": pa.array([None] * n_p + [r[4] for r in rq_rows], pa.int64()),
+            "doc_n": pa.array([None] * n_p + [r[5] for r in rq_rows], pa.int64()),
+        }
+    )
+
+
+def ngram_pairs_between_cells(batch: pa.Table) -> pa.Table:
+    """(rq_sh, cell_lo, cell_hi) requeue group → per-pair partial
+    intersection rows (inter=1 each; the final pair groupby sums)."""
+    lo = batch.column("cell_lo")[0].as_py()
+    hi = batch.column("cell_hi")[0].as_py()
+    cells = batch.column("cell").to_pylist()
+    docs = batch.column("doc").to_pylist()
+    ns = batch.column("doc_n").to_pylist()
+    members = sorted({(d, n) for d, n, c in zip(docs, ns, cells)})
+    out: list[tuple] = []
+    if lo == hi:
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (da, na), (db, nb) = members[i], members[j]
+                out.append((da, db, na, nb))
+    else:
+        a_side = sorted({(d, n) for d, n, c in zip(docs, ns, cells) if c == lo})
+        b_side = sorted({(d, n) for d, n, c in zip(docs, ns, cells) if c == hi})
+        for da, na in a_side:
+            for db, nb in b_side:
+                out.append((da, db, na, nb))
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([r[0] for r in out], pa.int64()),
+            "doc_b": pa.array([r[1] for r in out], pa.int64()),
+            "n_a": pa.array([r[2] for r in out], pa.int64()),
+            "n_b": pa.array([r[3] for r in out], pa.int64()),
+            "inter": pa.array([1] * len(out), pa.int64()),
         }
     )
 
