@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_cooccur": q.syn_cooccur,
         "syn_common_entities": q.syn_common_entities,
         "syn_components": q.syn_components,
+        "syn_leiden": q.syn_leiden,
         "syn_louvain": q.syn_louvain,
         "syn_graph_metrics": q.syn_graph_metrics,
         "syn_pagerank": q.syn_pagerank,
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_community_summaries": q.kg_community_summaries,
         "kg_chunk_embeddings": q.kg_chunk_embeddings,
         "kg_semantic_chunks": q.kg_semantic_chunks,
+        "kg_semantic_chunk_coverage": q.kg_semantic_chunk_coverage,
         "kg_late_chunk_embeddings": q.kg_late_chunk_embeddings,
         "kg_mentions": q.kg_mentions,
         "kg_stats": q.kg_stats,
@@ -296,6 +298,9 @@ def oracle_sql() -> dict[str, str]:
         "media_resized": _syn_sql.media_resized_sql(),
         "kg_chunk_embeddings": _syn_sql.kg_chunk_embeddings_sql(),
         "kg_late_chunk_embeddings": _syn_sql.kg_late_chunk_embeddings_sql(),
+        "kg_boundary_chunks": _syn_sql.kg_boundary_chunks_sql(),
+        "kg_semantic_chunk_coverage":
+            _syn_sql.kg_semantic_chunk_coverage_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,
@@ -525,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_cooccur": _synkg_sql.syn_cooccur_sql(),
         "syn_common_entities": _synkg_sql.syn_common_entities_sql(),
         "syn_components": _synkg_sql.syn_components_sql(),
+        "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_louvain": _synkg_sql.syn_louvain_sql(),
         "syn_graph_metrics": _synkg_sql.syn_graph_metrics_sql(),
         "syn_pagerank": _synkg_sql.syn_pagerank_sql(),

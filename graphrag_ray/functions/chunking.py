@@ -29,16 +29,17 @@ def _find_sentence_boundary(text: str, start: int, preferred_end: int) -> int | 
     search_start = max(0, len(window) - 200)
     search = window[search_start:]
 
-    last_boundary = None
-    for i, ch in enumerate(search):
-        if ch in _SENTENCE_ENDINGS:
+    # rightmost boundary wins — scan from the right and exit on the first
+    # hit (sentence-dense text exits within a few chars; the full-window
+    # left-to-right scan was the chunker's hot loop)
+    m = len(search)
+    for i in range(m - 1, -1, -1):
+        if search[i] in _SENTENCE_ENDINGS:
             next_pos = i + 1
             # boundary counts when followed by whitespace *within the window*
             # or when the punctuation ends the window
-            if next_pos >= len(search) or search[next_pos].isspace():
-                last_boundary = start + search_start + next_pos
-    if last_boundary is not None:
-        return last_boundary
+            if next_pos >= m or search[next_pos].isspace():
+                return start + search_start + next_pos
     return _find_word_boundary(text, start, preferred_end)
 
 

@@ -483,6 +483,45 @@ def kg_semantic_chunks(sf_dir: str):
                       "end_offset"])
 
 
+def kg_semantic_chunk_coverage(sf_dir: str):
+    """Hard invariant oracle for M3 semantic chunking: per doc the spans
+    must tile [0, n_sentences) exactly — covered == max_end == n_sentences
+    and min_start == 0. The breakpoints themselves depend on MT-seeded
+    hash-embedding draws (not SQL-replayable), but the sentence count IS
+    (synth_oracle.kg_semantic_chunk_coverage_sql), so this pins the span
+    arithmetic of the real chunker output."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ch = kg_semantic_chunks(sf_dir)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "span_len", pc.cast(pc.subtract(batch.column("end_offset"),
+                                            batch.column("start_offset")),
+                                pa.int64()))
+
+    agg = (ch.map_batches(widen, batch_format="pyarrow")
+             .groupby("doc_id")
+             .aggregate(Sum("span_len", alias_name="covered"),
+                        Max("end_offset", alias_name="max_end"),
+                        Min("start_offset", alias_name="min_start")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": pc.cast(batch.column("max_end"), pa.int64()),
+            "covered": pc.cast(batch.column("covered"), pa.int64()),
+            "max_end": pc.cast(batch.column("max_end"), pa.int64()),
+            "min_start": pc.cast(batch.column("min_start"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def kg_late_chunk_embeddings(sf_dir: str):
     """Late-chunking embeddings (document-context pooling) over the chunk
     table — actor-pool stage, per-actor doc-vector cache."""
@@ -843,6 +882,24 @@ def syn_components(sf_dir: str):
 
     res = _syn(sf_dir)
     return ga.connected_components(res.entities, res.edges)
+
+
+def syn_leiden(sf_dir: str):
+    """L1 Leiden over the syn graph, canonicalized for partition equality
+    (SURVEY §7.5): level-0 output of the REAL detect_communities stage,
+    each entity mapped to the min entity_id of its community — hard-oracled
+    by syn_oracle_kg.syn_leiden_sql's recursive-CTE local-move replay +
+    connected-component refinement."""
+    import pandas as pd
+
+    res = _syn(sf_dir)
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == 0]
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
 
 
 def syn_louvain(sf_dir: str):

@@ -51,14 +51,179 @@ class PatternExtractor:
         extract_rels: bool = True,
         relationship_confidence: float = 0.5,
         max_contexts: int = 64,
+        use_vectorized: bool = True,
     ):
+        from ..functions import extraction_vec
+
         self.min_confidence = min_confidence
         self.entity_types = tuple(entity_types)
         self.extract_rels = extract_rels
         self.relationship_confidence = relationship_confidence
         self.max_contexts = max_contexts
+        self.use_vectorized = (use_vectorized
+                               and extraction_vec.supported(self.entity_types))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_vectorized:
+            return self._call_vectorized(batch)
+        return self._call_rows(batch)
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Batch-level Arrow/numpy extraction (functions/extraction_vec.py)
+        — same output content as the per-row path, ~5× less CPU."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.extraction_vec import extract_batch
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        n_chunks = len(contents)
+        doc_intern: dict[str, int] = {}
+        doc_list: list[str] = []
+        doc_ord = np.empty(n_chunks, np.int64)
+        for i, d in enumerate(doc_ids):
+            o = doc_intern.get(d)
+            if o is None:
+                o = doc_intern[d] = len(doc_list)
+                doc_list.append(d)
+            doc_ord[i] = o
+
+        ents, pairs = extract_batch(contents, doc_ord, self.min_confidence,
+                                    self.entity_types, self.extract_rels)
+        if ents is None:
+            return EXTRACTION.empty_table()
+
+        # --- doc-level entity aggregation (== the row path's ent_acc dict)
+        n_u = len(ents["chunk"])
+        first_ord = ents["first_ord"]
+        g = np.lexsort((first_ord, ents["namekey"], ents["type_id"],
+                        ents["doc_ord"]))
+        gd = ents["doc_ord"][g]
+        gt = ents["type_id"][g]
+        gk = ents["namekey"][g]
+        newg = np.empty(n_u, bool)
+        newg[0] = True
+        newg[1:] = (gd[1:] != gd[:-1]) | (gt[1:] != gt[:-1]) | (gk[1:] != gk[:-1])
+        starts = np.flatnonzero(newg)
+        sizes = np.diff(np.append(starts, n_u))
+        conf_g = np.maximum.reduceat(ents["conf"][g], starts)
+        mentions_each = ents["k"] * ents["count"]
+        nm_g = np.add.reduceat(mentions_each[g], starts)
+        first_g = first_ord[g][starts]  # min: ordv ascending within group
+        row_order = np.argsort(first_g, kind="stable")
+        first_rows = g[starts][row_order]
+
+        n_ent = len(starts)
+        names, eid_strs = ents["names"], ents["eid_strs"]
+        name_code, eid_code = ents["name_code"], ents["eid_code"]
+        ent_doc = [doc_list[ents["doc_ord"][r]] for r in first_rows]
+        ent_eid = [eid_strs[eid_code[r]] for r in first_rows]
+        ent_name = [names[name_code[r]] for r in first_rows]
+        type_strs = ("PERSON", "ORGANIZATION", "LOCATION")
+        ent_type = [type_strs[ents["type_id"][r]] for r in first_rows]
+        ent_conf = conf_g[row_order]
+        ent_nrows = sizes[row_order]
+        ent_nm = nm_g[row_order]
+
+        # --- edge combine: ONE stable argsort over packed keys (the
+        # np.unique(return_inverse) + lexsort double-sort was ~40% of this
+        # UDF's wall on the bench corpus)
+        if pairs is not None and len(pairs[0]):
+            keys, pair_chunk, id_list, rel_list = pairs
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            sorted_chunks = pair_chunk[order]
+            newk = np.empty(len(sk), bool)
+            newk[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=newk[1:])
+            kstarts = np.flatnonzero(newk)
+            edge_keys = sk[kstarts]
+            edge_counts = np.diff(np.append(kstarts, len(sk)))
+            lengths = np.minimum(edge_counts, self.max_contexts)
+            group_base = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            within = np.arange(int(lengths.sum())) - np.repeat(group_base,
+                                                               lengths)
+            sel = np.repeat(kstarts, lengths) + within
+            vals = pc.take(batch.column("chunk_id"),
+                           pa.array(sorted_chunks[sel], pa.int64()))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            list_arr = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(lengths))),
+                         pa.int32()),
+                vals.cast(pa.string()))
+            edge_contexts = pc.binary_join(list_arr, "|")
+        else:
+            id_list, rel_list = [], []
+            edge_keys = np.empty(0, dtype=np.int64)
+            edge_counts = np.empty(0, dtype=np.int64)
+            edge_contexts = pa.array([], pa.string())
+
+        n_edge = len(edge_keys)
+        row_kind = pc.take(
+            pa.array(["entity", "edge"], pa.string()),
+            pa.array(np.repeat(np.array([0, 1], np.int8),
+                               [n_ent, n_edge]), pa.int8()))
+        if isinstance(row_kind, pa.ChunkedArray):
+            row_kind = row_kind.combine_chunks()
+
+        def _ent_col(values: list) -> pa.Array:
+            return pa.concat_arrays(
+                [pa.array(values, pa.string()), pa.nulls(n_edge, pa.string())])
+
+        doc_col = _ent_col(ent_doc)
+        eid = _ent_col(ent_eid)
+        name = _ent_col(ent_name)
+        etype = _ent_col(ent_type)
+        conf = np.concatenate(
+            [ent_conf, np.full(n_edge, self.relationship_confidence)])
+        n_rows_col = pa.concat_arrays(
+            [pa.array(ent_nrows, pa.int64()), pa.nulls(n_edge, pa.int64())])
+        n_mentions_col = pa.concat_arrays(
+            [pa.array(ent_nm, pa.int64()), pa.nulls(n_edge, pa.int64())])
+        def _decode(idx_arr: np.ndarray, strs: list) -> pa.Array:
+            """null-prefixed string column decoded via one C++ take
+            (dictionary decode), no per-row Python."""
+            if not len(idx_arr):
+                return pa.nulls(n_ent, pa.string())
+            decoded = pc.take(pa.array(strs, pa.string()),
+                              pa.array(idx_arr, pa.int64()))
+            return pa.concat_arrays(
+                [pa.nulls(n_ent, pa.string()),
+                 decoded.combine_chunks() if isinstance(decoded, pa.ChunkedArray)
+                 else decoded])
+
+        src = _decode(edge_keys >> 34, id_list)
+        dst = _decode((edge_keys >> 8) & 0x3FFFFFF, id_list)
+        rel = _decode(edge_keys & 0xFF, rel_list)
+        n_occ = pa.concat_arrays(
+            [pa.nulls(n_ent, pa.int64()), pa.array(edge_counts, pa.int64())])
+        contexts = pa.concat_arrays(
+            [pa.nulls(n_ent, pa.string()), edge_contexts])
+
+        return pa.Table.from_arrays(
+            [
+                row_kind,
+                doc_col,
+                eid,
+                name,
+                etype,
+                pa.array(conf, pa.float32()),
+                n_rows_col,
+                n_mentions_col,
+                src,
+                dst,
+                rel,
+                n_occ,
+                contexts,
+            ],
+            schema=EXTRACTION,
+        )
+
+    def _call_rows(self, batch: pa.Table) -> pa.Table:
+        """Reference per-row path (kept verbatim: non-default entity types,
+        allow/deny patterns, and the A/B identity tests run through it)."""
         import numpy as np
 
         from ..functions.extraction import _pair_rel_table

@@ -740,6 +740,106 @@ def syn_components_sql() -> str:
     """
 
 
+def syn_leiden_sql() -> str:
+    """L1 Leiden partition-equality oracle (graph/leiden.rs:429-783 as
+    transcribed by stages/community._leiden_partition): replay the greedy
+    local-move loop EXACTLY — singleton init in sorted-node order, per node
+    the sorted distinct neighbor communities as candidates, Newman delta
+    (k_in_to - k_in_from)/2m - d*((sigma_to - sigma_from + d)/(2m)^2) with
+    strict improvement (first maximum in candidate order wins), sweeps
+    until an unchanged sweep or 100 sweeps — then the refinement that
+    splits non-connected communities into connected components. All delta
+    inputs are whole-number doubles, so the SQL recomputation is
+    bit-identical to the Python's incremental sigma bookkeeping. Labels are
+    canonicalized to the min member entity_id (partition equality per
+    SURVEY §7.5). State is one recursive CTE carrying the community list;
+    one recursion step = one node visit."""
+    # index shorthands for the node being processed at step k
+    i = "((w.k % lg.n) + 1)"
+    cur = f"w.comms[{i}]"
+    nbrs = f"lg.adjs[{i}]"
+    d = f"lg.degs[{i}]"
+    sigma = ("list_sum(list_transform(w.comms, (cm{t}, j{t}) -> "
+             "CASE WHEN cm{t} = {c} THEN lg.degs[j{t}] ELSE 0e0 END))")
+    delta = (
+        f"((length(list_filter({nbrs}, nb2 -> w.comms[nb2] = c))"
+        f"  - length(list_filter({nbrs}, nb3 -> w.comms[nb3] = {cur})))"
+        f" / lg.m2"
+        f" - 1.0 * {d} * (({sigma.format(t='a', c='c')}"
+        f" - {sigma.format(t='b', c=cur)} + {d}) / (lg.m2 * lg.m2)))"
+    )
+    best = (
+        "coalesce((list_sort(list_filter(list_transform("
+        f" list_filter(list_sort(list_distinct("
+        f"   list_transform({nbrs}, nb -> w.comms[nb]))), cc -> cc <> {cur}),"
+        f" (c, ci) -> {{'md': -({delta}), 'ord': ci, 'comm': c}}),"
+        f" x -> x.md < 0)))[1].comm, {cur})"
+    )
+    return f"""
+        {_full_cte()},
+        lnodes AS MATERIALIZED (
+            SELECT canonical_id,
+                   row_number() OVER (ORDER BY canonical_id)::BIGINT AS idx
+            FROM canonf
+        ),
+        ledges AS MATERIALIZED (
+            SELECT a.idx AS ai, b.idx AS bi
+            FROM edge_agg e
+            JOIN lnodes a ON a.canonical_id = e.src
+            JOIN lnodes b ON b.canonical_id = e.dst
+        ),
+        lincid AS (SELECT ai AS i, bi AS j FROM ledges
+                   UNION ALL SELECT bi, ai FROM ledges),
+        ladj AS (SELECT i, list(j) AS nbrs FROM lincid GROUP BY i),
+        lg AS MATERIALIZED (
+            SELECT (SELECT count(*) FROM lnodes)::BIGINT AS n,
+                   (SELECT 2.0 * count(*) FROM ledges)::DOUBLE AS m2,
+                   (SELECT list(coalesce(a.nbrs, []) ORDER BY ln.idx)
+                    FROM lnodes ln LEFT JOIN ladj a ON a.i = ln.idx) AS adjs,
+                   (SELECT list(coalesce(length(a.nbrs), 0)::DOUBLE
+                                ORDER BY ln.idx)
+                    FROM lnodes ln LEFT JOIN ladj a ON a.i = ln.idx) AS degs,
+                   (SELECT list(ln.idx ORDER BY ln.idx) FROM lnodes ln)
+                       AS init
+        ),
+        lwalk(k, comms, changed) AS (
+            SELECT 0::BIGINT, lg.init, FALSE FROM lg
+            UNION ALL
+            SELECT s.k + 1,
+                   CASE WHEN s.best_c <> s.cur_c
+                        THEN s.comms[1:s.ii - 1] || [s.best_c]
+                             || s.comms[s.ii + 1:s.nn]
+                        ELSE s.comms END,
+                   CASE WHEN (s.k % s.nn) = 0 THEN s.best_c <> s.cur_c
+                        ELSE s.changed OR (s.best_c <> s.cur_c) END
+            FROM (
+                SELECT w.k, w.comms, w.changed, lg.n AS nn,
+                       {i}::BIGINT AS ii, {cur} AS cur_c, {best} AS best_c
+                FROM lwalk w, lg
+                WHERE w.k < 100 * lg.n
+                  AND NOT (w.k > 0 AND (w.k % lg.n) = 0 AND NOT w.changed)
+            ) s
+        ),
+        lfin AS (SELECT comms FROM lwalk ORDER BY k DESC LIMIT 1),
+        lasg AS (SELECT ln.idx, ln.canonical_id, f.comms[ln.idx] AS comm
+                 FROM lnodes ln CROSS JOIN lfin f),
+        lsame AS (SELECT e.ai, e.bi FROM ledges e
+                  JOIN lasg x ON x.idx = e.ai
+                  JOIN lasg y ON y.idx = e.bi AND y.comm = x.comm),
+        lund AS (SELECT ai AS a, bi AS b FROM lsame
+                 UNION SELECT bi, ai FROM lsame),
+        lreach(a, b) AS (
+            SELECT idx, idx FROM lasg
+            UNION
+            SELECT r.a, u.b FROM lreach r JOIN lund u ON u.a = r.b),
+        lcomp AS (SELECT a AS idx, min(b) AS rootidx FROM lreach GROUP BY a)
+        SELECT n.canonical_id AS entity_id, r.canonical_id AS community_rep
+        FROM lcomp c
+        JOIN lnodes n ON n.idx = c.idx
+        JOIN lnodes r ON r.idx = c.rootidx
+    """
+
+
 def syn_louvain_sql() -> str:
     """L3 'Louvain' as the reference ships it (analytics.rs:97-180):
     components over edge-connected nodes, community ids in sorted-node

@@ -276,6 +276,97 @@ def media_frames_sql(fps_sample: float = 1.0) -> str:
     """
 
 
+def kg_boundary_chunks_sql(max_chunk_chars: int = 2000) -> str:
+    """Replay of the BAR-RAG sync boundary-aware chunker
+    (functions/boundaries.py chunk_text_boundary_aware — transcription of
+    chunking_strategies.rs:540-588) over the replayed doc text: split on
+    every [.!?], strip, drop empties, then greedily pack sentences into
+    chunks joined by ' ' — flush when len(current)+len(next) exceeds the
+    cap (the joining space is NOT counted in the flush test, but IS part
+    of the packed length). Offsets are the reference's synthetic
+    cumulative lengths. Replayed as a per-sentence recursive CTE carrying
+    (current_len, chunk_idx, chunk_start) per doc."""
+    m = max_chunk_chars
+    ws = "' '||chr(9)||chr(10)||chr(13)||chr(11)||chr(12)"
+    return f"""
+    {_text_cte()},
+    pieces AS (
+        SELECT doc_id, trim(unnest(arr), {ws}) AS sent,
+               unnest(range(1, array_length(arr) + 1)) AS ord
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]') AS arr
+              FROM texts) t
+    ),
+    sents AS (
+        SELECT doc_id, sent,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS sidx
+        FROM pieces WHERE length(sent) > 0
+    ),
+    pack AS (
+        SELECT doc_id, 1::BIGINT AS i, length(sent)::BIGINT AS cur_len,
+               0::BIGINT AS idx, 0::BIGINT AS st,
+               NULL::BIGINT AS em_idx, NULL::BIGINT AS em_st,
+               NULL::BIGINT AS em_en
+        FROM sents WHERE sidx = 1
+        UNION ALL
+        SELECT p.doc_id, p.i + 1,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN length(s.sent)
+                    ELSE p.cur_len + 1 + length(s.sent) END,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN p.idx + 1 ELSE p.idx END,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN p.st + p.cur_len ELSE p.st END,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN p.idx ELSE NULL END,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN p.st ELSE NULL END,
+               CASE WHEN p.cur_len + length(s.sent) > {m}
+                    THEN p.st + p.cur_len ELSE NULL END
+        FROM pack p JOIN sents s ON s.doc_id = p.doc_id AND s.sidx = p.i + 1
+    ),
+    finals AS (SELECT doc_id, max(i) AS n FROM pack GROUP BY doc_id)
+    SELECT doc_id || '_' || em_idx AS chunk_id, doc_id,
+           em_idx::INT AS chunk_idx, em_st AS start_offset,
+           em_en AS end_offset
+    FROM pack WHERE em_idx IS NOT NULL
+    UNION ALL
+    SELECT p.doc_id || '_' || p.idx, p.doc_id, p.idx::INT, p.st,
+           p.st + p.cur_len
+    FROM pack p JOIN finals f ON f.doc_id = p.doc_id AND p.i = f.n
+    WHERE p.cur_len > 0
+    """
+
+
+def kg_semantic_chunk_coverage_sql() -> str:
+    """Invariant oracle for M3 semantic chunking: the breakpoints depend on
+    MT-seeded hash-embedding draws (not SQL-replayable — see
+    kg_chunk_embeddings_sql), but the chunker MUST tile the sentence
+    sequence exactly: per doc, spans are consecutive, non-overlapping, and
+    cover [0, n_sentences). SQL independently re-derives n_sentences by
+    replaying split_sentences_semantic (line-wise [.!?]-split with
+    non-empty strip), so (doc_id, n_sentences, covered, max_end,
+    min_start) is a hard check on the Ray side's actual span arithmetic.
+    On the synth corpus the text is one newline-free line (asserted by
+    tests), so the splitter's inclusive [.!?]-split yields exactly one
+    sentence per punctuation char (each piece keeps its terminal mark, so
+    it never strips empty) plus one trailing sentence when non-blank text
+    follows the last mark — computable without RE2 lookbehind."""
+    return f"""
+    {_text_cte()},
+    counts AS (
+        SELECT doc_id,
+               (length(text)
+                - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT
+               + CASE WHEN trim(regexp_extract(text, '[^.!?]*$')) <> ''
+                      THEN 1 ELSE 0 END AS n
+        FROM texts
+    )
+    SELECT doc_id, n AS n_sentences, n AS covered, n AS max_end,
+           0::BIGINT AS min_start
+    FROM counts WHERE n > 0
+    """
+
+
 def syn_boundaries_sql() -> str:
     """Oracle for BAR-RAG boundary detection over the synth corpus
     (text/boundary_detection.rs): every synth sentence carries its own
