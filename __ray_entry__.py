@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from graphrag_ray import queries as q
 
     return {
+        # --- benchmark harness (monitoring/benchmark.rs parity, SQL-oracled)
+        "bench_quality": q.bench_quality,
+        "bench_rag_summary": q.bench_rag_summary,
         # --- text analysis (SQL-oracled)
         "doc_token_stats": q.doc_token_stats,
         "doc_quality": q.doc_quality,
@@ -299,6 +302,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunk_embeddings": _syn_sql.kg_chunk_embeddings_sql(),
         "kg_late_chunk_embeddings": _syn_sql.kg_late_chunk_embeddings_sql(),
         "kg_boundary_chunks": _syn_sql.kg_boundary_chunks_sql(),
+        "bench_quality": _syn_sql.bench_quality_sql(),
+        "bench_rag_summary": _syn_sql.bench_rag_summary_sql(),
         "kg_semantic_chunk_coverage":
             _syn_sql.kg_semantic_chunk_coverage_sql(),
         "doc_token_stats": f"""

@@ -51,29 +51,12 @@ def _pin_driver_threads() -> None:
 
 
 def host_probe() -> dict:
-    """Host-weather snapshot recorded with every bench line.
+    """Host-weather snapshot (shared implementation:
+    graphrag_ray.stages.monitoring.host_probe — also embedded in the
+    job.py PipelineReport)."""
+    from graphrag_ray.stages.monitoring import host_probe as _hp
 
-    This shared VM's DRAM bandwidth swings >10x with neighbor load
-    (observed 1.4-20+ GB/s within one hour) while pure-ALU work stays
-    flat; memory-heavy pipeline stages track the DRAM number, so a bench
-    reading is only interpretable next to its probe. busy_1core_s is a
-    fixed integer loop (ALU baseline); membw_gbps streams 400 MB through
-    numpy (write + reduce)."""
-    import time as _t
-
-    import numpy as np
-
-    t = _t.perf_counter()
-    x = 0
-    for i in range(10_000_000):
-        x += i * i
-    busy = _t.perf_counter() - t
-    a = np.zeros(200_000_000, dtype=np.uint8)
-    t = _t.perf_counter()
-    a[:] = 1
-    _ = int(a.sum())
-    membw = 0.4 / (_t.perf_counter() - t)
-    return {"busy_1core_s": round(busy, 3), "membw_gbps": round(membw, 1)}
+    return _hp()
 
 
 def ensure_corpus(sf_dir: str) -> str:

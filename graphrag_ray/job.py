@@ -93,7 +93,18 @@ def main(argv: list[str] | None = None) -> dict:
         summaries.write_parquet(os.path.join(ws_dir, "community_summaries"))
     elapsed = time.perf_counter() - t0
 
+    from .stages.monitoring import host_probe
+
     n_triples = res.triples.count()
+    # per-stage rows/s where a row count is natural (benchmark.rs
+    # PipelineReport parity: every operation reports duration + rate)
+    stage_sec = res.report.get("stage_sec", {})
+    stage_rows_per_sec = {}
+    for stage, n in (("edges", res.edges.count()),
+                     ("counts", res.entities.count())):
+        sec = stage_sec.get(stage)
+        if sec:
+            stage_rows_per_sec[stage] = round(n / sec, 1)
     report = {
         **res.report,
         "run_id": args.run_id,
@@ -101,6 +112,10 @@ def main(argv: list[str] | None = None) -> dict:
         "total_elapsed_sec": round(elapsed, 3),
         "triple_count": n_triples,
         "triples_per_sec": round(n_triples / elapsed, 1) if elapsed > 0 else None,
+        "stage_rows_per_sec": stage_rows_per_sec,
+        # host weather: a wall-clock number is only interpretable next to
+        # the DRAM probe on this shared box (see BASELINE.md)
+        "host_probe": host_probe(),
         "tables_written": sorted(tables) + (
             ["communities", "community_summaries"] if communities is not None else []
         ),

@@ -41,6 +41,96 @@ def _embeddings(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# benchmark harness (monitoring/benchmark.rs parity — SQL-oracled)
+
+
+def _quality_pairs(batch: pa.Table) -> pa.Table:
+    """Deterministic (generated, ground_truth) pairs from the documents
+    table: generated = first 10 whitespace tokens, ground truth = tokens
+    3..14 (partial overlap), except every 10th doc where the truth equals
+    the generated text (exact-match rows). Shared spec with the DuckDB
+    oracle (synth_oracle.bench_quality_sql)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    gen, gt = [], []
+    for d, t in zip(ids, texts):
+        toks = t.split()
+        g = " ".join(toks[:10])
+        gen.append(g)
+        gt.append(g if int(d) % 10 == 0 else " ".join(toks[2:14]))
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "generated": pa.array(gen, pa.string()),
+        "ground_truth": pa.array(gt, pa.string()),
+    })
+
+
+def bench_quality(sf_dir: str):
+    """Per-query RAG quality metrics (benchmark.rs:411-652): exact match,
+    token-overlap F1, BLEU-4 (clipped n-gram precision + brevity
+    penalty), ROUGE-L (LCS F, beta=1.2) — stateless map_batches over the
+    deterministic pair table; SQL twin replays all four metrics (the
+    ROUGE LCS as a recursive-CTE DP over prefix-max rows)."""
+    from .stages import monitoring
+
+    scored = (_docs(sf_dir)
+              .map_batches(_quality_pairs, batch_format="pyarrow")
+              .map_batches(monitoring.quality_batch, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch.column("doc_id")}
+        for c in ("exact_match", "f1_score", "bleu_score", "rouge_l"):
+            out[c] = pa.array(
+                _round4(batch.column(c).to_numpy(zero_copy_only=False)),
+                pa.float64())
+        return pa.Table.from_pydict(out)
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def bench_rag_summary(sf_dir: str):
+    """BenchmarkSummary over a deterministic question set (one per doc)
+    in the reference's simulation mode (benchmark.rs:291-760): answer =
+    'Generated answer for: <q>', LightRAG token estimates, default
+    pricing. Latency fields are nondeterministic and excluded; the
+    quality/token/cost half is SQL-oracled."""
+    import pandas as pd
+
+    from .stages.monitoring import BenchmarkConfig, BenchmarkRunner
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        qs, ans = [], []
+        for d, t in zip(ids, texts):
+            q = f"What is in document {d}?"
+            qs.append(q)
+            ans.append(f"Generated answer for: {q}" if int(d) % 10 == 0
+                       else " ".join(t.split()[:10]))
+        return pa.Table.from_pydict({"question": pa.array(qs, pa.string()),
+                                     "answer": pa.array(ans, pa.string())})
+
+    ds = _docs(sf_dir).map_batches(mk, batch_format="pyarrow")
+    runner = BenchmarkRunner(BenchmarkConfig(enable_lightrag=True,
+                                             enable_leiden=True))
+    s = runner.run_dataset("sim", ds)
+    return pd.DataFrame([{
+        "config_name": s["config_name"],
+        "total_queries": s["total_queries"],
+        "total_input_tokens": s["total_input_tokens"],
+        "total_output_tokens": s["total_output_tokens"],
+        "total_cost_usd": float(_round4(np.array([s["total_cost_usd"]]))[0]),
+        "avg_tokens_per_query": float(
+            _round4(np.array([s["avg_tokens_per_query"]]))[0]),
+        "avg_exact_match": float(_round4(np.array([s["avg_exact_match"]]))[0]),
+        "avg_f1_score": float(_round4(np.array([s["avg_f1_score"]]))[0]),
+        "avg_bleu_score": float(_round4(np.array([s["avg_bleu_score"]]))[0]),
+        "avg_rouge_l": float(_round4(np.array([s["avg_rouge_l"]]))[0]),
+        "features": ",".join(s["features"]),
+    }])
+
+
+# ---------------------------------------------------------------------------
 # text analysis (SQL-oracled)
 
 

@@ -423,3 +423,243 @@ def syn_contextual_sql(chunk_size: int = 256, overlap: int = 50) -> str:
         JOIN ctx ON ctx.doc_id = ch.doc_id
         JOIN nc ON nc.doc_id = ch.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark-harness quality metrics (stages/monitoring.py twins)
+
+_BENCH_PAIRS = """
+    btoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    bpairs AS (
+        SELECT doc_id, tk[1:10] AS cand,
+               CASE WHEN doc_id % 10 = 0 THEN tk[1:10]
+                    ELSE tk[3:14] END AS ref
+        FROM btoks
+    )"""
+
+
+def _bleu_precision(n: int) -> str:
+    """Clipped n-gram precision p_n for candidate vs reference token
+    lists (benchmark.rs:525-561): Σ_g min(count_cand(g), count_ref(g)) /
+    |cand n-grams|, zero when either side is shorter than n."""
+    cng = (f"list_transform(range(1, length(cand) - {n} + 2), "
+           f"i -> array_to_string(cand[i:i + {n - 1}], ' '))")
+    rng = (f"list_transform(range(1, length(ref) - {n} + 2), "
+           f"i -> array_to_string(ref[i:i + {n - 1}], ' '))")
+    return f"""
+        CASE WHEN length(cand) < {n} OR length(ref) < {n} THEN 0.0
+        ELSE (
+            SELECT coalesce(list_sum(list_transform(list_distinct(c.cg),
+                g -> least(length(list_filter(c.cg, x -> x = g)),
+                           length(list_filter(c.rg, y -> y = g)))))::DOUBLE,
+                0.0) / length(c.cg)
+            FROM (SELECT {cng} AS cg, {rng} AS rg) c
+        ) END"""
+
+
+def bench_quality_sql() -> str:
+    """DuckDB twin of queries.bench_quality: exact match (lower-trim
+    equality), token-overlap F1 (containment count, no clipping), BLEU-4
+    (clipped n-gram precision, brevity penalty, zero-if-any-zero) and
+    ROUGE-L (LCS via a recursive-CTE DP — one step per candidate token,
+    the row update expressed as raw[j] = max(prev[j], prev[j-1]+match)
+    followed by a prefix-max, which equals the classic three-way DP) —
+    all in float64 with the same operation order as
+    stages/monitoring.py, so round-4 comparison is exact."""
+    p = {n: _bleu_precision(n) for n in (1, 2, 3, 4)}
+    return f"""
+    WITH RECURSIVE
+    {_BENCH_PAIRS},
+    bf1 AS (
+        SELECT doc_id, cand, ref,
+               CASE WHEN lower(trim(array_to_string(cand, ' '))) =
+                         lower(trim(array_to_string(ref, ' ')))
+                    THEN 1.0 ELSE 0.0 END AS exact_match,
+               CASE WHEN length(cand) = 0 OR length(ref) = 0 THEN 0
+                    ELSE length(list_filter(
+                        list_transform(cand, x -> lower(x)),
+                        x -> list_contains(
+                            list_transform(ref, y -> lower(y)), x)))
+               END AS common
+        FROM bpairs
+    ),
+    bscore AS (
+        SELECT doc_id, cand, ref, exact_match,
+               CASE WHEN common = 0 THEN 0.0
+                    ELSE 2.0 * ((common::DOUBLE / length(cand))
+                                * (common::DOUBLE / length(ref)))
+                         / ((common::DOUBLE / length(cand))
+                            + (common::DOUBLE / length(ref)))
+               END AS f1_score,
+               {p[1]} AS p1, {p[2]} AS p2, {p[3]} AS p3, {p[4]} AS p4
+        FROM bf1
+    ),
+    bbleu AS (
+        SELECT doc_id, cand, ref, exact_match, f1_score,
+               CASE WHEN p1 <= 0 OR p2 <= 0 OR p3 <= 0 OR p4 <= 0 THEN 0.0
+               ELSE least(1.0, greatest(0.0,
+                   (CASE WHEN length(cand) >= length(ref) THEN 1.0
+                         ELSE exp(1.0 - length(ref)::DOUBLE
+                                      / length(cand)::DOUBLE) END)
+                   * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)))
+               END AS bleu_score
+        FROM bscore
+    ),
+    rwalk(doc_id, i, dp) AS (
+        SELECT doc_id, 0::BIGINT, list_transform(ref, x -> 0::BIGINT)
+        FROM bpairs
+        UNION ALL
+        SELECT s.doc_id, s.i + 1,
+               list_transform(s.raw, (x, j) -> list_max(s.raw[1:j]))
+        FROM (
+            SELECT q.doc_id, q.i,
+                   list_transform(q.ref, (y, j) ->
+                       greatest(q.pp[j + 1],
+                                q.pp[j] + CASE WHEN y = q.ci
+                                               THEN 1 ELSE 0 END)) AS raw
+            FROM (
+                SELECT w.doc_id, w.i, p.ref,
+                       [0::BIGINT] || w.dp AS pp,
+                       p.cand[w.i + 1] AS ci
+                FROM rwalk w JOIN bpairs p ON p.doc_id = w.doc_id
+                WHERE w.i < length(p.cand)
+            ) q
+        ) s
+    ),
+    rfin AS (SELECT doc_id, arg_max(dp, i) AS dp FROM rwalk GROUP BY doc_id)
+    SELECT b.doc_id,
+           round(b.exact_match, 4) AS exact_match,
+           round(b.f1_score, 4) AS f1_score,
+           round(b.bleu_score, 4) AS bleu_score,
+           round(CASE WHEN length(b.cand) = 0 OR length(b.ref) = 0
+                           OR coalesce(f.dp[length(b.ref)], 0) = 0 THEN 0.0
+                 ELSE least(1.0, greatest(0.0,
+                     ((1.0 + 1.2 * 1.2)
+                      * (f.dp[length(b.ref)]::DOUBLE / length(b.cand)))
+                     * (f.dp[length(b.ref)]::DOUBLE / length(b.ref))
+                     / ((1.2 * 1.2)
+                        * (f.dp[length(b.ref)]::DOUBLE / length(b.cand))
+                        + (f.dp[length(b.ref)]::DOUBLE / length(b.ref)))))
+                 END, 4) AS rouge_l
+    FROM bbleu b JOIN rfin f USING (doc_id)
+    """
+
+
+def bench_rag_summary_sql() -> str:
+    """DuckDB twin of queries.bench_rag_summary: the simulation-mode
+    BenchmarkSummary (LightRAG token estimates 200/100, default pricing
+    0.0001/0.0003 per 1K) over one question per doc; generated answer is
+    the deterministic placeholder, truth alternates exact-match rows
+    (doc_id % 10 = 0) with the doc's leading 10 tokens."""
+    return f"""
+    WITH RECURSIVE
+    btoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    bpairs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   'Generated answer for: What is in document '
+                       || doc_id || '?', '\\s+'), x -> x <> '') AS cand,
+               CASE WHEN doc_id % 10 = 0
+                    THEN list_filter(regexp_split_to_array(
+                        'Generated answer for: What is in document '
+                            || doc_id || '?', '\\s+'), x -> x <> '')
+                    ELSE tk[1:10] END AS ref
+        FROM btoks
+    ),
+    bf1 AS (
+        SELECT doc_id, cand, ref,
+               CASE WHEN lower(trim(array_to_string(cand, ' '))) =
+                         lower(trim(array_to_string(ref, ' ')))
+                    THEN 1.0 ELSE 0.0 END AS exact_match,
+               CASE WHEN length(cand) = 0 OR length(ref) = 0 THEN 0
+                    ELSE length(list_filter(
+                        list_transform(cand, x -> lower(x)),
+                        x -> list_contains(
+                            list_transform(ref, y -> lower(y)), x)))
+               END AS common
+        FROM bpairs
+    ),
+    bscore AS (
+        SELECT doc_id, cand, ref, exact_match,
+               CASE WHEN common = 0 THEN 0.0
+                    ELSE 2.0 * ((common::DOUBLE / length(cand))
+                                * (common::DOUBLE / length(ref)))
+                         / ((common::DOUBLE / length(cand))
+                            + (common::DOUBLE / length(ref)))
+               END AS f1_score,
+               {_bleu_precision(1)} AS p1, {_bleu_precision(2)} AS p2,
+               {_bleu_precision(3)} AS p3, {_bleu_precision(4)} AS p4
+        FROM bf1
+    ),
+    bbleu AS (
+        SELECT doc_id, cand, ref, exact_match, f1_score,
+               CASE WHEN p1 <= 0 OR p2 <= 0 OR p3 <= 0 OR p4 <= 0 THEN 0.0
+               ELSE least(1.0, greatest(0.0,
+                   (CASE WHEN length(cand) >= length(ref) THEN 1.0
+                         ELSE exp(1.0 - length(ref)::DOUBLE
+                                      / length(cand)::DOUBLE) END)
+                   * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)))
+               END AS bleu_score
+        FROM bscore
+    ),
+    rwalk(doc_id, i, dp) AS (
+        SELECT doc_id, 0::BIGINT, list_transform(ref, x -> 0::BIGINT)
+        FROM bpairs
+        UNION ALL
+        SELECT s.doc_id, s.i + 1,
+               list_transform(s.raw, (x, j) -> list_max(s.raw[1:j]))
+        FROM (
+            SELECT q.doc_id, q.i,
+                   list_transform(q.ref, (y, j) ->
+                       greatest(q.pp[j + 1],
+                                q.pp[j] + CASE WHEN y = q.ci
+                                               THEN 1 ELSE 0 END)) AS raw
+            FROM (
+                SELECT w.doc_id, w.i, p.ref,
+                       [0::BIGINT] || w.dp AS pp,
+                       p.cand[w.i + 1] AS ci
+                FROM rwalk w JOIN bpairs p ON p.doc_id = w.doc_id
+                WHERE w.i < length(p.cand)
+            ) q
+        ) s
+    ),
+    rfin AS (SELECT doc_id, arg_max(dp, i) AS dp FROM rwalk GROUP BY doc_id),
+    brows AS (
+        SELECT b.doc_id, b.exact_match, b.f1_score, b.bleu_score,
+               CASE WHEN length(b.cand) = 0 OR length(b.ref) = 0
+                         OR coalesce(f.dp[length(b.ref)], 0) = 0 THEN 0.0
+               ELSE least(1.0, greatest(0.0,
+                   ((1.0 + 1.2 * 1.2)
+                    * (f.dp[length(b.ref)]::DOUBLE / length(b.cand)))
+                   * (f.dp[length(b.ref)]::DOUBLE / length(b.ref))
+                   / ((1.2 * 1.2)
+                      * (f.dp[length(b.ref)]::DOUBLE / length(b.cand))
+                      + (f.dp[length(b.ref)]::DOUBLE / length(b.ref)))))
+               END AS rouge_l
+        FROM bbleu b JOIN rfin f USING (doc_id)
+    )
+    SELECT 'sim' AS config_name,
+           count(*)::BIGINT AS total_queries,
+           (count(*) * 200)::BIGINT AS total_input_tokens,
+           (count(*) * 100)::BIGINT AS total_output_tokens,
+           round(sum(200 / 1000.0 * 0.0001 + 100 / 1000.0 * 0.0003), 4)
+               AS total_cost_usd,
+           round((count(*) * 200 + count(*) * 100)
+                     / count(*)::DOUBLE, 4) AS avg_tokens_per_query,
+           round(sum(exact_match) / count(*), 4) AS avg_exact_match,
+           round(sum(f1_score) / count(*), 4) AS avg_f1_score,
+           round(sum(bleu_score) / count(*), 4) AS avg_bleu_score,
+           round(sum(rouge_l) / count(*), 4) AS avg_rouge_l,
+           'LightRAG,Leiden' AS features
+    FROM brows
+    """
