@@ -325,6 +325,25 @@ def _extract_persons_vec(T: _Tokens, min_confidence: float,
                 known_cid_pairs[(cpos[w1], cpos[w2])] = ni
 
 
+# cross-batch memo for the org-candidate heuristics: confidence per name,
+# -1.0 when _is_likely_organization rejects. Candidate names come from a
+# small vocabulary in practice (the window around a suffix/prefix hit), so
+# the memo turns the per-hit Python heuristics into one dict lookup;
+# size-capped so an adversarial corpus can't grow it unboundedly.
+_ORG_MEMO: dict[str, float] = {}
+_ORG_MEMO_CAP = 1 << 16
+
+
+def _org_conf(name: str) -> float:
+    conf = _ORG_MEMO.get(name)
+    if conf is None:
+        conf = (calculate_confidence(name, "ORGANIZATION")
+                if _is_likely_organization(name) else -1.0)
+        if len(_ORG_MEMO) < _ORG_MEMO_CAP:
+            _ORG_MEMO[name] = conf
+    return conf
+
+
 def _extract_orgs_vec(texts_arr: pa.Array, texts_py: list,
                       min_confidence: float, em: _Emissions,
                       phase_base: int, org_intern: dict,
@@ -341,8 +360,8 @@ def _extract_orgs_vec(texts_arr: pa.Array, texts_py: list,
             sp = text.rfind(" ", 0, pos)
             start = sp + 1 if sp != -1 else 0
             name = text[start: pos + len(suffix)].strip()
-            if name and _is_likely_organization(name):
-                conf = calculate_confidence(name, "ORGANIZATION")
+            if name:
+                conf = _org_conf(name)
                 if conf >= min_confidence:
                     oid = org_intern.get(name)
                     if oid is None:
