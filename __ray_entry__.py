@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_cooccur": q.kgx_cooccur,
         "kgx_common_entities": q.kgx_common_entities,
         "kgx_components": q.kgx_components,
+        "kgx_leiden": q.kgx_leiden,
         "kgx_louvain": q.kgx_louvain,
         "kgx_graph_metrics": q.kgx_graph_metrics,
         "kgx_pagerank": q.kgx_pagerank,
@@ -536,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_common_entities": _synkg_sql.syn_common_entities_sql(),
         "syn_components": _synkg_sql.syn_components_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
+        "kgx_leiden": _synkg_sql.kgx_leiden_sql(),
         "syn_louvain": _synkg_sql.syn_louvain_sql(),
         "syn_graph_metrics": _synkg_sql.syn_graph_metrics_sql(),
         "syn_pagerank": _synkg_sql.syn_pagerank_sql(),

@@ -1416,6 +1416,23 @@ def kgx_components(sf_dir: str):
     return ga.connected_components(res.entities, res.edges)
 
 
+def kgx_leiden(sf_dir: str):
+    """L1 Leiden over the kgx graph, canonicalized for partition equality
+    — level-0 output of the REAL detect_communities stage, hard-oracled by
+    the same recursive-CTE local-move replay as syn_leiden
+    (syn_oracle_kg.kgx_leiden_sql)."""
+    import pandas as pd
+
+    res = _kgx(sf_dir)
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == 0]
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
+
+
 def kgx_louvain(sf_dir: str):
     """L3 Louvain-as-shipped over the kgx graph (driver-oracled)."""
     from .stages import graph_analytics as ga

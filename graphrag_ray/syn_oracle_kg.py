@@ -740,9 +740,9 @@ def syn_components_sql() -> str:
     """
 
 
-def syn_leiden_sql() -> str:
-    """L1 Leiden partition-equality oracle (graph/leiden.rs:429-783 as
-    transcribed by stages/community._leiden_partition): replay the greedy
+def _leiden_replay(nodes_rel: str, edges_rel: str) -> str:
+    """L1 Leiden partition-equality replay (graph/leiden.rs:429-783 as
+    transcribed by stages/community._leiden_partition): the greedy
     local-move loop EXACTLY — singleton init in sorted-node order, per node
     the sorted distinct neighbor communities as candidates, Newman delta
     (k_in_to - k_in_from)/2m - d*((sigma_to - sigma_from + d)/(2m)^2) with
@@ -753,7 +753,8 @@ def syn_leiden_sql() -> str:
     bit-identical to the Python's incremental sigma bookkeeping. Labels are
     canonicalized to the min member entity_id (partition equality per
     SURVEY §7.5). State is one recursive CTE carrying the community list;
-    one recursion step = one node visit."""
+    one recursion step = one node visit. ``nodes_rel`` must expose
+    canonical_id; ``edges_rel`` src/dst."""
     # index shorthands for the node being processed at step k
     i = "((w.k % lg.n) + 1)"
     cur = f"w.comms[{i}]"
@@ -776,15 +777,14 @@ def syn_leiden_sql() -> str:
         f" x -> x.md < 0)))[1].comm, {cur})"
     )
     return f"""
-        {_full_cte()},
         lnodes AS MATERIALIZED (
             SELECT canonical_id,
                    row_number() OVER (ORDER BY canonical_id)::BIGINT AS idx
-            FROM canonf
+            FROM {nodes_rel}
         ),
         ledges AS MATERIALIZED (
             SELECT a.idx AS ai, b.idx AS bi
-            FROM edge_agg e
+            FROM {edges_rel} e
             JOIN lnodes a ON a.canonical_id = e.src
             JOIN lnodes b ON b.canonical_id = e.dst
         ),
@@ -837,6 +837,27 @@ def syn_leiden_sql() -> str:
         FROM lcomp c
         JOIN lnodes n ON n.idx = c.idx
         JOIN lnodes r ON r.idx = c.rootidx
+    """
+
+
+def syn_leiden_sql() -> str:
+    """Leiden partition equality over the replayed syn graph (see
+    _leiden_replay)."""
+    return f"""
+        {_full_cte()},
+        {_leiden_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_leiden_sql() -> str:
+    """Leiden partition equality over the kgx oracle corpus graph — the
+    same local-move + refinement replay (_leiden_replay) composed with
+    kgx's corpus CTE (canon / kgx_edge_agg)."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_leiden_replay('canon', 'kgx_edge_agg')}
     """
 
 
