@@ -749,3 +749,204 @@ def inferred_relations_sql() -> str:
                n::BIGINT AS evidence_count
         FROM ranked4 WHERE rn <= 10
     """
+
+
+def ids_search_depths_sql() -> str:
+    """Iterative-deepening search replay (iterative_deepening.rs:112-215
+    as transcribed by stages/lazy_search.ids_search): per query, initial
+    concepts = the SAME extraction rules as _concept_cte applied to the
+    query string; then ≤3 unrolled depth blocks. Within a depth the
+    current set is STABLE (expansion admits after scoring), so each depth
+    is pure set algebra: visited-after-depth-d equals the chunk set of
+    cur_d (current only grows), new_chunks_d = |chunks(cur_d)| -
+    |chunks(cur_{d-1})|; expansion candidates are each current concept's
+    top-5 outgoing relations by (round-4 Jaccard DESC, target ASC) —
+    the exact confidences the ConceptGraphView is fed by concept_edges —
+    scored sum-per-occurrence of (ln(freq)+1)*(1+0.5*connections), top-5
+    by (score DESC, name ASC). Stop logic (checked after the depth row,
+    including at the last depth): >=50 chunks -> max_chunks_reached;
+    empty expansion -> no_more_concepts; else max_depth_reached, with
+    total_concepts counting the depth-2 admissions. Floats only steer the
+    top-5 selection; the surfaced columns are integers and strings."""
+    from .stages.concept_graph import STOPWORDS
+    from .stages.concept_select import CONCEPT_QUERIES
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    cap = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+"
+    noun = r"[A-Z][a-z]+(?:\s+[A-Z]?[a-z]+){1,4}"
+    qvals = ", ".join(f"('{_esc(q)}')" for q in CONCEPT_QUERIES)
+
+    blocks = []
+    for d in range(3):
+        prev_fnd = (f"coalesce((SELECT count(*) FROM fnd{d - 1} f2 "
+                    f"WHERE f2.q = a.q), 0)" if d else "0")
+        blocks.append(f"""
+    fnd{d} AS MATERIALIZED (
+      SELECT DISTINCT k.q, ch.chunk
+      FROM cur{d} k JOIN cchunks ch
+        ON ch.cn = regexp_replace(lower(k.c), '[^a-z0-9_]', '', 'g')
+    ),
+    dep{d} AS (
+      SELECT a.q, {d} AS depth,
+             (SELECT count(*) FROM cur{d} k WHERE k.q = a.q)
+                 AS concepts_explored,
+             coalesce((SELECT count(*) FROM fnd{d} f WHERE f.q = a.q), 0)
+                 - {prev_fnd} AS new_chunks_found
+      FROM alive{d} a
+    ),
+    stopc{d} AS MATERIALIZED (
+      SELECT a.q FROM alive{d} a
+      WHERE (SELECT count(*) FROM fnd{d} f WHERE f.q = a.q) >= 50
+    ),
+    go{d} AS MATERIALIZED (SELECT q FROM alive{d} EXCEPT SELECT q FROM stopc{d}),
+    cand{d} AS (
+      -- one row PER (current concept -> related) occurrence: score sums
+      -- the relevance once per suggesting concept (ids_search's +=)
+      SELECT k.q, e.target AS rel
+      FROM cur{d} k
+      JOIN go{d} g ON g.q = k.q
+      JOIN erank e ON e.source = k.c AND e.rn <= 5
+      WHERE NOT EXISTS (SELECT 1 FROM cur{d} k2
+                        WHERE k2.q = k.q AND k2.c = e.target)
+    ),
+    conn{d} AS (
+      SELECT c.q, c.rel, count(*) AS nconn
+      FROM (SELECT DISTINCT q, rel FROM cand{d}) c
+      JOIN cur{d} k ON k.q = c.q
+      JOIN cpairs p ON (p.a = c.rel AND p.b = k.c)
+                    OR (p.a = k.c AND p.b = c.rel)
+      GROUP BY c.q, c.rel
+    ),
+    sc{d} AS (
+      SELECT c.q, c.rel,
+             sum(CASE WHEN f.f IS NULL THEN 0.0
+                 ELSE (ln(f.f) + 1.0)
+                      * (1.0 + coalesce(n.nconn, 0) * 0.5) END) AS score
+      FROM cand{d} c
+      LEFT JOIN cfreq f ON f.c = c.rel
+      LEFT JOIN conn{d} n ON n.q = c.q AND n.rel = c.rel
+      GROUP BY c.q, c.rel
+    ),
+    exp{d} AS MATERIALIZED (
+      SELECT q, rel FROM (
+        SELECT s.q, s.rel,
+               row_number() OVER (PARTITION BY s.q
+                                  ORDER BY s.score DESC, s.rel) AS rn
+        FROM sc{d} s) WHERE rn <= 5
+    ),
+    stopn{d} AS MATERIALIZED (
+      SELECT g.q FROM go{d} g
+      WHERE NOT EXISTS (SELECT 1 FROM exp{d} e WHERE e.q = g.q)
+    ),
+    alive{d + 1} AS MATERIALIZED (SELECT q FROM go{d} EXCEPT SELECT q FROM stopn{d}),
+    cur{d + 1} AS MATERIALIZED (
+      SELECT k.q, k.c FROM cur{d} k JOIN alive{d + 1} a ON a.q = k.q
+      UNION
+      SELECT e.q, e.rel FROM exp{d} e JOIN alive{d + 1} a ON a.q = e.q
+    )""")
+
+    depth_blocks = ",".join(blocks)
+    return f"""
+        WITH {_corpus_cte()},
+        {_concept_cte()},
+        iq(q) AS (VALUES {qvals}),
+        qphr AS (
+          SELECT q, unnest(regexp_extract_all(q, '\\b{cap}\\b')) AS c
+          FROM iq
+          UNION ALL
+          SELECT q, unnest(regexp_extract_all(q, '\\b{noun}\\b')) AS c
+          FROM iq),
+        qphrv AS (
+          SELECT q, c FROM qphr
+          WHERE length(c) >= 3
+            AND len(string_split(c, ' ')) <= 5
+            AND len(list_filter(string_split(c, ' '),
+                    w -> list_contains([{stops}], lower(w))))
+                <= len(string_split(c, ' ')) // 2),
+        qkwraw AS (
+          SELECT q,
+                 regexp_replace(regexp_replace(lower(w.w),
+                     '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS nw
+          FROM iq,
+          LATERAL unnest(list_filter(string_split_regex(q, '\\s+'),
+                                     x -> x <> '')) w(w)),
+        qkwtop AS (
+          SELECT q, nw AS c
+          FROM (SELECT *, row_number() OVER (PARTITION BY q
+                            ORDER BY f DESC, nw) AS rn
+                FROM (SELECT q, nw, count(*) AS f FROM qkwraw
+                      WHERE length(nw) >= 3 AND nw NOT IN ({stops})
+                      GROUP BY q, nw))
+          WHERE rn <= 20 AND f >= 2),
+        qcon AS (
+          SELECT DISTINCT q, c FROM (
+            SELECT q, c FROM qphrv UNION ALL SELECT q, c FROM qkwtop)),
+        conm AS MATERIALIZED (SELECT doc_id, c FROM con),
+        cfreq AS MATERIALIZED (
+          SELECT c, count(*)::BIGINT AS f FROM conm GROUP BY c),
+        cpr AS MATERIALIZED (
+          SELECT a.c AS source, b.c AS target, count(*) AS cnt
+          FROM conm a JOIN conm b ON a.doc_id = b.doc_id AND a.c < b.c
+          GROUP BY a.c, b.c),
+        cpairs AS MATERIALIZED (SELECT source AS a, target AS b FROM cpr),
+        erank AS MATERIALIZED (
+          SELECT p.source, p.target,
+                 row_number() OVER (
+                     PARTITION BY p.source
+                     ORDER BY round(p.cnt::DOUBLE
+                                    / (ta.f + tb.f - p.cnt), 4) DESC,
+                              p.target) AS rn
+          FROM cpr p
+          JOIN cfreq ta ON ta.c = p.source
+          JOIN cfreq tb ON tb.c = p.target),
+        cchunks AS MATERIALIZED (
+          SELECT DISTINCT
+                 regexp_replace(lower(c), '[^a-z0-9_]', '', 'g') AS cn,
+                 doc_id AS chunk
+          FROM conm),
+        alive0 AS MATERIALIZED (SELECT DISTINCT q FROM qcon),
+        cur0 AS MATERIALIZED (SELECT q, c FROM qcon),
+        {depth_blocks},
+        fin AS (
+          -- summary row per query (depth -1): stop reason + end totals
+          SELECT i.q,
+                 CASE WHEN a0.q IS NULL THEN 'max_depth_reached'
+                      WHEN EXISTS (SELECT 1 FROM stopc0 WHERE q = i.q)
+                        OR EXISTS (SELECT 1 FROM stopc1 WHERE q = i.q)
+                        OR EXISTS (SELECT 1 FROM stopc2 WHERE q = i.q)
+                      THEN 'max_chunks_reached'
+                      WHEN EXISTS (SELECT 1 FROM stopn0 WHERE q = i.q)
+                        OR EXISTS (SELECT 1 FROM stopn1 WHERE q = i.q)
+                        OR EXISTS (SELECT 1 FROM stopn2 WHERE q = i.q)
+                      THEN 'no_more_concepts'
+                      ELSE 'max_depth_reached' END AS stop_reason,
+                 CASE WHEN a0.q IS NULL THEN 0
+                      WHEN EXISTS (SELECT 1 FROM alive3 WHERE q = i.q)
+                      THEN (SELECT count(*) FROM cur3 k WHERE k.q = i.q)
+                      WHEN EXISTS (SELECT 1 FROM alive2 WHERE q = i.q)
+                      THEN (SELECT count(*) FROM cur2 k WHERE k.q = i.q)
+                      WHEN EXISTS (SELECT 1 FROM alive1 WHERE q = i.q)
+                      THEN (SELECT count(*) FROM cur1 k WHERE k.q = i.q)
+                      ELSE (SELECT count(*) FROM cur0 k WHERE k.q = i.q)
+                      END AS total_concepts,
+                 CASE WHEN a0.q IS NULL THEN 0
+                      WHEN EXISTS (SELECT 1 FROM alive2 WHERE q = i.q)
+                      THEN (SELECT count(*) FROM fnd2 f WHERE f.q = i.q)
+                      WHEN EXISTS (SELECT 1 FROM alive1 WHERE q = i.q)
+                      THEN (SELECT count(*) FROM fnd1 f WHERE f.q = i.q)
+                      ELSE coalesce((SELECT count(*) FROM fnd0 f
+                                     WHERE f.q = i.q), 0)
+                      END AS total_chunks
+          FROM iq i LEFT JOIN alive0 a0 ON a0.q = i.q
+        )
+        SELECT q AS query, depth::INT AS depth,
+               concepts_explored::BIGINT AS concepts_explored,
+               new_chunks_found::BIGINT AS new_chunks_found,
+               '' AS stop_reason
+        FROM (SELECT * FROM dep0 UNION ALL SELECT * FROM dep1
+              UNION ALL SELECT * FROM dep2)
+        UNION ALL
+        SELECT q, -1::INT, total_concepts::BIGINT, total_chunks::BIGINT,
+               stop_reason
+        FROM fin
+    """
