@@ -236,7 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_match": q.concept_match,
         "weight_opt_history": q.weight_opt_history,
         "inferred_relations": q.inferred_relations,
-        "query_refine": q.query_refine,        # rows-only (pytest-gated)
+        "query_refine": q.query_refine,        # SQL-oracled (event-step replay)
         "ids_search_depths": q.ids_search_depths,  # SQL-oracled (unrolled-depth replay)
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
@@ -283,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "lightrag_relationships": _nlp_sql.lightrag_relationships_sql(),
         "fc_graph_search": _fc_sql.fc_graph_search_sql(),
         "ids_search_depths": _fc_sql.ids_search_depths_sql(),
+        "query_refine": _fc_sql.query_refine_sql(),
         "fc_entity_expand": _fc_sql.fc_entity_expand_sql(),
         "pipeline_validation": _fc_sql.pipeline_validation_sql(),
         "concept_nodes": _fc_sql.concept_nodes_sql(),

@@ -751,6 +751,77 @@ def inferred_relations_sql() -> str:
     """
 
 
+def _lazy_base_ctes() -> str:
+    """Shared lazy-search base CTEs (appended after _concept_cte): the 5
+    fixture queries, query-side concept extraction with the SAME rules as
+    the corpus extraction replay, concept frequencies, co-occurrence
+    pairs, round-4-Jaccard-ranked outgoing relations, and the normalized
+    concept->chunk index. Used by ids_search_depths_sql and
+    query_refine_sql."""
+    from .stages.concept_graph import STOPWORDS
+    from .stages.concept_select import CONCEPT_QUERIES
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    cap = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+"
+    noun = r"[A-Z][a-z]+(?:\s+[A-Z]?[a-z]+){1,4}"
+    qvals = ", ".join(f"('{_esc(q)}')" for q in CONCEPT_QUERIES)
+    return f"""iq(q) AS (VALUES {qvals}),
+        qphr AS (
+          SELECT q, unnest(regexp_extract_all(q, '\\b{cap}\\b')) AS c
+          FROM iq
+          UNION ALL
+          SELECT q, unnest(regexp_extract_all(q, '\\b{noun}\\b')) AS c
+          FROM iq),
+        qphrv AS (
+          SELECT q, c FROM qphr
+          WHERE length(c) >= 3
+            AND len(string_split(c, ' ')) <= 5
+            AND len(list_filter(string_split(c, ' '),
+                    w -> list_contains([{stops}], lower(w))))
+                <= len(string_split(c, ' ')) // 2),
+        qkwraw AS (
+          SELECT q,
+                 regexp_replace(regexp_replace(lower(w.w),
+                     '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS nw
+          FROM iq,
+          LATERAL unnest(list_filter(string_split_regex(q, '\\s+'),
+                                     x -> x <> '')) w(w)),
+        qkwtop AS (
+          SELECT q, nw AS c
+          FROM (SELECT *, row_number() OVER (PARTITION BY q
+                            ORDER BY f DESC, nw) AS rn
+                FROM (SELECT q, nw, count(*) AS f FROM qkwraw
+                      WHERE length(nw) >= 3 AND nw NOT IN ({stops})
+                      GROUP BY q, nw))
+          WHERE rn <= 20 AND f >= 2),
+        qcon AS (
+          SELECT DISTINCT q, c FROM (
+            SELECT q, c FROM qphrv UNION ALL SELECT q, c FROM qkwtop)),
+        conm AS MATERIALIZED (SELECT doc_id, c FROM con),
+        cfreq AS MATERIALIZED (
+          SELECT c, count(*)::BIGINT AS f FROM conm GROUP BY c),
+        cpr AS MATERIALIZED (
+          SELECT a.c AS source, b.c AS target, count(*) AS cnt
+          FROM conm a JOIN conm b ON a.doc_id = b.doc_id AND a.c < b.c
+          GROUP BY a.c, b.c),
+        cpairs AS MATERIALIZED (SELECT source AS a, target AS b FROM cpr),
+        erank AS MATERIALIZED (
+          SELECT p.source, p.target,
+                 row_number() OVER (
+                     PARTITION BY p.source
+                     ORDER BY round(p.cnt::DOUBLE
+                                    / (ta.f + tb.f - p.cnt), 4) DESC,
+                              p.target) AS rn
+          FROM cpr p
+          JOIN cfreq ta ON ta.c = p.source
+          JOIN cfreq tb ON tb.c = p.target),
+        cchunks AS MATERIALIZED (
+          SELECT DISTINCT
+                 regexp_replace(lower(c), '[^a-z0-9_]', '', 'g') AS cn,
+                 doc_id AS chunk
+          FROM conm),"""
+
+
 def ids_search_depths_sql() -> str:
     """Iterative-deepening search replay (iterative_deepening.rs:112-215
     as transcribed by stages/lazy_search.ids_search): per query, initial
@@ -849,61 +920,7 @@ def ids_search_depths_sql() -> str:
     return f"""
         WITH {_corpus_cte()},
         {_concept_cte()},
-        iq(q) AS (VALUES {qvals}),
-        qphr AS (
-          SELECT q, unnest(regexp_extract_all(q, '\\b{cap}\\b')) AS c
-          FROM iq
-          UNION ALL
-          SELECT q, unnest(regexp_extract_all(q, '\\b{noun}\\b')) AS c
-          FROM iq),
-        qphrv AS (
-          SELECT q, c FROM qphr
-          WHERE length(c) >= 3
-            AND len(string_split(c, ' ')) <= 5
-            AND len(list_filter(string_split(c, ' '),
-                    w -> list_contains([{stops}], lower(w))))
-                <= len(string_split(c, ' ')) // 2),
-        qkwraw AS (
-          SELECT q,
-                 regexp_replace(regexp_replace(lower(w.w),
-                     '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS nw
-          FROM iq,
-          LATERAL unnest(list_filter(string_split_regex(q, '\\s+'),
-                                     x -> x <> '')) w(w)),
-        qkwtop AS (
-          SELECT q, nw AS c
-          FROM (SELECT *, row_number() OVER (PARTITION BY q
-                            ORDER BY f DESC, nw) AS rn
-                FROM (SELECT q, nw, count(*) AS f FROM qkwraw
-                      WHERE length(nw) >= 3 AND nw NOT IN ({stops})
-                      GROUP BY q, nw))
-          WHERE rn <= 20 AND f >= 2),
-        qcon AS (
-          SELECT DISTINCT q, c FROM (
-            SELECT q, c FROM qphrv UNION ALL SELECT q, c FROM qkwtop)),
-        conm AS MATERIALIZED (SELECT doc_id, c FROM con),
-        cfreq AS MATERIALIZED (
-          SELECT c, count(*)::BIGINT AS f FROM conm GROUP BY c),
-        cpr AS MATERIALIZED (
-          SELECT a.c AS source, b.c AS target, count(*) AS cnt
-          FROM conm a JOIN conm b ON a.doc_id = b.doc_id AND a.c < b.c
-          GROUP BY a.c, b.c),
-        cpairs AS MATERIALIZED (SELECT source AS a, target AS b FROM cpr),
-        erank AS MATERIALIZED (
-          SELECT p.source, p.target,
-                 row_number() OVER (
-                     PARTITION BY p.source
-                     ORDER BY round(p.cnt::DOUBLE
-                                    / (ta.f + tb.f - p.cnt), 4) DESC,
-                              p.target) AS rn
-          FROM cpr p
-          JOIN cfreq ta ON ta.c = p.source
-          JOIN cfreq tb ON tb.c = p.target),
-        cchunks AS MATERIALIZED (
-          SELECT DISTINCT
-                 regexp_replace(lower(c), '[^a-z0-9_]', '', 'g') AS cn,
-                 doc_id AS chunk
-          FROM conm),
+        {_lazy_base_ctes()}
         alive0 AS MATERIALIZED (SELECT DISTINCT q FROM qcon),
         cur0 AS MATERIALIZED (SELECT q, c FROM qcon),
         {depth_blocks},
@@ -949,4 +966,160 @@ def ids_search_depths_sql() -> str:
         SELECT q, -1::INT, total_concepts::BIGINT, total_chunks::BIGINT,
                stop_reason
         FROM fin
+    """
+
+
+def query_refine_sql() -> str:
+    """Query-refinement replay (query_refinement.rs:104-301 as transcribed
+    by stages/lazy_search.refine_query): the expansion loop admits
+    concepts INTO the live set mid-iteration (the size cap and the
+    connection counts both see earlier admissions), so the replay is a
+    recursive CTE advancing ONE candidate event per step — event (iter,
+    ci, ri) evaluates snapshot concept ci's ri-th strongest outgoing
+    relation against the LIVE current list carried in the state. At each
+    iteration boundary: break when the iteration admitted nothing; else
+    (iterations 0,1) apply relevance feedback — every score multiplied by
+    1+ln(#relevant chunks containing the concept), relevant = chunks of
+    all expanded concepts so far — then re-snapshot sorted(current).
+    Terminal state per query = arg_max(step); initial rows print score
+    1.0, expanded rows the final fed-back relevance, both with
+    n_chunks = |chunks(expanded)|. Scores are float64 with the same
+    operation order as the Python (sum-free: products and ln only), so
+    round-4 comparison is exact."""
+    norm = "regexp_replace(lower({x}), '[^a-z0-9_]', '', 'g')"
+    cmap_lookup = ("coalesce(list_filter(gq.cmap, e -> e.k = "
+                   + norm.format(x="{c}") + ")[1].v, [])")
+    freq_of = ("list_sum(list_transform(s2.relevant, ch -> CASE WHEN "
+               "list_contains(coalesce(list_filter(gq.ccmap, "
+               "e2 -> e2.k = ch)[1].v, []), sc.c) THEN 1 ELSE 0 END))")
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_concept_cte()},
+        {_lazy_base_ctes()}
+        top5 AS MATERIALIZED (
+          SELECT source, list(target ORDER BY rn) AS ts
+          FROM erank WHERE rn <= 5 GROUP BY source),
+        prt AS MATERIALIZED (
+          SELECT c, list(p) AS ps FROM (
+            SELECT source AS c, target AS p FROM cpr
+            UNION ALL SELECT target, source FROM cpr)
+          GROUP BY c),
+        gq AS MATERIALIZED (
+          SELECT
+            (SELECT list({{'k': cn, 'v': chs}}) FROM (
+                SELECT cn, list(chunk ORDER BY chunk) AS chs
+                FROM cchunks GROUP BY cn)) AS cmap,
+            (SELECT list({{'k': chunk, 'v': cons}}) FROM (
+                SELECT doc_id AS chunk, list(DISTINCT c) AS cons
+                FROM conm GROUP BY doc_id)) AS ccmap),
+        qinit AS (SELECT q, list(c ORDER BY c) AS init
+                  FROM qcon GROUP BY q),
+        rwalk(q, step, iter, ci, ri, fin, cur, snap, scores, expanded,
+              nexp0) AS (
+            SELECT q, 0::BIGINT, 0::BIGINT, 1::BIGINT, 1::BIGINT, FALSE,
+                   init, init,
+                   list_transform(init, c -> {{'c': c, 'v': 1.0::DOUBLE}}),
+                   CAST([] AS VARCHAR[]), 0::BIGINT
+            FROM qinit
+            UNION ALL
+            SELECT s3.q, s3.step + 1,
+                   CASE WHEN s3.advance_iter THEN s3.iter + 1
+                        ELSE s3.iter END,
+                   CASE WHEN s3.advance_iter THEN 1
+                        WHEN s3.last_event THEN s3.ci
+                        WHEN s3.ri < 5 THEN s3.ci ELSE s3.ci + 1 END,
+                   CASE WHEN s3.advance_iter THEN 1
+                        WHEN s3.last_event THEN s3.ri
+                        WHEN s3.ri < 5 THEN s3.ri + 1 ELSE 1 END,
+                   s3.new_fin,
+                   s3.new_cur,
+                   CASE WHEN s3.advance_iter THEN list_sort(s3.new_cur)
+                        ELSE s3.snap END,
+                   CASE WHEN s3.do_feedback THEN s3.fb_scores
+                        ELSE s3.new_scores END,
+                   s3.new_exp,
+                   CASE WHEN s3.advance_iter THEN length(s3.new_exp)
+                        ELSE s3.nexp0 END
+            FROM (
+              SELECT s2.*,
+                     -- iteration boundary bookkeeping
+                     (s2.last_event AND s2.any_new AND s2.iter < 2)
+                         AS advance_iter,
+                     (s2.last_event AND (NOT s2.any_new OR s2.iter = 2))
+                         AS new_fin,
+                     (s2.last_event AND s2.any_new AND s2.iter < 2)
+                         AS do_feedback,
+                     list_transform(s2.new_scores, sc -> {{'c': sc.c,
+                         'v': sc.v * (CASE WHEN {freq_of} > 0
+                                      THEN 1.0 + ln(({freq_of})::DOUBLE)
+                                      ELSE 1.0 END)}}) AS fb_scores
+              FROM (
+                SELECT s1.*,
+                       CASE WHEN s1.admit THEN s1.cur || [s1.related]
+                            ELSE s1.cur END AS new_cur,
+                       CASE WHEN s1.admit THEN s1.scores
+                                || [{{'c': s1.related, 'v': s1.relevance}}]
+                            ELSE s1.scores END AS new_scores,
+                       CASE WHEN s1.admit
+                            THEN s1.expanded || [s1.related]
+                            ELSE s1.expanded END AS new_exp,
+                       (s1.ci = length(s1.snap) AND s1.ri = 5)
+                           AS last_event,
+                       length(CASE WHEN s1.admit
+                                   THEN s1.expanded || [s1.related]
+                                   ELSE s1.expanded END) > s1.nexp0
+                           AS any_new,
+                       list_distinct(flatten(list_transform(
+                           CASE WHEN s1.admit
+                                THEN s1.expanded || [s1.related]
+                                ELSE s1.expanded END,
+                           c -> {cmap_lookup.format(c='c')}))) AS relevant
+                FROM (
+                  SELECT w.q, w.step, w.iter, w.ci, w.ri, w.cur, w.snap,
+                         w.scores, w.expanded, w.nexp0,
+                         t.ts[w.ri] AS related,
+                         CASE WHEN f.f IS NULL THEN 0.0
+                              ELSE (ln(f.f) + 1.0) * (1.0
+                                   + length(list_filter(w.cur, x ->
+                                       list_contains(pt.ps, x))) * 0.5)
+                         END AS relevance,
+                         (t.ts[w.ri] IS NOT NULL
+                          AND NOT list_contains(w.cur, t.ts[w.ri])
+                          AND length(w.cur) < 20
+                          AND f.f IS NOT NULL
+                          AND CASE WHEN f.f IS NULL THEN 0.0
+                              ELSE (ln(f.f) + 1.0) * (1.0
+                                   + length(list_filter(w.cur, x ->
+                                       list_contains(pt.ps, x))) * 0.5)
+                              END > 0.0) AS admit
+                  FROM rwalk w
+                  LEFT JOIN top5 t ON t.source = w.snap[w.ci]
+                  LEFT JOIN cfreq f ON f.c = t.ts[w.ri]
+                  LEFT JOIN prt pt ON pt.c = t.ts[w.ri]
+                  WHERE NOT w.fin
+                ) s1
+                CROSS JOIN gq
+              ) s2
+              CROSS JOIN gq
+            ) s3
+        ),
+        rfin AS (
+          SELECT q, arg_max({{'scores': scores, 'expanded': expanded}},
+                            step) AS st
+          FROM rwalk GROUP BY q),
+        rcalc AS (
+          SELECT r.q, r.st.expanded AS expanded, r.st.scores AS scores,
+                 length(list_distinct(flatten(list_transform(
+                     r.st.expanded,
+                     c -> {cmap_lookup.format(c='c')}))))::BIGINT
+                     AS n_chunks
+          FROM rfin r CROSS JOIN gq)
+        SELECT qc.q AS query, 'initial' AS kind, qc.c AS concept,
+               1.0::DOUBLE AS score, rc.n_chunks
+        FROM qcon qc JOIN rcalc rc ON rc.q = qc.q
+        UNION ALL
+        SELECT rc.q, 'expanded', e.c,
+               round(list_filter(rc.scores, sc -> sc.c = e.c)[1].v, 4),
+               rc.n_chunks
+        FROM rcalc rc, LATERAL unnest(rc.expanded) e(c)
     """
