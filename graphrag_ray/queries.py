@@ -1433,6 +1433,25 @@ def kgx_leiden(sf_dir: str):
             .sort_values("entity_id").reset_index(drop=True))
 
 
+def kgx_rel_hierarchy(sf_dir: str):
+    """L4 hierarchical relationship clustering over a pinned 64-edge kgx
+    fixture (sorted (src,dst,rel_type) then limit — deterministic input
+    order, so the 'r{i}' relationship-node naming is SQL-replayable):
+    per-level cluster rows from the REAL relationship_hierarchy stage,
+    hard-oracled by a resolution-sweep pair of recursive-CTE Leiden
+    replays over the per-type-clique similarity graph
+    (syn_oracle_kg.kgx_rel_hierarchy_sql)."""
+    from .stages.community import relationship_hierarchy
+
+    res = _kgx(sf_dir)
+    edges64 = (res.edges.select_columns(["src", "dst", "rel_type"])
+               .sort(["src", "dst", "rel_type"]).limit(64))
+    _members, clusters = relationship_hierarchy(edges64)
+    df = clusters.to_pandas()
+    df["cohesion"] = _round4(df["cohesion"].to_numpy())
+    return df
+
+
 def kgx_louvain(sf_dir: str):
     """L3 Louvain-as-shipped over the kgx graph (driver-oracled)."""
     from .stages import graph_analytics as ga

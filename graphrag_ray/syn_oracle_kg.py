@@ -740,7 +740,9 @@ def syn_components_sql() -> str:
     """
 
 
-def _leiden_replay(nodes_rel: str, edges_rel: str) -> str:
+def _leiden_replay(nodes_rel: str, edges_rel: str,
+                   resolution: float = 1.0,
+                   sfx: str = '', as_cte: str = '') -> str:
     """L1 Leiden partition-equality replay (graph/leiden.rs:429-783 as
     transcribed by stages/community._leiden_partition): the greedy
     local-move loop EXACTLY — singleton init in sorted-node order, per node
@@ -754,20 +756,26 @@ def _leiden_replay(nodes_rel: str, edges_rel: str) -> str:
     canonicalized to the min member entity_id (partition equality per
     SURVEY §7.5). State is one recursive CTE carrying the community list;
     one recursion step = one node visit. ``nodes_rel`` must expose
-    canonical_id; ``edges_rel`` src/dst."""
+    canonical_id; ``edges_rel`` src/dst. ``resolution`` scales the
+    penalty term exactly as _leiden_partition's parameter; ``sfx``
+    suffixes every internal CTE name so multiple replays (resolution
+    sweeps) compose in one statement; ``as_cte`` wraps the final
+    (entity_id, community_rep) SELECT as a named CTE so callers can
+    post-process the partition."""
     # index shorthands for the node being processed at step k
-    i = "((w.k % lg.n) + 1)"
+    i = f"((w.k % lg{sfx}.n) + 1)"
     cur = f"w.comms[{i}]"
-    nbrs = f"lg.adjs[{i}]"
-    d = f"lg.degs[{i}]"
-    sigma = ("list_sum(list_transform(w.comms, (cm{t}, j{t}) -> "
-             "CASE WHEN cm{t} = {c} THEN lg.degs[j{t}] ELSE 0e0 END))")
+    nbrs = f"lg{sfx}.adjs[{i}]"
+    d = f"lg{sfx}.degs[{i}]"
+    sigma = (f"list_sum(list_transform(w.comms, (cm{{t}}, j{{t}}) -> "
+             f"CASE WHEN cm{{t}} = {{c}} THEN lg{sfx}.degs[j{{t}}] "
+             f"ELSE 0e0 END))")
     delta = (
         f"((length(list_filter({nbrs}, nb2 -> w.comms[nb2] = c))"
         f"  - length(list_filter({nbrs}, nb3 -> w.comms[nb3] = {cur})))"
-        f" / lg.m2"
-        f" - 1.0 * {d} * (({sigma.format(t='a', c='c')}"
-        f" - {sigma.format(t='b', c=cur)} + {d}) / (lg.m2 * lg.m2)))"
+        f" / lg{sfx}.m2"
+        f" - {resolution!r} * {d} * (({sigma.format(t='a', c='c')}"
+        f" - {sigma.format(t='b', c=cur)} + {d}) / (lg{sfx}.m2 * lg{sfx}.m2)))"
     )
     best = (
         "coalesce((list_sort(list_filter(list_transform("
@@ -776,34 +784,34 @@ def _leiden_replay(nodes_rel: str, edges_rel: str) -> str:
         f" (c, ci) -> {{'md': -({delta}), 'ord': ci, 'comm': c}}),"
         f" x -> x.md < 0)))[1].comm, {cur})"
     )
-    return f"""
-        lnodes AS MATERIALIZED (
+    sql = f"""
+        lnodes{sfx} AS MATERIALIZED (
             SELECT canonical_id,
                    row_number() OVER (ORDER BY canonical_id)::BIGINT AS idx
             FROM {nodes_rel}
         ),
-        ledges AS MATERIALIZED (
+        ledges{sfx} AS MATERIALIZED (
             SELECT a.idx AS ai, b.idx AS bi
             FROM {edges_rel} e
-            JOIN lnodes a ON a.canonical_id = e.src
-            JOIN lnodes b ON b.canonical_id = e.dst
+            JOIN lnodes{sfx} a ON a.canonical_id = e.src
+            JOIN lnodes{sfx} b ON b.canonical_id = e.dst
         ),
-        lincid AS (SELECT ai AS i, bi AS j FROM ledges
-                   UNION ALL SELECT bi, ai FROM ledges),
-        ladj AS (SELECT i, list(j) AS nbrs FROM lincid GROUP BY i),
-        lg AS MATERIALIZED (
-            SELECT (SELECT count(*) FROM lnodes)::BIGINT AS n,
-                   (SELECT 2.0 * count(*) FROM ledges)::DOUBLE AS m2,
+        lincid{sfx} AS (SELECT ai AS i, bi AS j FROM ledges{sfx}
+                   UNION ALL SELECT bi, ai FROM ledges{sfx}),
+        ladj{sfx} AS (SELECT i, list(j) AS nbrs FROM lincid{sfx} GROUP BY i),
+        lg{sfx} AS MATERIALIZED (
+            SELECT (SELECT count(*) FROM lnodes{sfx})::BIGINT AS n,
+                   (SELECT 2.0 * count(*) FROM ledges{sfx})::DOUBLE AS m2,
                    (SELECT list(coalesce(a.nbrs, []) ORDER BY ln.idx)
-                    FROM lnodes ln LEFT JOIN ladj a ON a.i = ln.idx) AS adjs,
+                    FROM lnodes{sfx} ln LEFT JOIN ladj{sfx} a ON a.i = ln.idx) AS adjs,
                    (SELECT list(coalesce(length(a.nbrs), 0)::DOUBLE
                                 ORDER BY ln.idx)
-                    FROM lnodes ln LEFT JOIN ladj a ON a.i = ln.idx) AS degs,
-                   (SELECT list(ln.idx ORDER BY ln.idx) FROM lnodes ln)
+                    FROM lnodes{sfx} ln LEFT JOIN ladj{sfx} a ON a.i = ln.idx) AS degs,
+                   (SELECT list(ln.idx ORDER BY ln.idx) FROM lnodes{sfx} ln)
                        AS init
         ),
-        lwalk(k, comms, changed) AS (
-            SELECT 0::BIGINT, lg.init, FALSE FROM lg
+        lwalk{sfx}(k, comms, changed) AS (
+            SELECT 0::BIGINT, lg{sfx}.init, FALSE FROM lg{sfx}
             UNION ALL
             SELECT s.k + 1,
                    CASE WHEN s.best_c <> s.cur_c
@@ -813,31 +821,36 @@ def _leiden_replay(nodes_rel: str, edges_rel: str) -> str:
                    CASE WHEN (s.k % s.nn) = 0 THEN s.best_c <> s.cur_c
                         ELSE s.changed OR (s.best_c <> s.cur_c) END
             FROM (
-                SELECT w.k, w.comms, w.changed, lg.n AS nn,
+                SELECT w.k, w.comms, w.changed, lg{sfx}.n AS nn,
                        {i}::BIGINT AS ii, {cur} AS cur_c, {best} AS best_c
-                FROM lwalk w, lg
-                WHERE w.k < 100 * lg.n
-                  AND NOT (w.k > 0 AND (w.k % lg.n) = 0 AND NOT w.changed)
+                FROM lwalk{sfx} w, lg{sfx}
+                WHERE w.k < 100 * lg{sfx}.n
+                  AND NOT (w.k > 0 AND (w.k % lg{sfx}.n) = 0 AND NOT w.changed)
             ) s
         ),
-        lfin AS (SELECT comms FROM lwalk ORDER BY k DESC LIMIT 1),
-        lasg AS (SELECT ln.idx, ln.canonical_id, f.comms[ln.idx] AS comm
-                 FROM lnodes ln CROSS JOIN lfin f),
-        lsame AS (SELECT e.ai, e.bi FROM ledges e
-                  JOIN lasg x ON x.idx = e.ai
-                  JOIN lasg y ON y.idx = e.bi AND y.comm = x.comm),
-        lund AS (SELECT ai AS a, bi AS b FROM lsame
-                 UNION SELECT bi, ai FROM lsame),
-        lreach(a, b) AS (
-            SELECT idx, idx FROM lasg
+        lfin{sfx} AS (SELECT comms FROM lwalk{sfx} ORDER BY k DESC LIMIT 1),
+        lasg{sfx} AS (SELECT ln.idx, ln.canonical_id, f.comms[ln.idx] AS comm
+                 FROM lnodes{sfx} ln CROSS JOIN lfin{sfx} f),
+        lsame{sfx} AS (SELECT e.ai, e.bi FROM ledges{sfx} e
+                  JOIN lasg{sfx} x ON x.idx = e.ai
+                  JOIN lasg{sfx} y ON y.idx = e.bi AND y.comm = x.comm),
+        lund{sfx} AS (SELECT ai AS a, bi AS b FROM lsame{sfx}
+                 UNION SELECT bi, ai FROM lsame{sfx}),
+        lreach{sfx}(a, b) AS (
+            SELECT idx, idx FROM lasg{sfx}
             UNION
-            SELECT r.a, u.b FROM lreach r JOIN lund u ON u.a = r.b),
-        lcomp AS (SELECT a AS idx, min(b) AS rootidx FROM lreach GROUP BY a)
+            SELECT r.a, u.b FROM lreach{sfx} r JOIN lund{sfx} u ON u.a = r.b),
+        lcomp{sfx} AS (SELECT a AS idx, min(b) AS rootidx FROM lreach{sfx} GROUP BY a)
         SELECT n.canonical_id AS entity_id, r.canonical_id AS community_rep
-        FROM lcomp c
-        JOIN lnodes n ON n.idx = c.idx
-        JOIN lnodes r ON r.idx = c.rootidx
+        FROM lcomp{sfx} c
+        JOIN lnodes{sfx} n ON n.idx = c.idx
+        JOIN lnodes{sfx} r ON r.idx = c.rootidx
     """
+    if as_cte:
+        head, tail = sql.rsplit("SELECT n.canonical_id", 1)
+        sql = (head.rstrip().rstrip(",") + ",\n        " + as_cte
+               + " AS (\n        SELECT n.canonical_id" + tail + "\n        )")
+    return sql
 
 
 def syn_leiden_sql() -> str:
@@ -1195,4 +1208,79 @@ def syn_anchors_sql() -> str:
           FROM agg WHERE n_entities >= 1)   -- with_min_relevance(0.1)
         SELECT query, concept, n_entities, entities, relevance
         FROM ranked WHERE arank <= 5
+    """
+
+
+def kgx_rel_hierarchy_sql(resolutions=(1.0, 0.5), min_cluster_size=2,
+                          limit=64) -> str:
+    """L4 hierarchical relationship clustering replay
+    (hierarchical_relationships.rs:183-340 as transcribed by
+    stages/community._relationship_hierarchy_task) over a pinned
+    64-relationship kgx fixture (sorted (src,dst,rel_type)). The
+    similarity graph is the union of per-type cliques on relationship
+    indices; node ids 'r{i}' reproduce the task's lexicographic node
+    ordering. One recursive-CTE Leiden replay per resolution level, then
+    per level: communities ordered by min member INDEX (cluster numbers
+    advance over dropped singletons), size >= min_cluster_size kept,
+    fallback summary text, cohesion = 0.2 + internal-density * 0.6
+    (round 6 then the surface's round 4)."""
+    from .kgx import _corpus_cte
+
+    blocks = []
+    outs = []
+    for lvl, r in enumerate(resolutions):
+        sfx = f"_h{lvl}"
+        blocks.append(_leiden_replay("simnodes", "simedges", r, sfx,
+                                     as_cte=f"part{lvl}"))
+        outs.append(f"""
+        grp{lvl} AS (
+            SELECT community_rep AS rep, entity_id,
+                   CAST(substr(entity_id, 2) AS BIGINT) AS midx
+            FROM part{lvl}),
+        agg{lvl} AS (SELECT rep, count(*)::BIGINT AS size,
+                            min(midx) AS minidx
+                     FROM grp{lvl} GROUP BY rep),
+        rnk{lvl} AS (SELECT rep, size,
+                            (row_number() OVER (ORDER BY minidx) - 1)
+                                AS cnum
+                     FROM agg{lvl}),
+        itn{lvl} AS (SELECT g1.rep, count(*)::BIGINT AS internal
+                     FROM simedges e
+                     JOIN grp{lvl} g1 ON g1.entity_id = e.src
+                     JOIN grp{lvl} g2 ON g2.entity_id = e.dst
+                                     AND g2.rep = g1.rep
+                     GROUP BY g1.rep),
+        out{lvl} AS (
+            SELECT {lvl}::BIGINT AS level,
+                   'L{lvl}C' || r.cnum AS cluster_id,
+                   r.size,
+                   'Cluster L{lvl}C' || r.cnum || ' with ' || r.size
+                       || ' relationships' AS summary,
+                   round(round(CASE WHEN r.size = 1 THEN 1.0
+                         ELSE 0.2 + (coalesce(it.internal, 0)::DOUBLE
+                                     / (r.size * (r.size - 1) / 2.0)) * 0.6
+                         END, 6), 4) AS cohesion
+            FROM rnk{lvl} r LEFT JOIN itn{lvl} it ON it.rep = r.rep
+            WHERE r.size >= {min_cluster_size})""")
+
+    union = " UNION ALL ".join(f"SELECT * FROM out{lvl}"
+                               for lvl in range(len(resolutions)))
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        eord AS MATERIALIZED (
+            SELECT src, dst, rel_type,
+                   row_number() OVER (ORDER BY src, dst, rel_type) - 1 AS i
+            FROM (SELECT src, dst, rel_type FROM kgx_edge_agg
+                  ORDER BY src, dst, rel_type LIMIT {limit})
+        ),
+        simnodes AS MATERIALIZED (SELECT 'r' || i AS canonical_id
+                                  FROM eord),
+        simedges AS MATERIALIZED (
+            SELECT 'r' || a.i AS src, 'r' || b.i AS dst
+            FROM eord a JOIN eord b ON a.rel_type = b.rel_type
+                                   AND a.i < b.i
+        ),
+        {",".join(blocks)},
+        {",".join(outs)}
+        {union}
     """
