@@ -795,6 +795,7 @@ def _leiden_replay(nodes_rel: str, edges_rel: str,
             FROM {edges_rel} e
             JOIN lnodes{sfx} a ON a.canonical_id = e.src
             JOIN lnodes{sfx} b ON b.canonical_id = e.dst
+            WHERE a.idx <> b.idx
         ),
         lincid{sfx} AS (SELECT ai AS i, bi AS j FROM ledges{sfx}
                    UNION ALL SELECT bi, ai FROM ledges{sfx}),
