@@ -44,9 +44,6 @@ def _leiden_partition(
     communities = {n: i for i, n in enumerate(order)}  # leiden.rs:524-535
     degree = {n: float(len(adj[n])) for n in order}
 
-    def edges_to_community(node: str, comm: int) -> int:
-        return sum(1 for nb in adj[node] if communities[nb] == comm)
-
     # maintained incrementally for O(1) sigma lookups
     sigma_tot: dict[int, float] = {}
     for n in order:
@@ -58,13 +55,20 @@ def _leiden_partition(
         improved = False
         for node in order:
             current = communities[node]
-            neighbor_comms = sorted({communities[nb] for nb in adj[node]})
+            # one pass over the adjacency: per-community neighbor-edge
+            # counts (integer-identical to the per-candidate rescans the
+            # reference does; ~deg× less work on dense graphs)
+            k_in: dict[int, int] = {}
+            for nb in adj[node]:
+                cn = communities[nb]
+                k_in[cn] = k_in.get(cn, 0) + 1
+            neighbor_comms = sorted(k_in)
             best, best_delta = current, 0.0
-            k_in_from = edges_to_community(node, current)
+            k_in_from = k_in.get(current, 0)
             for cand in neighbor_comms:
                 if cand == current:
                     continue
-                k_in_to = edges_to_community(node, cand)
+                k_in_to = k_in[cand]
                 d = degree[node]
                 # Newman delta (leiden.rs:711-736)
                 delta = (k_in_to - k_in_from) / total_edges - resolution * d * (
