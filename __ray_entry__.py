@@ -141,7 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_anchors": q.syn_anchors,            # SQL-oracled (symbolic anchoring)
         "kgx_metadata_search": q.kgx_metadata_search,  # SQL-oracled (enriched metadata retrieval)
         "syn_contextual_chunks": q.syn_contextual_chunks,  # SQL-oracled (contextual retrieval enrichment)
-        "kg_boundary_chunks": q.kg_boundary_chunks,  # boundary-aware chunking (rows-only)
+        "kg_boundary_chunks": q.kg_boundary_chunks,  # SQL-oracled (greedy packing replay)
         "kgx_rdf_import": q.kgx_rdf_import,
         "kgx_chunks": q.kgx_chunks,
         "kgx_mentions": q.kgx_mentions,
@@ -168,7 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_atomic_facts": q.kgx_atomic_facts,
         "kgx_validated_facts": q.kgx_validated_facts,
         "kgx_gleaning": q.kgx_gleaning,
-        # --- KG construction (rows-only; parity gated by tests/)
+        # --- KG construction over the REAL corpus (kg_chunks /
+        #     kg_chunk_embeddings / kg_boundary_chunks /
+        #     kg_semantic_chunk_coverage are SQL-oracled via the md5
+        #     synth respec; the rest are rows-only here and hard-oracled
+        #     through the kgx_*/syn_* twins of the same stage code)
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
         "kg_triples": q.kg_triples,
