@@ -992,6 +992,27 @@ def syn_leiden(sf_dir: str):
             .sort_values("entity_id").reset_index(drop=True))
 
 
+def syn_leiden_l1(sf_dir: str):
+    """Hierarchical Leiden LEVEL 1 over the syn graph, canonicalized for
+    partition equality — the level-1 rows of the REAL detect_communities
+    stage (contract level-0 communities into supernodes, re-run the local
+    move), hard-oracled by syn_oracle_kg.syn_leiden_l1_sql's exact
+    level-0 label replay + contraction + second recursive-CTE replay."""
+    import pandas as pd
+
+    res = _syn(sf_dir)
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == 1]
+    if df.empty:
+        return pd.DataFrame({"entity_id": pd.Series(dtype="str"),
+                             "community_rep": pd.Series(dtype="str")})
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
+
+
 def syn_louvain(sf_dir: str):
     """L3 Louvain-as-shipped over the syn graph (driver-oracled)."""
     from .stages import graph_analytics as ga

@@ -1285,3 +1285,83 @@ def kgx_rel_hierarchy_sql(resolutions=(1.0, 0.5), min_cluster_size=2,
         {",".join(outs)}
         {union}
     """
+
+
+def _leiden_label_cte(sfx: str, out_name: str) -> str:
+    """Python-exact LABEL replay appended after _leiden_replay's CTEs
+    (graph/leiden.rs refinement as transcribed by _leiden_partition):
+    local-move labels are the 1-based idx labels minus 1 (the dynamics
+    are label-shift invariant: comparisons and sorted candidate order
+    survive the +1, asserted by the partition-equality oracles); the
+    refinement then walks communities in sorted-label order and gives the
+    components of each SPLIT community (ordered by min member) ids
+    max_so_far + j + 1 — a running max that equals
+    max0 + (cumulative component count of earlier splits), replayed with
+    window functions. Emits ``{out_name}(canonical_id, label)``."""
+    return f"""
+        comp0{sfx} AS (
+            SELECT a.idx, a.canonical_id, a.comm - 1 AS pylabel, c.rootidx
+            FROM lasg{sfx} a JOIN lcomp{sfx} c ON c.idx = a.idx),
+        ncomp{sfx} AS (
+            SELECT pylabel, count(DISTINCT rootidx) AS k
+            FROM comp0{sfx} GROUP BY pylabel),
+        maxl{sfx} AS (SELECT max(pylabel) AS m0 FROM comp0{sfx}),
+        splits{sfx} AS (
+            SELECT pylabel, k,
+                   coalesce(sum(k) OVER (ORDER BY pylabel
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prior
+            FROM ncomp{sfx} WHERE k > 1),
+        compidx{sfx} AS (
+            SELECT d.pylabel, d.rootidx,
+                   row_number() OVER (PARTITION BY d.pylabel
+                                      ORDER BY d.rootidx) - 1 AS j
+            FROM (SELECT DISTINCT pylabel, rootidx FROM comp0{sfx}) d
+            JOIN splits{sfx} s ON s.pylabel = d.pylabel),
+        {out_name} AS (
+            SELECT c0.canonical_id,
+                   CASE WHEN s.pylabel IS NULL THEN c0.pylabel
+                        ELSE m.m0 + s.prior + ci.j + 1 END AS label
+            FROM comp0{sfx} c0
+            LEFT JOIN splits{sfx} s ON s.pylabel = c0.pylabel
+            LEFT JOIN compidx{sfx} ci ON ci.pylabel = c0.pylabel
+                                     AND ci.rootidx = c0.rootidx
+            CROSS JOIN maxl{sfx} m)
+    """
+
+
+def syn_leiden_l1_sql() -> str:
+    """Hierarchical Leiden LEVEL 1 over the syn graph: level-0 labels
+    replayed exactly (_leiden_label_cte), communities contracted into
+    'c{label}' supernodes with inter-community edge multiplicity
+    (stages/community._contract), a second recursive-CTE local-move +
+    refinement over the contracted graph (its lexicographic 'c{n}' node
+    ordering matches the task's sorted() over those names), and the
+    resulting per-entity level-1 partition canonicalized to min member
+    entity_id. Emits rows only when the level-0 partition strictly
+    coarsens (1 < n_comms < n_nodes) — the same gate detect_communities
+    applies before running a next level."""
+    return f"""
+        {_full_cte()},
+        {_leiden_replay('canonf', 'edge_agg', sfx='_l0', as_cte='p0')},
+        {_leiden_label_cte('_l0', 'lab0')},
+        l1gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
+        l1nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
+        l1edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM edge_agg e
+            JOIN lab0 la ON la.canonical_id = e.src
+            JOIN lab0 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='p1')},
+        ent1 AS (
+            SELECT l.canonical_id AS entity_id, p1.community_rep AS srep
+            FROM lab0 l JOIN p1 ON p1.entity_id = 'c' || l.label)
+        SELECT entity_id,
+               min(entity_id) OVER (PARTITION BY srep) AS community_rep
+        FROM ent1
+        WHERE (SELECT nc FROM l1gate) > 1
+          AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+    """
