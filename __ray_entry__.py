@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_common_entities": q.kgx_common_entities,
         "kgx_components": q.kgx_components,
         "kgx_leiden": q.kgx_leiden,
+        "kgx_leiden_l1": q.kgx_leiden_l1,
         "kgx_rel_hierarchy": q.kgx_rel_hierarchy,
         "kgx_louvain": q.kgx_louvain,
         "kgx_graph_metrics": q.kgx_graph_metrics,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),
         "kgx_leiden": _synkg_sql.kgx_leiden_sql(),
+        "kgx_leiden_l1": _synkg_sql.kgx_leiden_l1_sql(),
         "kgx_rel_hierarchy": _synkg_sql.kgx_rel_hierarchy_sql(),
         "syn_louvain": _synkg_sql.syn_louvain_sql(),
         "syn_graph_metrics": _synkg_sql.syn_graph_metrics_sql(),

@@ -1473,6 +1473,25 @@ def kgx_rel_hierarchy(sf_dir: str):
     return df
 
 
+def kgx_leiden_l1(sf_dir: str):
+    """Hierarchical Leiden LEVEL 1 over the kgx graph, canonicalized for
+    partition equality (twin of syn_leiden_l1; oracle
+    syn_oracle_kg.kgx_leiden_l1_sql)."""
+    import pandas as pd
+
+    res = _kgx(sf_dir)
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == 1]
+    if df.empty:
+        return pd.DataFrame({"entity_id": pd.Series(dtype="str"),
+                             "community_rep": pd.Series(dtype="str")})
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
+
+
 def kgx_louvain(sf_dir: str):
     """L3 Louvain-as-shipped over the kgx graph (driver-oracled)."""
     from .stages import graph_analytics as ga

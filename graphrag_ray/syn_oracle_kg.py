@@ -1365,3 +1365,34 @@ def syn_leiden_l1_sql() -> str:
         WHERE (SELECT nc FROM l1gate) > 1
           AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
     """
+
+
+def kgx_leiden_l1_sql() -> str:
+    """Hierarchical Leiden LEVEL 1 over the kgx corpus graph — same
+    replay as syn_leiden_l1_sql composed with kgx's canon/kgx_edge_agg."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_leiden_replay('canon', 'kgx_edge_agg', sfx='_l0', as_cte='p0')},
+        {_leiden_label_cte('_l0', 'lab0')},
+        l1gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
+        l1nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
+        l1edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM kgx_edge_agg e
+            JOIN lab0 la ON la.canonical_id = e.src
+            JOIN lab0 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='p1')},
+        ent1 AS (
+            SELECT l.canonical_id AS entity_id, p1.community_rep AS srep
+            FROM lab0 l JOIN p1 ON p1.entity_id = 'c' || l.label)
+        SELECT entity_id,
+               min(entity_id) OVER (PARTITION BY srep) AS community_rep
+        FROM ent1
+        WHERE (SELECT nc FROM l1gate) > 1
+          AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+    """
