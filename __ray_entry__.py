@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_components": q.syn_components,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
+        "syn_leiden_l2": q.syn_leiden_l2,
         "syn_louvain": q.syn_louvain,
         "syn_graph_metrics": q.syn_graph_metrics,
         "syn_pagerank": q.syn_pagerank,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "syn_components": _synkg_sql.syn_components_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),
+        "syn_leiden_l2": _synkg_sql.syn_leiden_l2_sql(),
         "kgx_leiden": _synkg_sql.kgx_leiden_sql(),
         "kgx_leiden_l1": _synkg_sql.kgx_leiden_l1_sql(),
         "kgx_rel_hierarchy": _synkg_sql.kgx_rel_hierarchy_sql(),

@@ -1013,6 +1013,25 @@ def syn_leiden_l1(sf_dir: str):
             .sort_values("entity_id").reset_index(drop=True))
 
 
+def syn_leiden_l2(sf_dir: str):
+    """Hierarchical Leiden LEVEL 2 over the syn graph, canonicalized for
+    partition equality — the last rung of detect_communities'
+    max_levels=3 (oracle syn_oracle_kg.syn_leiden_l2_sql)."""
+    import pandas as pd
+
+    res = _syn(sf_dir)
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == 2]
+    if df.empty:
+        return pd.DataFrame({"entity_id": pd.Series(dtype="str"),
+                             "community_rep": pd.Series(dtype="str")})
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
+
+
 def syn_louvain(sf_dir: str):
     """L3 Louvain-as-shipped over the syn graph (driver-oracled)."""
     from .stages import graph_analytics as ga

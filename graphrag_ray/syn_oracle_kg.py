@@ -829,8 +829,8 @@ def _leiden_replay(nodes_rel: str, edges_rel: str,
                   AND NOT (w.k > 0 AND (w.k % lg{sfx}.n) = 0 AND NOT w.changed)
             ) s
         ),
-        lfin{sfx} AS (SELECT comms FROM lwalk{sfx} ORDER BY k DESC LIMIT 1),
-        lasg{sfx} AS (SELECT ln.idx, ln.canonical_id, f.comms[ln.idx] AS comm
+        lfin{sfx} AS MATERIALIZED (SELECT comms FROM lwalk{sfx} ORDER BY k DESC LIMIT 1),
+        lasg{sfx} AS MATERIALIZED (SELECT ln.idx, ln.canonical_id, f.comms[ln.idx] AS comm
                  FROM lnodes{sfx} ln CROSS JOIN lfin{sfx} f),
         lsame{sfx} AS (SELECT e.ai, e.bi FROM ledges{sfx} e
                   JOIN lasg{sfx} x ON x.idx = e.ai
@@ -841,7 +841,7 @@ def _leiden_replay(nodes_rel: str, edges_rel: str,
             SELECT idx, idx FROM lasg{sfx}
             UNION
             SELECT r.a, u.b FROM lreach{sfx} r JOIN lund{sfx} u ON u.a = r.b),
-        lcomp{sfx} AS (SELECT a AS idx, min(b) AS rootidx FROM lreach{sfx} GROUP BY a)
+        lcomp{sfx} AS MATERIALIZED (SELECT a AS idx, min(b) AS rootidx FROM lreach{sfx} GROUP BY a)
         SELECT n.canonical_id AS entity_id, r.canonical_id AS community_rep
         FROM lcomp{sfx} c
         JOIN lnodes{sfx} n ON n.idx = c.idx
@@ -850,7 +850,8 @@ def _leiden_replay(nodes_rel: str, edges_rel: str,
     if as_cte:
         head, tail = sql.rsplit("SELECT n.canonical_id", 1)
         sql = (head.rstrip().rstrip(",") + ",\n        " + as_cte
-               + " AS (\n        SELECT n.canonical_id" + tail + "\n        )")
+               + " AS MATERIALIZED (\n        SELECT n.canonical_id" + tail
+               + "\n        )")
     return sql
 
 
@@ -1299,26 +1300,26 @@ def _leiden_label_cte(sfx: str, out_name: str) -> str:
     max0 + (cumulative component count of earlier splits), replayed with
     window functions. Emits ``{out_name}(canonical_id, label)``."""
     return f"""
-        comp0{sfx} AS (
+        comp0{sfx} AS MATERIALIZED (
             SELECT a.idx, a.canonical_id, a.comm - 1 AS pylabel, c.rootidx
             FROM lasg{sfx} a JOIN lcomp{sfx} c ON c.idx = a.idx),
-        ncomp{sfx} AS (
+        ncomp{sfx} AS MATERIALIZED (
             SELECT pylabel, count(DISTINCT rootidx) AS k
             FROM comp0{sfx} GROUP BY pylabel),
         maxl{sfx} AS (SELECT max(pylabel) AS m0 FROM comp0{sfx}),
-        splits{sfx} AS (
+        splits{sfx} AS MATERIALIZED (
             SELECT pylabel, k,
                    coalesce(sum(k) OVER (ORDER BY pylabel
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS prior
             FROM ncomp{sfx} WHERE k > 1),
-        compidx{sfx} AS (
+        compidx{sfx} AS MATERIALIZED (
             SELECT d.pylabel, d.rootidx,
                    row_number() OVER (PARTITION BY d.pylabel
                                       ORDER BY d.rootidx) - 1 AS j
             FROM (SELECT DISTINCT pylabel, rootidx FROM comp0{sfx}) d
             JOIN splits{sfx} s ON s.pylabel = d.pylabel),
-        {out_name} AS (
+        {out_name} AS MATERIALIZED (
             SELECT c0.canonical_id,
                    CASE WHEN s.pylabel IS NULL THEN c0.pylabel
                         ELSE m.m0 + s.prior + ci.j + 1 END AS label
@@ -1343,7 +1344,7 @@ def syn_leiden_l1_sql() -> str:
     applies before running a next level."""
     return f"""
         {_full_cte()},
-        {_leiden_replay('canonf', 'edge_agg', sfx='_l0', as_cte='p0')},
+        {_leiden_replay('canonf', 'edge_agg', sfx='_l0', as_cte='lp0')},
         {_leiden_label_cte('_l0', 'lab0')},
         l1gate AS (
             SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
@@ -1355,10 +1356,10 @@ def syn_leiden_l1_sql() -> str:
             JOIN lab0 la ON la.canonical_id = e.src
             JOIN lab0 lb ON lb.canonical_id = e.dst
             WHERE la.label <> lb.label),
-        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='p1')},
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='lp1')},
         ent1 AS (
-            SELECT l.canonical_id AS entity_id, p1.community_rep AS srep
-            FROM lab0 l JOIN p1 ON p1.entity_id = 'c' || l.label)
+            SELECT l.canonical_id AS entity_id, lp1.community_rep AS srep
+            FROM lab0 l JOIN lp1 ON lp1.entity_id = 'c' || l.label)
         SELECT entity_id,
                min(entity_id) OVER (PARTITION BY srep) AS community_rep
         FROM ent1
@@ -1374,7 +1375,7 @@ def kgx_leiden_l1_sql() -> str:
 
     return f"""
         WITH RECURSIVE {_corpus_cte()},
-        {_leiden_replay('canon', 'kgx_edge_agg', sfx='_l0', as_cte='p0')},
+        {_leiden_replay('canon', 'kgx_edge_agg', sfx='_l0', as_cte='lp0')},
         {_leiden_label_cte('_l0', 'lab0')},
         l1gate AS (
             SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
@@ -1386,13 +1387,65 @@ def kgx_leiden_l1_sql() -> str:
             JOIN lab0 la ON la.canonical_id = e.src
             JOIN lab0 lb ON lb.canonical_id = e.dst
             WHERE la.label <> lb.label),
-        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='p1')},
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='lp1')},
         ent1 AS (
-            SELECT l.canonical_id AS entity_id, p1.community_rep AS srep
-            FROM lab0 l JOIN p1 ON p1.entity_id = 'c' || l.label)
+            SELECT l.canonical_id AS entity_id, lp1.community_rep AS srep
+            FROM lab0 l JOIN lp1 ON lp1.entity_id = 'c' || l.label)
         SELECT entity_id,
                min(entity_id) OVER (PARTITION BY srep) AS community_rep
         FROM ent1
         WHERE (SELECT nc FROM l1gate) > 1
           AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+    """
+
+
+def syn_leiden_l2_sql() -> str:
+    """Hierarchical Leiden LEVEL 2 over the syn graph — the last rung of
+    detect_communities' max_levels=3: exact level-0 and level-1 label
+    replays, two contractions, three suffixed recursive-CTE local-move
+    replays. Emits rows only when BOTH the level-0 and level-1 partitions
+    strictly coarsen (the stage's continuation gate, applied per level).
+    On the fixture corpora level 1 collapses to a single community, so
+    both sides must agree on an EMPTY result — the oracle pins the
+    hierarchy's termination: a stage bug that produced a third level (or
+    an oracle bug that faked one) fails the row-count compare."""
+    return f"""
+        {_full_cte()},
+        {_leiden_replay('canonf', 'edge_agg', sfx='_l0', as_cte='lp0')},
+        {_leiden_label_cte('_l0', 'lab0')},
+        l1gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
+        l1nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
+        l1edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM edge_agg e
+            JOIN lab0 la ON la.canonical_id = e.src
+            JOIN lab0 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='lp1')},
+        {_leiden_label_cte('_l1', 'lab1')},
+        l2gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab1),
+        l2nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab1),
+        l2edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM l1edges e
+            JOIN lab1 la ON la.canonical_id = e.src
+            JOIN lab1 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l2nodes', 'l2edges', sfx='_l2', as_cte='lp2')},
+        ent2 AS (
+            SELECT l0.canonical_id AS entity_id, lp2.community_rep AS srep
+            FROM lab0 l0
+            JOIN lab1 l1 ON l1.canonical_id = 'c' || l0.label
+            JOIN lp2 ON lp2.entity_id = 'c' || l1.label)
+        SELECT entity_id,
+               min(entity_id) OVER (PARTITION BY srep) AS community_rep
+        FROM ent2
+        WHERE (SELECT nc FROM l1gate) > 1
+          AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+          AND (SELECT nc FROM l2gate) > 1
+          AND (SELECT nc FROM l2gate) < (SELECT nn FROM l2gate)
     """
