@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inferred_relations": q.inferred_relations,
         "query_refine": q.query_refine,        # SQL-oracled (event-step replay)
         "ids_search_depths": q.ids_search_depths,  # SQL-oracled (unrolled-depth replay)
+        # --- training-data curation (stages/curation.py — SQL-oracled)
+        "pii_detect": q.pii_detect,
+        "pii_redacted": q.pii_redacted,
+        "doc_split": q.doc_split,
+        "doc_repetition": q.doc_repetition,
+        "doc_decontam": q.doc_decontam,
+        "source_stats": q.source_stats,
+        "lang_sample": q.lang_sample,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -264,8 +272,19 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import fc_oracle as _fc_sql
     from graphrag_ray import syn_oracle_kg as _synkg_sql
     from graphrag_ray import synth_oracle as _syn_sql
+    from graphrag_ray import curation_oracle as _cur_sql
 
     return {
+        # training-data curation (curation_oracle.py replays the
+        # md5-derived PII injection, RE2 regexes, hash split, n-gram
+        # repetition/decontamination and sampling arithmetic exactly)
+        "pii_detect": _cur_sql.pii_detect_sql(),
+        "pii_redacted": _cur_sql.pii_redacted_sql(),
+        "doc_split": _cur_sql.doc_split_sql(),
+        "doc_repetition": _cur_sql.doc_repetition_sql(),
+        "doc_decontam": _cur_sql.doc_decontam_sql(),
+        "source_stats": _cur_sql.source_stats_sql(),
+        "lang_sample": _cur_sql.lang_sample_sql(),
         # rograg query-side subsystem (rograg_oracle.py rule replay)
         "rograg_intent": _rograg_sql.rograg_intent_sql(),
         "rograg_decompose": _rograg_sql.rograg_decompose_sql(),

@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL for the training-data curation surfaces.
+
+Each function returns ANSI-ish DuckDB SQL replaying the corresponding
+``stages/curation.py`` operator exactly — same md5-derived PII injection
+spec, same RE2 regexes (DuckDB and pyarrow both use RE2), same split /
+shingle / sampling arithmetic. Integer and string output columns only,
+so the driver's sorted value-hash compare is exact.
+"""
+
+from __future__ import annotations
+
+from .stages.curation import (
+    BENCH_MOD,
+    DECONTAM_NGRAM,
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    SAMPLE_PER_LANG,
+    SPLIT_TRAIN_PCT,
+    SPLIT_VALID_PCT,
+)
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+# the PII-injected twin of each document (mirror of curation._pii_parts +
+# curation.inject_pii — ' '.join of the present parts)
+_PII_CTE = """
+    hx AS (SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents),
+    px AS (SELECT doc_id, text,
+                  ('0x' || substr(h, 1, 2))::INT AS a,
+                  ('0x' || substr(h, 3, 2))::INT AS b,
+                  ('0x' || substr(h, 5, 2))::INT AS c,
+                  ('0x' || substr(h, 7, 2))::INT AS d
+           FROM hx),
+    pii AS (SELECT doc_id,
+                   text
+                   || CASE WHEN a % 3 <> 0
+                           THEN ' contact user' || a || '@mail' || (b % 10)
+                                || '.example.com'
+                           ELSE '' END
+                   || CASE WHEN b % 3 <> 0
+                           THEN ' tel 555-' || lpad((a % 1000)::VARCHAR, 3, '0')
+                                || '-' || lpad(((b * 256 + c) % 10000)::VARCHAR, 4, '0')
+                           ELSE '' END
+                   || CASE WHEN c % 3 <> 0
+                           THEN ' host ' || a || '.' || b || '.' || c || '.' || d
+                           ELSE '' END
+                   AS pii_text
+            FROM px)
+"""
+
+
+def pii_detect_sql() -> str:
+    return f"""
+        WITH {_PII_CTE},
+        cnt AS (
+          SELECT doc_id,
+                 length(regexp_extract_all(pii_text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+                 length(regexp_extract_all(pii_text, '{PHONE_RE}'))::BIGINT AS n_phones,
+                 length(regexp_extract_all(pii_text, '{IPV4_RE}'))::BIGINT AS n_ipv4
+          FROM pii)
+        SELECT doc_id, n_emails, n_phones, n_ipv4,
+               (n_emails + n_phones + n_ipv4) > 0 AS has_pii
+        FROM cnt
+    """
+
+
+def pii_redacted_sql() -> str:
+    return f"""
+        WITH {_PII_CTE}
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pii_text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g'),
+                 '{IPV4_RE}', '[IP]', 'g') AS redacted
+        FROM pii
+    """
+
+
+def doc_split_sql() -> str:
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+
+
+def doc_repetition_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (SELECT doc_id, t, array_length(t) AS n FROM toks),
+        tok_counts AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          GROUP BY doc_id, tok),
+        top_tok AS (SELECT doc_id, max(c) AS top_token_count
+                    FROM tok_counts GROUP BY doc_id),
+        grams AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+          FROM base, unnest(generate_series(1, n - 1)) AS s(i)),
+        gram_counts AS (SELECT doc_id, g, count(*) AS c
+                        FROM grams GROUP BY doc_id, g),
+        gstats AS (SELECT doc_id, count(*) AS n_uniq_2grams,
+                          max(c) AS top_2gram_count
+                   FROM gram_counts GROUP BY doc_id)
+        SELECT b.doc_id,
+               b.n::BIGINT AS n_tokens,
+               coalesce(tt.top_token_count, 0)::BIGINT AS top_token_count,
+               greatest(b.n - 1, 0)::BIGINT AS n_2grams,
+               coalesce(g.n_uniq_2grams, 0)::BIGINT AS n_uniq_2grams,
+               coalesce(g.top_2gram_count, 0)::BIGINT AS top_2gram_count
+        FROM base b
+        LEFT JOIN top_tok tt USING (doc_id)
+        LEFT JOIN gstats g USING (doc_id)
+    """
+
+
+def _shingle_expr() -> str:
+    parts = " || ' ' || ".join(f"t[i + {k}]" for k in range(DECONTAM_NGRAM))
+    return parts.replace("t[i + 0]", "t[i]")
+
+
+def doc_decontam_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (SELECT doc_id, t, array_length(t) AS n FROM toks),
+        sh AS (
+          SELECT DISTINCT doc_id, {_shingle_expr()} AS s
+          FROM base, unnest(generate_series(1, n - {DECONTAM_NGRAM - 1})) AS q(i)),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        train AS (SELECT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+        cnt AS (
+          SELECT doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+                     AS n_contaminated
+          FROM train GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
+               coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+               coalesce(c.n_contaminated, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN cnt c USING (doc_id)
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+    """
+
+
+def source_stats_sql() -> str:
+    return f"""
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(length(text))::BIGINT AS n_chars,
+               sum(array_length({_TOKS}))::BIGINT AS n_tokens,
+               count(DISTINCT lang)::BIGINT AS n_langs
+        FROM documents GROUP BY source
+    """
+
+
+def lang_sample_sql() -> str:
+    return f"""
+        SELECT lang, doc_id,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS sample_rank
+        FROM documents
+        QUALIFY sample_rank <= {SAMPLE_PER_LANG}
+    """

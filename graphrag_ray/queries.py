@@ -3491,3 +3491,81 @@ def inferred_relations(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["source", "target", "relation_type", "confidence",
                        "evidence_count"])
+
+
+# ---------------------------------------------------------------------------
+# training-data curation surfaces (stages/curation.py — all SQL-oracled)
+
+
+def pii_detect(sf_dir: str):
+    """PII counts per doc over the deterministically injected twin corpus
+    (vectorized RE2 kernels; see stages/curation.py)."""
+    from .stages import curation
+
+    return _docs(sf_dir).map_batches(curation.pii_detect, batch_format="pyarrow")
+
+
+def pii_redacted(sf_dir: str):
+    """Redacted text (emails/phones/IPv4 → placeholders), exact-string oracle."""
+    from .stages import curation
+
+    return _docs(sf_dir).map_batches(curation.pii_redact, batch_format="pyarrow")
+
+
+def doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/valid/test hash split by md5(doc_id)."""
+    from .stages import curation
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(
+        curation.hash_split, batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (token / 2-gram counts) per doc."""
+    from .stages import curation
+
+    return _docs(sf_dir).map_batches(
+        curation.repetition_stats, batch_format="pyarrow")
+
+
+def doc_decontam(sf_dir: str):
+    """Benchmark decontamination: 5-gram overlap of every training doc
+    against the benchmark members (doc_id % 97 == 0). The benchmark
+    shingle index is tiny by construction (eval sets are small) and is
+    broadcast once via ray.put — the training side streams."""
+    from .stages import curation
+
+    docs = _docs(sf_dir)
+    bench_rows = docs.map_batches(
+        curation.bench_shingle_partial, batch_format="pyarrow").take_all()
+    bench = frozenset(r["shingle"] for r in bench_rows)
+    ref = ray.put(bench)
+    return docs.map_batches(
+        curation.make_decontam_fn(ref), batch_format="pyarrow")
+
+
+def source_stats(sf_dir: str):
+    """Per-source mixing statistics (domain-weighting input): in-batch
+    (source, lang) partials → keyed groupby → per-source rollup."""
+    from .stages import curation
+
+    ds = _docs(sf_dir, ("doc_id", "text", "lang", "source"))
+    partial = ds.map_batches(curation.source_lang_partial, batch_format="pyarrow")
+    agg = partial.groupby(["source", "lang"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_chars", alias_name="n_chars"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+    return agg.groupby("source").map_groups(
+        curation.source_rollup, batch_format="pyarrow")
+
+
+def lang_sample(sf_dir: str):
+    """Stratified deterministic sampling: 5 docs per lang in md5(doc_id)
+    hash order — per-batch partial top-k, tiny final merge per lang."""
+    from .stages import curation
+
+    ds = _docs(sf_dir, ("doc_id", "lang"))
+    partials = ds.map_batches(curation.sample_partial, batch_format="pyarrow")
+    return partials.groupby("lang").map_groups(
+        curation.sample_final, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""Unit tests for the training-data curation stage (stages/curation.py).
+
+The sf0.001 oracle parity run lives in test_queries_vs_duckdb.py (the
+seven curation surfaces are auto-parametrized there); these tests pin
+edge-case behavior: empty text, short docs, benchmark-member exclusion,
+redaction ordering, split determinism, and partial/final sampling merge.
+"""
+
+import pyarrow as pa
+
+from graphrag_ray.stages import curation
+
+
+def _batch(rows):
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_pii_injection_deterministic():
+    b = _batch([(1, "alpha"), (1, "alpha")])
+    out = curation.inject_pii(b)
+    t = out.column("pii_text").to_pylist()
+    assert t[0] == t[1]
+    # at least one of the three parts is injected for doc 1
+    assert t[0] != "alpha"
+
+
+def test_pii_detect_counts_match_injection():
+    ids = list(range(50))
+    b = _batch([(i, f"doc {i} text") for i in ids])
+    out = curation.pii_detect(b)
+    for i, ne, np_, ni in zip(
+        ids,
+        out.column("n_emails").to_pylist(),
+        out.column("n_phones").to_pylist(),
+        out.column("n_ipv4").to_pylist(),
+    ):
+        email, phone, ip = curation._pii_parts(i)
+        assert ne == (1 if email else 0)
+        assert np_ == (1 if phone else 0)
+        assert ni == (1 if ip else 0)
+
+
+def test_pii_redact_removes_all_pii():
+    import re
+
+    b = _batch([(i, "base text") for i in range(30)])
+    red = curation.pii_redact(b).column("redacted").to_pylist()
+    for pat in (curation.EMAIL_RE, curation.PHONE_RE, curation.IPV4_RE):
+        assert not any(re.search(pat, t) for t in red)
+    assert any("[EMAIL]" in t for t in red)
+    assert any("[PHONE]" in t for t in red)
+    assert any("[IP]" in t for t in red)
+
+
+def test_hash_split_is_pure_function_of_doc_id():
+    b = pa.Table.from_pydict({"doc_id": pa.array([7, 7, 8], pa.int64())})
+    out = curation.hash_split(b)
+    s = out.column("split").to_pylist()
+    assert s[0] == s[1]
+    assert set(s) <= {"train", "valid", "test"}
+
+
+def test_repetition_stats_edge_cases():
+    b = _batch([(1, ""), (2, "one"), (3, "a a a a")])
+    out = curation.repetition_stats(b)
+    rows = {d: (nt, tt, ng, nu, tg) for d, nt, tt, ng, nu, tg in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("n_tokens").to_pylist(),
+        out.column("top_token_count").to_pylist(),
+        out.column("n_2grams").to_pylist(),
+        out.column("n_uniq_2grams").to_pylist(),
+        out.column("top_2gram_count").to_pylist(),
+    )}
+    assert rows[1] == (0, 0, 0, 0, 0)
+    assert rows[2] == (1, 1, 0, 0, 0)
+    assert rows[3] == (4, 4, 3, 1, 3)  # "a a" ×3
+
+
+def test_decontam_excludes_benchmark_members_and_counts_overlap():
+    text = "w1 w2 w3 w4 w5 w6"  # shingles: (w1..w5), (w2..w6)
+    rows = [(0, text),                 # 0 % 97 == 0 → benchmark member
+            (1, text),                 # fully contaminated
+            (2, "x1 x2 x3 x4 x5"),     # clean
+            (3, "short doc")]          # no shingles
+    b = _batch(rows)
+    bench = set()
+    part = curation.bench_shingle_partial(b)
+    bench |= set(part.column("shingle").to_pylist())
+    out = curation.make_decontam_fn(frozenset(bench))(b)
+    got = {d: (ns, nc, ic) for d, ns, nc, ic in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("n_shingles").to_pylist(),
+        out.column("n_contaminated").to_pylist(),
+        out.column("is_contaminated").to_pylist(),
+    )}
+    assert 0 not in got
+    assert got[1] == (2, 2, True)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (0, 0, False)
+
+
+def test_sample_partial_final_merge_matches_global_selection():
+    import hashlib
+
+    ids = list(range(40))
+    langs = ["en" if i % 2 == 0 else "de" for i in ids]
+    full = pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "lang": pa.array(langs, pa.string())}
+    )
+    # two partials over disjoint halves, merged per lang
+    p1 = curation.sample_partial(full.slice(0, 20))
+    p2 = curation.sample_partial(full.slice(20, 20))
+    merged = pa.concat_tables([p1, p2])
+    for lang in ("en", "de"):
+        grp = merged.filter(pa.compute.equal(merged.column("lang"), lang))
+        final = curation.sample_final(grp)
+        got = final.column("doc_id").to_pylist()
+        want = sorted(
+            (i for i in ids if (langs[i] == lang)),
+            key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+        )[:curation.SAMPLE_PER_LANG]
+        assert got == want
