@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": q.doc_decontam,
         "source_stats": q.source_stats,
         "lang_sample": q.lang_sample,
+        "doc_filter_verdict": q.doc_filter_verdict,
+        "split_leakage": q.split_leakage,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
         "events_sessionize": q.events_sessionize,
@@ -285,6 +287,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": _cur_sql.doc_decontam_sql(),
         "source_stats": _cur_sql.source_stats_sql(),
         "lang_sample": _cur_sql.lang_sample_sql(),
+        "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
+        "split_leakage": _cur_sql.split_leakage_sql(f"""
+            WITH sigs AS ({_SIMHASH_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """),
         # rograg query-side subsystem (rograg_oracle.py rule replay)
         "rograg_intent": _rograg_sql.rograg_intent_sql(),
         "rograg_decompose": _rograg_sql.rograg_decompose_sql(),

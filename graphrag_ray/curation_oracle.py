@@ -170,3 +170,65 @@ def lang_sample_sql() -> str:
         FROM documents
         QUALIFY sample_rank <= {SAMPLE_PER_LANG}
     """
+
+
+def doc_filter_verdict_sql() -> str:
+    from .stages.curation import (
+        FILTER_MAX_MEAN_LEN,
+        FILTER_MAX_TOKENS,
+        FILTER_MIN_MEAN_LEN,
+        FILTER_MIN_TOKENS,
+        FILTER_STOPWORDS,
+        FILTER_TOP_TOKEN_PCT,
+    )
+
+    stop_in = "(" + ",".join(f"'{w}'" for w in FILTER_STOPWORDS) + ")"
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (
+          SELECT doc_id, t, array_length(t) AS n,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_len,
+                 array_length(list_filter(t, x -> x IN {stop_in})) AS n_stop
+          FROM toks),
+        top AS (
+          SELECT doc_id, max(c) AS top_count
+          FROM (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY doc_id, tok)
+          GROUP BY doc_id),
+        v AS (
+          SELECT b.doc_id, b.n,
+                 CASE WHEN b.n < {FILTER_MIN_TOKENS} THEN 'too_short'
+                      WHEN b.n > {FILTER_MAX_TOKENS} THEN 'too_long'
+                      WHEN coalesce(tp.top_count, 0) * {FILTER_TOP_TOKEN_PCT} > b.n
+                           THEN 'repetitive'
+                      WHEN b.sum_len < {FILTER_MIN_MEAN_LEN} * b.n
+                           OR b.sum_len > {FILTER_MAX_MEAN_LEN} * b.n
+                           THEN 'word_length'
+                      WHEN b.n_stop = 0 THEN 'no_stopword'
+                      ELSE 'ok' END AS reason
+          FROM base b LEFT JOIN top tp USING (doc_id))
+        SELECT doc_id, n::BIGINT AS n_tokens, reason = 'ok' AS keep, reason
+        FROM v
+    """
+
+
+def split_leakage_sql(simhash_pairs_sql: str) -> str:
+    """Cross-split near-dup pairs: the SimHash pair oracle joined with
+    the md5 hash-split expression on both endpoints."""
+    return f"""
+        WITH pairs AS ({simhash_pairs_sql}),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                           < {SPLIT_TRAIN_PCT} THEN 'train'
+                      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                           < {SPLIT_VALID_PCT} THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT p.doc_a, p.doc_b, p.hamming, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.doc_a
+        JOIN sp sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split
+    """

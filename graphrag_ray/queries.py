@@ -3569,3 +3569,23 @@ def lang_sample(sf_dir: str):
     partials = ds.map_batches(curation.sample_partial, batch_format="pyarrow")
     return partials.groupby("lang").map_groups(
         curation.sample_final, batch_format="pyarrow")
+
+
+def doc_filter_verdict(sf_dir: str):
+    """Composite C4/Gopher-style keep/drop verdict per doc with the
+    first-failing-rule reason (integer-threshold rules; SQL-oracled)."""
+    from .stages import curation
+
+    return _docs(sf_dir).map_batches(
+        curation.filter_verdict, batch_format="pyarrow")
+
+
+def split_leakage(sf_dir: str):
+    """Cross-split contamination: SimHash near-dup pairs whose two docs
+    land in different train/valid/test hash-split buckets. Split is a
+    pure function of doc_id, so the pair stream is annotated in-flight
+    with no extra shuffle."""
+    from .stages import curation
+
+    return dedup_simhash_pairs(sf_dir).map_batches(
+        curation.pair_split_leakage, batch_format="pyarrow")

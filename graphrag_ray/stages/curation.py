@@ -306,3 +306,87 @@ def sample_final(group: pa.Table) -> pa.Table:
             "sample_rank": pa.array(range(1, len(pairs) + 1), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# composite quality-filter verdict (C4/Gopher-style keep/drop rules)
+
+FILTER_MIN_TOKENS = 5
+FILTER_MAX_TOKENS = 10000
+FILTER_TOP_TOKEN_PCT = 5    # drop if top_token_count * 5 > n  (> 20 %)
+FILTER_MIN_MEAN_LEN = 3     # drop if sum_token_len < 3 * n
+FILTER_MAX_MEAN_LEN = 10    # drop if sum_token_len > 10 * n
+
+FILTER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "at")
+
+
+def filter_verdict(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, keep, reason — first-failing-rule semantics in a
+    fixed priority order (too_short, too_long, repetitive, word_length,
+    no_stopword, ok). Thresholds are integer arithmetic so the DuckDB
+    replay is exact."""
+    stop = set(FILTER_STOPWORDS)
+    texts = batch.column("text").to_pylist()
+    n_toks, keeps, reasons = [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        n = len(toks)
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        top = max(counts.values(), default=0)
+        sum_len = sum(len(w) for w in toks)
+        n_stop = sum(1 for w in toks if w in stop)
+        if n < FILTER_MIN_TOKENS:
+            reason = "too_short"
+        elif n > FILTER_MAX_TOKENS:
+            reason = "too_long"
+        elif top * FILTER_TOP_TOKEN_PCT > n:
+            reason = "repetitive"
+        elif sum_len < FILTER_MIN_MEAN_LEN * n or sum_len > FILTER_MAX_MEAN_LEN * n:
+            reason = "word_length"
+        elif n_stop == 0:
+            reason = "no_stopword"
+        else:
+            reason = "ok"
+        n_toks.append(n)
+        keeps.append(reason == "ok")
+        reasons.append(reason)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+            "reason": pa.array(reasons, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-split near-dup leakage (train/valid/test contamination check)
+
+def _split_of(doc_id: int) -> str:
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+    return ("train" if b < SPLIT_TRAIN_PCT
+            else ("valid" if b < SPLIT_VALID_PCT else "test"))
+
+
+def pair_split_leakage(batch: pa.Table) -> pa.Table:
+    """Annotate near-dup pairs with their hash-split membership and keep
+    only cross-split pairs (leakage). Split is a pure function of
+    doc_id, so no join is needed — the pair stream stays distributed."""
+    a_ids = batch.column("doc_a").to_pylist()
+    b_ids = batch.column("doc_b").to_pylist()
+    sa = [_split_of(int(d)) for d in a_ids]
+    sb = [_split_of(int(d)) for d in b_ids]
+    keep = pa.array([x != y for x, y in zip(sa, sb)], pa.bool_())
+    out = pa.Table.from_pydict(
+        {
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "hamming": batch.column("hamming"),
+            "split_a": pa.array(sa, pa.string()),
+            "split_b": pa.array(sb, pa.string()),
+        }
+    )
+    return out.filter(keep)

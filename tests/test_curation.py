@@ -126,3 +126,43 @@ def test_sample_partial_final_merge_matches_global_selection():
             key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
         )[:curation.SAMPLE_PER_LANG]
         assert got == want
+
+
+def test_filter_verdict_rule_priority():
+    rows = [
+        (1, "a b"),                                   # too_short (n=2)
+        (2, "x x x x x x"),                           # repetitive (top 6/6)
+        (3, "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb cccccccccccccccc "
+            "dddddddddddddddd eeeeeeeeeeeeeeee"),     # word_length (mean 16)
+        (4, "alpha beta gamma delta epsilon"),        # no_stopword
+        (5, "the quick brown fox jumps over lazy"),   # ok
+    ]
+    out = curation.filter_verdict(_batch(rows))
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("reason").to_pylist()))
+    assert got == {1: "too_short", 2: "repetitive", 3: "word_length",
+                   4: "no_stopword", 5: "ok"}
+    keeps = dict(zip(out.column("doc_id").to_pylist(),
+                     out.column("keep").to_pylist()))
+    assert keeps[5] is True and sum(keeps.values()) == 1
+
+
+def test_pair_split_leakage_filters_same_split_pairs():
+    # find one doc per split, then build pairs crossing and not crossing
+    by_split = {}
+    for i in range(200):
+        by_split.setdefault(curation._split_of(i), []).append(i)
+        if all(len(v) >= 2 for v in by_split.values()) and len(by_split) == 3:
+            break
+    tr, va = by_split["train"], by_split["valid"]
+    batch = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([tr[0], tr[0]], pa.int64()),
+            "doc_b": pa.array([tr[1], va[0]], pa.int64()),
+            "hamming": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = curation.pair_split_leakage(batch)
+    assert out.num_rows == 1
+    assert out.column("split_a").to_pylist() == ["train"]
+    assert out.column("split_b").to_pylist() == ["valid"]
