@@ -20,6 +20,21 @@ _STOP_IN = "('the','a','and','of','to','in','is','on','at')"
 _TERM_VALUES = "(VALUES ('spark'),('table'),('join'),('window'),('stream'),('vector'))"
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
+PASSAGE_CTE = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS w,
+                         generate_subscripts(t, 1) AS pos FROM toks),
+            g AS (SELECT doc_id, pos - 1 AS pos0,
+                         count(*) OVER win AS cnt,
+                         md5(string_agg(w, ' ') OVER win) AS phash
+                  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+            f AS (SELECT phash, doc_id, pos0 FROM g WHERE cnt = 8)"""
+
 
 _SIMHASH_SQL = """
             WITH toks AS (
@@ -87,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": q.dedup_simhash_pairs,  # SQL-oracled (banded Hamming pairs)
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
+        "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
+        "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
@@ -261,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "events_hopping": q.events_hopping,
         "events_type_stats": q.events_type_stats,
+        "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
     }
 
 
@@ -477,6 +495,39 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us)::BIGINT AS start_ts, max(ts_us)::BIGINT AS end_ts,
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "dup_passages": f"""{PASSAGE_CTE},
+            s AS (SELECT phash, count(DISTINCT doc_id) AS n_docs,
+                         count(*) AS n_occ
+                  FROM f GROUP BY phash HAVING count(DISTINCT doc_id) >= 2),
+            firsts AS (SELECT phash, doc_id, pos0,
+                              row_number() OVER (PARTITION BY phash
+                                  ORDER BY doc_id, pos0) AS rn FROM f)
+            SELECT s.phash, s.n_docs::BIGINT AS n_docs,
+                   s.n_occ::BIGINT AS n_occ,
+                   firsts.doc_id::BIGINT AS first_doc_id,
+                   firsts.pos0::BIGINT AS first_pos
+            FROM s JOIN firsts ON firsts.phash = s.phash AND firsts.rn = 1
+        """,
+        "doc_dup_passage_counts": f"""{PASSAGE_CTE},
+            d AS (SELECT phash FROM f GROUP BY phash
+                  HAVING count(DISTINCT doc_id) >= 2)
+            SELECT f.doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_dup_windows
+            FROM f JOIN d USING (phash) GROUP BY 1
+        """,
+        "events_asof": """
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, min(event_id) AS r_event_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+                   p.ts_us::BIGINT AS ts,
+                   c.r_event_id::BIGINT AS r_event_id, c.ts_us::BIGINT AS r_ts,
+                   (p.ts_us - c.ts_us)::BIGINT AS gap
+            FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         """,
         "events_type_stats": """
             SELECT event_type, count(*)::BIGINT AS n_events,

@@ -331,6 +331,23 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def dup_passages(sf_dir: str):
+    """Substring-level dedup (Lee et al. 2107.06499 shape): every 8-token
+    rolling window fingerprinted, fingerprints seen in >=2 distinct docs
+    reported with stats — stages/passages.py, one bucket exchange."""
+    from .stages import passages
+
+    return passages.dup_passages(_docs(sf_dir))
+
+
+def doc_dup_passage_counts(sf_dir: str):
+    """Per-doc duplicated-window counts (the filterable substring-dedup
+    signal): (doc_id, n_dup_windows), inner semantics."""
+    from .stages import passages
+
+    return passages.doc_dup_passage_counts(_docs(sf_dir))
+
+
 def dedup_ngram_pairs(sf_dir: str, threshold: float = 0.5):
     """EXACT n-gram Jaccard near-dup via a distributed inverted shingle
     index (no LSH recall risk): shingle posting rows → groupby(shingle
@@ -2365,6 +2382,33 @@ def events_type_stats(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return _round_col(event_type_stats(ds), "sum_value")
+
+
+def events_asof(sf_dir: str):
+    """As-of join (the canonical operator Ray Data lacks): every purchase
+    event matched with the same user's most recent click at-or-before it —
+    bucketed `pandas.merge_asof` composition (stages/events.py asof_join),
+    one hash(user) exchange, inner/backward/inclusive semantics."""
+    import pyarrow.compute as _pc
+
+    from .stages.events import asof_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def only(kind: str):
+        def fn(batch):
+            return (batch.filter(_pc.equal(batch.column("event_type"), kind))
+                    .drop_columns(["event_type"]))
+        return fn
+
+    left = ds.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ds.map_batches(only("click"), batch_format="pyarrow")
+    out = asof_join(left, right, on="ts", by="user_id",
+                    left_cols=("event_id",), right_cols=("event_id",))
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "r_event_id", "r_ts", "gap"])
 
 
 def ann_ivf_topk(sf_dir: str, k: int = 10):

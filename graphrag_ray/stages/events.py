@@ -217,3 +217,93 @@ def hopping_window_agg(events_ds, window_hours: int = 6, hop_hours: int = 3):
             Sum("sum_value", alias_name="sum_value"),
         )
     )
+
+def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
+              left_cols: tuple[str, ...] = ("event_id",),
+              right_cols: tuple[str, ...] = ("event_id",),
+              num_buckets: int = 16, right_prefix: str = "r_"):
+    """As-of join (backward, inclusive): each left row is matched with the
+    single right row of the same ``by`` key whose ``on`` value is the
+    greatest one <= the left row's ``on`` value. Inner semantics — left
+    rows with no prior right row are dropped.
+
+    Ray Data has no asof/range join; the operator co-locates both sides by
+    hash(by) bucket (ONE small exchange — the same partitioning assumption
+    as `sessionize`) and runs vectorized `pandas.merge_asof` per bucket.
+    At cluster scale per-bucket memory is |left|/B + |right|/B; a hot key
+    would need the time-bucket split used by `sessionize(time_bucket_hours)`
+    — asof only needs the nearest predecessor, so each time bucket would
+    carry the right side's last row of the previous bucket.
+
+    Determinism contract: duplicate right rows on the same (by, on) pair
+    are reduced to the one with the smallest first right_col before
+    matching (mirrors the SQL oracle's group-wise min), so the matched
+    attribution never depends on scan order.
+    """
+    tiecol = right_cols[0]
+
+    def bucketize(cols: tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(by).to_numpy(zero_copy_only=False)
+            out = {
+                "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+                by: batch.column(by),
+                on: batch.column(on).cast(pa.int64()),
+            }
+            for c in cols:
+                out[c] = batch.column(c)
+            return pa.Table.from_pydict(out)
+        return fn
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "bucket": batch.column("bucket"),
+                by: batch.column(by),
+                on: batch.column(on),
+            }
+            for c in left_cols:
+                cols[c] = (batch.column(c) if side == 0
+                           else pa.nulls(n, pa.int64()))
+            for c in right_cols:
+                cols[right_prefix + c] = (batch.column(c) if side == 1
+                                          else pa.nulls(n, pa.int64()))
+            return pa.Table.from_pydict(cols)
+        return fn
+
+    left_tagged = (left_ds.map_batches(bucketize(left_cols),
+                                       batch_format="pyarrow")
+                   .map_batches(tag(0), batch_format="pyarrow"))
+    right_tagged = (right_ds.map_batches(bucketize(right_cols),
+                                         batch_format="pyarrow")
+                    .map_batches(tag(1), batch_format="pyarrow"))
+
+    r_on = right_prefix + on
+    out_cols = ([by, on, *left_cols]
+                + [right_prefix + c for c in right_cols] + [r_on, "gap"])
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+        left = df[df["side"] == 0][[by, on, *left_cols]]
+        right = df[df["side"] == 1][
+            [by, on] + [right_prefix + c for c in right_cols]]
+        # deterministic tie-break on duplicate (by, on) right rows
+        right = (right.sort_values([by, on, right_prefix + tiecol],
+                                   kind="mergesort")
+                 .drop_duplicates([by, on], keep="first"))
+        right[r_on] = right[on]  # survives the merge (on-column is left's)
+        left = left.sort_values(on, kind="mergesort")
+        right = right.sort_values(on, kind="mergesort")
+        m = pd.merge_asof(left, right, on=on, by=by, direction="backward")
+        m = m.dropna(subset=[right_prefix + tiecol])
+        for c in [right_prefix + c for c in right_cols] + [r_on]:
+            m[c] = m[c].astype("int64")
+        m["gap"] = m[on] - m[r_on]
+        return m[[c for c in out_cols]]
+
+    return (left_tagged.union(right_tagged)
+            .groupby("bucket")
+            .map_groups(match, batch_format="pandas"))
