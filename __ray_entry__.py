@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": q.dedup_simhash_pairs,  # SQL-oracled (banded Hamming pairs)
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
+        "doc_lm_score": q.doc_lm_score,              # SQL-oracled (bigram LM replay)
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "embedding_near_dup": q.embedding_near_dup,
@@ -144,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_cooccur": q.syn_cooccur,
         "syn_common_entities": q.syn_common_entities,
         "syn_components": q.syn_components,
+        "syn_triangles": q.syn_triangles,
+        "syn_kcore": q.syn_kcore,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
         "syn_leiden_l2": q.syn_leiden_l2,
@@ -168,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_cooccur": q.kgx_cooccur,
         "kgx_common_entities": q.kgx_common_entities,
         "kgx_components": q.kgx_components,
+        "kgx_triangles": q.kgx_triangles,
+        "kgx_kcore": q.kgx_kcore,
         "kgx_leiden": q.kgx_leiden,
         "kgx_leiden_l1": q.kgx_leiden_l1,
         "kgx_rel_hierarchy": q.kgx_rel_hierarchy,
@@ -496,6 +501,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY 1, 2
         """,
+        "doc_lm_score": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS w,
+                         generate_subscripts(t, 1) AS pos FROM toks),
+            bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                   FROM w a JOIN w b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+            vv AS (SELECT count(DISTINCT w) AS v FROM w),
+            contrib AS (
+              SELECT bg.doc_id, ln(cb.cb + 1) - ln(cu.cu + vv.v) AS x
+              FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+              CROSS JOIN vv)
+            SELECT doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(sum(x) / count(*), 4) AS avg_logprob
+            FROM contrib GROUP BY 1
+        """,
         "dup_passages": f"""{PASSAGE_CTE},
             s AS (SELECT phash, count(DISTINCT doc_id) AS n_docs,
                          count(*) AS n_occ
@@ -626,6 +650,10 @@ def oracle_sql() -> dict[str, str]:
         "syn_cooccur": _synkg_sql.syn_cooccur_sql(),
         "syn_common_entities": _synkg_sql.syn_common_entities_sql(),
         "syn_components": _synkg_sql.syn_components_sql(),
+        "syn_triangles": _synkg_sql.syn_triangles_sql(),
+        "syn_kcore": _synkg_sql.syn_kcore_sql(),
+        "kgx_triangles": _synkg_sql.kgx_triangles_sql(),
+        "kgx_kcore": _synkg_sql.kgx_kcore_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),
         "syn_leiden_l2": _synkg_sql.syn_leiden_l2_sql(),

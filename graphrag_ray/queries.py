@@ -331,6 +331,16 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def doc_lm_score(sf_dir: str):
+    """CCNet-shaped LM quality scoring: add-one bigram model trained on
+    the corpus, each doc scored by average token log-probability — one
+    context-word-bucket exchange, no model broadcast
+    (stages/lm_score.py)."""
+    from .stages import lm_score
+
+    return lm_score.lm_bigram_doc_scores(_docs(sf_dir))
+
+
 def dup_passages(sf_dir: str):
     """Substring-level dedup (Lee et al. 2107.06499 shape): every 8-token
     rolling window fingerprinted, fingerprints seen in >=2 distinct docs
@@ -1471,6 +1481,40 @@ def kgx_components(sf_dir: str):
 
     res = _kgx(sf_dir)
     return ga.connected_components(res.entities, res.edges)
+
+
+def kgx_triangles(sf_dir: str):
+    """Per-node triangle counts over the kgx graph (driver-oracled:
+    ordered triple-join twin)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.triangle_counts(res.entities, res.edges)
+
+
+def kgx_kcore(sf_dir: str):
+    """2-core membership + within-core degree over the kgx graph
+    (driver-oracled: unrolled-peel twin)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.kcore(res.entities, res.edges, k=2)
+
+
+def syn_triangles(sf_dir: str):
+    """Per-node triangle counts over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.triangle_counts(res.entities, res.edges)
+
+
+def syn_kcore(sf_dir: str):
+    """2-core membership + within-core degree over the syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.kcore(res.entities, res.edges, k=2)
 
 
 def kgx_leiden(sf_dir: str):

@@ -688,3 +688,84 @@ def all_paths(edges_ds, start: str, end: str, max_depth: int = 5,
     if start in adjacency:
         dfs(start, [start], 0.0)
     return out
+
+@ray.remote
+def _triangles_task(nodes, edges):
+    """Per-node triangle participation over the simple undirected graph
+    (distinct endpoint pairs, self-loops dropped). Triangle x<y<z is
+    enumerated exactly once via its least edge (x,y) and common neighbor
+    z > y."""
+    order = sorted(set(nodes))
+    node_set = set(order)
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in node_set and b in node_set}
+    adj: dict[str, set] = {n: set() for n in order}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in order}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return pd.DataFrame({
+        "entity_id": order,
+        "n_triangles": [tri[n] for n in order],
+    })
+
+
+def triangle_counts(entities_ds, edges_ds):
+    """Per-node triangle counts — single task over the collected canonical
+    graph (SURVEY §2.9 disposition: the canonical node/edge tables are
+    corpus-sublinear; at 10^12 docs this is the stage to swap for a
+    distributed edge-iterator join, same output contract)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(ray.get(_triangles_task.remote(nodes, edges)))
+
+
+@ray.remote
+def _kcore_task(nodes, edges, k, max_rounds):
+    """Bounded iterative peel: drop nodes of degree < k among survivors
+    until a fixpoint (or max_rounds — the SQL twin unrolls exactly
+    max_rounds, so both sides share the bound by construction; the
+    convergence-within-bound property is pytest-asserted)."""
+    order = sorted(set(nodes))
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in set(order) and b in set(order)}
+    alive = set(order)
+    for _ in range(max_rounds):
+        deg = {n: 0 for n in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {n for n in alive if deg.get(n, 0) < k}
+        if not drop:
+            break
+        alive -= drop
+    deg = {n: 0 for n in alive}
+    for a, b in und:
+        if a in alive and b in alive:
+            deg[a] += 1
+            deg[b] += 1
+    kept = sorted(alive)
+    return pd.DataFrame({
+        "entity_id": kept,
+        "core_degree": [deg[n] for n in kept],
+    })
+
+
+def kcore(entities_ds, edges_ds, k: int = 2, max_rounds: int = 64):
+    """k-core membership + within-core degree (same single-task
+    disposition as triangle_counts)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(
+        ray.get(_kcore_task.remote(nodes, edges, k, max_rounds)))

@@ -1449,3 +1449,97 @@ def syn_leiden_l2_sql() -> str:
           AND (SELECT nc FROM l2gate) > 1
           AND (SELECT nc FROM l2gate) < (SELECT nn FROM l2gate)
     """
+
+# ---------------------------------------------------------------------------
+# triangle / k-core twins (round-4 additions, shared across both corpora)
+
+
+def _triangles_replay(nodes_rel: str, edges_rel: str) -> str:
+    """Per-node triangle participation replay: the simple undirected graph
+    (distinct least/greatest endpoint pairs, self-loops dropped), each
+    triangle x<y<z enumerated once via edges (x,y),(y,z),(x,z)."""
+    return f"""
+        simple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM simple e1
+          JOIN simple e2 ON e2.a = e1.b
+          JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b),
+        member AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y AS node FROM tri
+          UNION ALL SELECT z AS node FROM tri),
+        tcnt AS (SELECT node, count(*) AS n FROM member GROUP BY node)
+        SELECT nn.canonical_id AS entity_id,
+               coalesce(tcnt.n, 0)::BIGINT AS n_triangles
+        FROM {nodes_rel} nn LEFT JOIN tcnt ON tcnt.node = nn.canonical_id
+    """
+
+
+def _kcore_replay(nodes_rel: str, edges_rel: str, k: int = 2,
+                  rounds: int = 24) -> str:
+    """k-core peel unrolled to ``rounds`` (the repo's unrolled-depth
+    oracle pattern; stages/graph_analytics._kcore_task shares the bound).
+    Every round's survivor set is MATERIALIZED — each is referenced twice
+    by the next round's degree count, and inlining would double the plan
+    per round."""
+    parts = [f"""
+        kund AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst GROUP BY 1, 2),
+        r0 AS MATERIALIZED (SELECT canonical_id AS node FROM {nodes_rel})"""]
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT node, count(*) AS c FROM (
+            SELECT u.a AS node FROM kund u
+            JOIN {prev} x ON u.a = x.node JOIN {prev} y ON u.b = y.node
+            UNION ALL
+            SELECT u.b AS node FROM kund u
+            JOIN {prev} x ON u.a = x.node JOIN {prev} y ON u.b = y.node
+          ) AS m GROUP BY node),
+        r{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k})""")
+        prev = f"r{i}"
+    parts.append(f"""
+        SELECT node AS entity_id, c::BIGINT AS core_degree
+        FROM d{rounds} WHERE node IN (SELECT node FROM r{rounds})""")
+    return "".join(parts)
+
+
+def syn_triangles_sql() -> str:
+    """Per-node triangle counts over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_triangles_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_triangles_sql() -> str:
+    """Per-node triangle counts over the kgx oracle corpus graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_triangles_replay('canon', 'kgx_edge_agg')}
+    """
+
+
+def syn_kcore_sql(k: int = 2) -> str:
+    """k-core membership + within-core degree over the syn graph."""
+    return f"""
+        {_full_cte()},
+        {_kcore_replay('canonf', 'edge_agg', k=k)}
+    """
+
+
+def kgx_kcore_sql(k: int = 2) -> str:
+    """k-core membership + within-core degree over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_kcore_replay('canon', 'kgx_edge_agg', k=k)}
+    """

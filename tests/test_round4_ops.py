@@ -1,0 +1,194 @@
+"""Round-4 operator tests: as-of join, duplicated-passage detection,
+bigram-LM scoring, triangle counts, k-core.
+
+The hard correctness gate for each is its DuckDB oracle
+(tools/check_correctness.py); these tests pin the operator-level
+semantics on small hand-built inputs so failures localize."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- asof join
+
+def _events_tbl(rows):
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def test_asof_backward_inclusive(ray_session):
+    from graphrag_ray.stages.events import asof_join
+
+    left = ray.data.from_arrow(_events_tbl([
+        (100, 1_000_000, 1),   # after right ts 900k -> match
+        (101, 500_000, 1),     # before any right -> dropped
+        (102, 900_000, 1),     # exact tie -> inclusive match
+        (103, 5_000_000, 2),   # other user, no right rows -> dropped
+    ]))
+    right = ray.data.from_arrow(_events_tbl([
+        (7, 900_000, 1),
+        (8, 300_000, 9),
+    ]))
+    out = asof_join(left, right).to_pandas().sort_values("event_id")
+    assert list(out["event_id"]) == [100, 102]
+    assert list(out["r_event_id"]) == [7, 7]
+    assert list(out["gap"]) == [100_000, 0]
+
+
+def test_asof_duplicate_right_ts_tiebreak(ray_session):
+    from graphrag_ray.stages.events import asof_join
+
+    left = ray.data.from_arrow(_events_tbl([(1, 10_000_000, 4)]))
+    right = ray.data.from_arrow(_events_tbl([
+        (55, 9_000_000, 4), (44, 9_000_000, 4),  # same ts: min event_id wins
+    ]))
+    out = asof_join(left, right).to_pandas()
+    assert list(out["r_event_id"]) == [44]
+
+
+# ------------------------------------------------------------- dup passages
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_dup_passages_detects_shared_window(ray_session):
+    from graphrag_ray.stages import passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    ds = _docs_ds([
+        f"{shared} unique tail one",
+        f"prefix words here {shared}",
+        "entirely different text with no overlap at all whatsoever",
+    ])
+    out = passages.dup_passages(ds).to_pandas()
+    h = hashlib.md5(shared.encode()).hexdigest()
+    row = out[out["phash"] == h]
+    assert len(row) == 1
+    assert row.iloc[0]["n_docs"] == 2
+    assert row.iloc[0]["n_occ"] == 2
+    assert row.iloc[0]["first_doc_id"] == 0
+    assert row.iloc[0]["first_pos"] == 0
+    counts = passages.doc_dup_passage_counts(ds).to_pandas()
+    assert set(counts["doc_id"]) == {0, 1}  # doc 2 emits nothing (inner)
+
+
+def test_dup_passages_short_docs_emit_nothing(ray_session):
+    from graphrag_ray.stages import passages
+
+    out = passages.dup_passages(_docs_ds(["one two three", "one two three"]))
+    assert out.count() == 0  # < 8 tokens -> no windows
+
+
+# ------------------------------------------------------------ bigram LM
+
+def test_lm_score_matches_direct_computation(ray_session):
+    from graphrag_ray.stages import lm_score
+
+    texts = ["a b a b c", "a b a b a b", "c c c"]
+    ds = _docs_ds(texts)
+    out = lm_score.lm_bigram_doc_scores(ds).to_pandas().set_index("doc_id")
+
+    # direct reference computation
+    from collections import Counter
+    bg_all = Counter()
+    cu_all = Counter()
+    vocab = set()
+    for t in texts:
+        toks = t.split()
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            bg_all[(w1, w2)] += 1
+            cu_all[w1] += 1
+    v = len(vocab)
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        lps = [np.log(bg_all[(w1, w2)] + 1) - np.log(cu_all[w1] + v)
+               for w1, w2 in zip(toks, toks[1:])]
+        want = np.floor(abs(np.mean(lps)) * 1e4 + 0.5) / 1e4 * np.sign(np.mean(lps))
+        got = out.loc[doc_id]
+        assert got["n_bigrams"] == len(lps)
+        assert got["avg_logprob"] == pytest.approx(want, abs=1e-9)
+
+
+# --------------------------------------------------------- triangles / core
+
+def _graph(edges, nodes):
+    ent = ray.data.from_arrow(pa.table({
+        "canonical_id": pa.array(nodes, pa.string())}))
+    edg = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    return ent, edg
+
+
+def test_triangle_counts_known_graph(ray_session):
+    from graphrag_ray.stages import graph_analytics as ga
+
+    # K4 minus one edge: triangles abc, abd share edge ab; c-d missing
+    ent, edg = _graph(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "d"),
+         ("b", "a"),  # duplicate reversed edge: must not double-count
+         ("e", "e")],  # self loop ignored
+        ["a", "b", "c", "d", "e"])
+    out = ga.triangle_counts(ent, edg).to_pandas().set_index("entity_id")
+    assert out.loc["a", "n_triangles"] == 2
+    assert out.loc["b", "n_triangles"] == 2
+    assert out.loc["c", "n_triangles"] == 1
+    assert out.loc["d", "n_triangles"] == 1
+    assert out.loc["e", "n_triangles"] == 0
+
+
+def test_kcore_peels_tail(ray_session):
+    from graphrag_ray.stages import graph_analytics as ga
+
+    # triangle abc with a pendant path c-d-e: 2-core is exactly the triangle
+    ent, edg = _graph(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["a", "b", "c", "d", "e"])
+    out = ga.kcore(ent, edg, k=2).to_pandas()
+    assert list(out["entity_id"]) == ["a", "b", "c"]
+    assert list(out["core_degree"]) == [2, 2, 2]
+
+
+def test_kcore_converges_within_sql_unroll_bound(ray_session):
+    """The SQL twin unrolls 24 peel rounds; the real corpora must converge
+    well inside that (each non-final round removes >=1 node, and the
+    replayed graphs are dense)."""
+    from graphrag_ray.queries import _kgx
+
+    res = _kgx(SF)
+    nodes = [r["canonical_id"]
+             for r in res.entities.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"])
+             for r in res.edges.select_columns(["src", "dst"]).take_all()]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    alive = set(nodes)
+    rounds = 0
+    while True:
+        deg = {n: 0 for n in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {n for n in alive if deg.get(n, 0) < 2}
+        if not drop:
+            break
+        alive -= drop
+        rounds += 1
+    assert rounds < 24
