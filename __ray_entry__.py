@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q.source_stats,
         "lang_sample": q.lang_sample,
         "doc_filter_verdict": q.doc_filter_verdict,
+        "source_cap": q.source_cap,                  # SQL-oracled (row_number twin)
+        "doc_length_quantiles": q.doc_length_quantiles,  # SQL-oracled (quantile_disc)
         "split_leakage": q.split_leakage,
         # --- stream-shaped event operators (SQL-oracled)
         "events_tumbling": q.events_tumbling,
@@ -311,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": _cur_sql.source_stats_sql(),
         "lang_sample": _cur_sql.lang_sample_sql(),
         "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
+        "source_cap": _cur_sql.source_cap_sql(),
+        "doc_length_quantiles": _cur_sql.doc_length_quantiles_sql(),
         "split_leakage": _cur_sql.split_leakage_sql(f"""
             WITH sigs AS ({_SIMHASH_SQL})
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

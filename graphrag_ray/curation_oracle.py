@@ -232,3 +232,26 @@ def split_leakage_sql(simhash_pairs_sql: str) -> str:
         JOIN sp sb ON sb.doc_id = p.doc_b
         WHERE sa.split <> sb.split
     """
+
+
+def source_cap_sql(cap: int = 10) -> str:
+    """Per-source cap twin: row_number over the same md5 draw."""
+    return f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM ranked WHERE rn <= {cap}
+    """
+
+
+def doc_length_quantiles_sql() -> str:
+    """Discrete length-quantile twin (quantile_disc order statistics)."""
+    return """
+        SELECT q, value FROM (
+          SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                 unnest(quantile_disc(length(text),
+                        [0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+          FROM documents)
+    """

@@ -3659,6 +3659,35 @@ def lang_sample(sf_dir: str):
         curation.sample_final, batch_format="pyarrow")
 
 
+def source_cap(sf_dir: str, cap: int = 10):
+    """Per-source (per-domain) document cap: within each source keep the
+    cap docs ranked by a deterministic md5 draw — unbiased per-source
+    thinning for source-mix control."""
+    from .stages import curation
+
+    ds = _docs(sf_dir, ("doc_id", "source"))
+    return ds.groupby("source").map_groups(
+        curation.make_source_cap_fn(cap), batch_format="pandas")
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact discrete length quantiles via a value-count combiner: the
+    exchange carries distinct lengths only (quantile_disc twin)."""
+    from ray.data.aggregate import Sum
+
+    from .stages import text_analysis
+
+    counts = (_docs(sf_dir).map_batches(text_analysis.length_count_rows,
+                                        batch_format="pyarrow")
+              .groupby("n_chars")
+              .aggregate(Sum("n", alias_name="n")))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    return text_analysis.quantiles_from_counts(
+        tbl, (0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def doc_filter_verdict(sf_dir: str):
     """Composite C4/Gopher-style keep/drop verdict per doc with the
     first-failing-rule reason (integer-threshold rules; SQL-oracled)."""

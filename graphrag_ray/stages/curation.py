@@ -390,3 +390,27 @@ def pair_split_leakage(batch: pa.Table) -> pa.Table:
         }
     )
     return out.filter(keep)
+
+
+def make_source_cap_fn(cap: int):
+    """Per-source document cap (the web-pipeline per-domain cap): within
+    each source keep the ``cap`` docs ranked by md5('cap:' || doc_id) —
+    a deterministic uniform draw, so the kept subset is an unbiased
+    per-source sample rather than an ingestion-order artifact. Runs as
+    groupby(source).map_groups; at 100 TB the group is per-domain-sized
+    and a hot domain would pre-thin with a per-batch local top-cap
+    combiner (same trick as the retrieval partial top-k)."""
+    import hashlib
+
+    def source_cap(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object")})
+        rk = df["doc_id"].map(
+            lambda d: hashlib.md5(f"cap:{d}".encode()).hexdigest())
+        out = (df.assign(_rk=rk)
+               .sort_values(["_rk", "doc_id"], kind="mergesort")
+               .head(cap))
+        return out[["doc_id", "source"]]
+
+    return source_cap

@@ -187,3 +187,43 @@ def tokenize_partial(batch: pa.Table) -> pa.Table:
             "cnt": pa.array(list(counts.values()), pa.int64()),
         }
     )
+
+
+def length_count_rows(batch: pa.Table) -> pa.Table:
+    """Per-batch value-count combiner for discrete length quantiles:
+    (n_chars, n) partial rows — the exchange carries distinct lengths,
+    never documents."""
+    import collections
+
+    counts = collections.Counter(
+        pc.utf8_length(batch.column("text")).to_pylist())
+    ks = sorted(counts)
+    return pa.Table.from_pydict({
+        "n_chars": pa.array(ks, pa.int64()),
+        "n": pa.array([counts[k] for k in ks], pa.int64()),
+    })
+
+
+def quantiles_from_counts(counts_tbl: pa.Table,
+                          qs: tuple[float, ...]) -> pa.Table:
+    """Exact discrete quantiles from a (value, count) table — DuckDB
+    quantile_disc semantics: the (floor((n-1)*q) + 1)-th order statistic,
+    matched bit-for-bit by using the same double product."""
+    import numpy as np
+
+    vals = counts_tbl.column("n_chars").to_numpy(zero_copy_only=False)
+    ns = counts_tbl.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals, ns = vals[order], ns[order]
+    cum = np.cumsum(ns)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        k = int(np.floor((n - 1) * q)) + 1
+        idx = int(np.searchsorted(cum, k, side="left"))
+        out_q.append(q)
+        out_v.append(int(vals[idx]))
+    return pa.Table.from_pydict({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+    })

@@ -192,3 +192,22 @@ def test_kcore_converges_within_sql_unroll_bound(ray_session):
         alive -= drop
         rounds += 1
     assert rounds < 24
+
+
+# ------------------------------------------------------- cap / quantiles
+
+def test_source_cap_keeps_k_per_source(ray_session):
+    from graphrag_ray.queries import source_cap
+
+    out = source_cap(SF, cap=3).to_pandas()
+    sizes = out.groupby("source").size()
+    assert (sizes == 3).all()          # every source has 25 docs at sf0.001
+    assert out["doc_id"].is_unique
+
+
+def test_doc_length_quantiles_monotone(ray_session):
+    from graphrag_ray.queries import doc_length_quantiles
+
+    out = doc_length_quantiles(SF).to_pandas().sort_values("q")
+    assert list(out["q"]) == [0.25, 0.5, 0.75, 0.9, 0.99]
+    assert out["value"].is_monotonic_increasing
