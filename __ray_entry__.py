@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_common_entities": q.syn_common_entities,
         "syn_components": q.syn_components,
         "syn_triangles": q.syn_triangles,
+        "syn_link_pred": q.syn_link_pred,
+        "syn_lpa": q.syn_lpa,
         "syn_kcore": q.syn_kcore,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
@@ -172,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_common_entities": q.kgx_common_entities,
         "kgx_components": q.kgx_components,
         "kgx_triangles": q.kgx_triangles,
+        "kgx_link_pred": q.kgx_link_pred,
+        "kgx_lpa": q.kgx_lpa,
         "kgx_kcore": q.kgx_kcore,
         "kgx_leiden": q.kgx_leiden,
         "kgx_leiden_l1": q.kgx_leiden_l1,
@@ -286,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q.events_hopping,
         "events_type_stats": q.events_type_stats,
         "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
+        "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
+        "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
     }
 
 
@@ -544,6 +550,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_dup_windows
             FROM f JOIN d USING (phash) GROUP BY 1
         """,
+        "events_user_running": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value
+                       FROM events)
+            SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+                   ts::BIGINT AS ts,
+                   (row_number() OVER w)::BIGINT AS running_n,
+                   round(sum(value) OVER w, 4) AS running_value
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+        """,
+        "events_funnel": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+                       FROM events),
+            s0 AS (SELECT user_id, min(ts) AS t FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+                   JOIN s0 ON s0.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+                   JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+            SELECT user_id::BIGINT AS user_id, 0::BIGINT AS stage_idx,
+                   'signup' AS stage, t::BIGINT AS first_ts FROM s0
+            UNION ALL SELECT user_id, 1, 'click', t FROM s1
+            UNION ALL SELECT user_id, 2, 'purchase', t FROM s2
+        """,
         "events_asof": """
             WITH c AS (
               SELECT user_id, epoch_us(ts) AS ts_us, min(event_id) AS r_event_id
@@ -655,6 +687,10 @@ def oracle_sql() -> dict[str, str]:
         "syn_common_entities": _synkg_sql.syn_common_entities_sql(),
         "syn_components": _synkg_sql.syn_components_sql(),
         "syn_triangles": _synkg_sql.syn_triangles_sql(),
+        "syn_link_pred": _synkg_sql.syn_link_pred_sql(),
+        "syn_lpa": _synkg_sql.syn_lpa_sql(),
+        "kgx_link_pred": _synkg_sql.kgx_link_pred_sql(),
+        "kgx_lpa": _synkg_sql.kgx_lpa_sql(),
         "syn_kcore": _synkg_sql.syn_kcore_sql(),
         "kgx_triangles": _synkg_sql.kgx_triangles_sql(),
         "kgx_kcore": _synkg_sql.kgx_kcore_sql(),

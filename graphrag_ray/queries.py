@@ -1501,6 +1501,39 @@ def kgx_kcore(sf_dir: str):
     return ga.kcore(res.entities, res.edges, k=2)
 
 
+def kgx_link_pred(sf_dir: str):
+    """Adamic-Adar link prediction over the kgx graph (driver-oracled)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.link_prediction(res.entities, res.edges)
+
+
+def kgx_lpa(sf_dir: str):
+    """Synchronous label-propagation communities (8 fixed rounds) over
+    the kgx graph (driver-oracled: unrolled-round twin)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.label_propagation(res.entities, res.edges, rounds=8)
+
+
+def syn_link_pred(sf_dir: str):
+    """Adamic-Adar link prediction over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.link_prediction(res.entities, res.edges)
+
+
+def syn_lpa(sf_dir: str):
+    """Synchronous LPA communities over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.label_propagation(res.entities, res.edges, rounds=8)
+
+
 def syn_triangles(sf_dir: str):
     """Per-node triangle counts over the replayed syn graph."""
     from .stages import graph_analytics as ga
@@ -2426,6 +2459,26 @@ def events_type_stats(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return _round_col(event_type_stats(ds), "sum_value")
+
+
+def events_user_running(sf_dir: str):
+    """Per-event running count + value sum within each user's ts-ordered
+    stream (ordered-window operator; bucketed cumsum)."""
+    from .stages.events import user_running_totals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    return _round_col(user_running_totals(ds), "running_value")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel signup -> click -> purchase: earliest completion of
+    each stage strictly after the previous one, per user."""
+    from .stages.events import funnel_stages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "event_type"])
+    return funnel_stages(ds)
 
 
 def events_asof(sf_dir: str):

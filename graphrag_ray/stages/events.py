@@ -307,3 +307,79 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     return (left_tagged.union(right_tagged)
             .groupby("bucket")
             .map_groups(match, batch_format="pandas"))
+
+def user_running_totals(events_ds, num_buckets: int = 16):
+    """Per-event running aggregates within each user's ts-ordered stream
+    (cumulative count + value sum) — the ordered-window operator Ray Data
+    lacks. Same hash(user) co-location contract as `sessionize`; inside a
+    bucket the cumsum is vectorized pandas in (user, ts) order, which is
+    also the only order that makes the float sum deterministic."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "bucket": pa.array((users % num_buckets).astype(np.int32)),
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    _COLS = {"event_id": "int64", "user_id": "int64", "ts": "int64",
+             "running_n": "int64", "running_value": "float64"}
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _COLS.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        df["running_n"] = g.cumcount() + 1
+        df["running_value"] = g["value"].cumsum()
+        return df[list(_COLS)]
+
+    return (events_ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(running, batch_format="pandas"))
+
+
+def funnel_stages(events_ds, stages: tuple[str, ...] =
+                  ("signup", "click", "purchase"), num_buckets: int = 16):
+    """Ordered funnel: per user, the earliest time each stage completes
+    given the PREVIOUS stage completed strictly before it (first signup,
+    first click after that signup, first purchase after that click).
+    Output: (user_id, stage_idx, stage, first_ts) for reached stages."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "bucket": pa.array((users % num_buckets).astype(np.int32)),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    _COLS = {"user_id": "int64", "stage_idx": "int64",
+             "stage": "object", "first_ts": "int64"}
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _COLS.items()})
+        out_rows = []
+        for user, g in df.groupby("user_id", sort=False):
+            prev_ts = None
+            for idx, stage in enumerate(stages):
+                sel = g[g["event_type"] == stage]
+                if prev_ts is not None:
+                    sel = sel[sel["ts"] > prev_ts]
+                if sel.empty:
+                    break
+                first = int(sel["ts"].min())
+                out_rows.append((int(user), idx, stage, first))
+                prev_ts = first
+        return pd.DataFrame(out_rows, columns=list(_COLS))
+
+    return (events_ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(funnel, batch_format="pandas"))

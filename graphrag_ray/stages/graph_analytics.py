@@ -769,3 +769,87 @@ def kcore(entities_ds, edges_ds, k: int = 2, max_rounds: int = 64):
              edges_ds.select_columns(["src", "dst"]).take_all()]
     return ray.data.from_pandas(
         ray.get(_kcore_task.remote(nodes, edges, k, max_rounds)))
+
+@ray.remote
+def _link_pred_task(nodes, edges):
+    """Common-neighbor / Adamic-Adar link prediction over the simple
+    undirected graph: every NON-adjacent pair a<b sharing >=1 neighbor,
+    scored by count and sum(1/ln(deg(c))) over common neighbors c."""
+    import math
+
+    order = sorted(set(nodes))
+    node_set = set(order)
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in node_set and b in node_set}
+    adj: dict[str, set] = {n: set() for n in order}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = []
+    for i, a in enumerate(order):
+        for b in order[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            aa = sum(1.0 / math.log(len(adj[c])) for c in sorted(common)
+                     if len(adj[c]) > 1)
+            rows.append((a, b, len(common),
+                         math.copysign(
+                             math.floor(abs(aa) * 1e4 + 0.5) / 1e4, aa)))
+    return pd.DataFrame(rows, columns=["src", "dst", "n_common",
+                                       "adamic_adar"])
+
+
+def link_prediction(entities_ds, edges_ds):
+    """Missing-edge candidates by common-neighbor evidence (single-task
+    canonical-graph disposition, as triangle_counts)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(ray.get(_link_pred_task.remote(nodes, edges)))
+
+
+@ray.remote
+def _lpa_task(nodes, edges, rounds):
+    """Synchronous label propagation, deterministic by construction: all
+    nodes update simultaneously from the previous round's labels; the new
+    label is the most frequent among neighbors, ties to the MIN label;
+    isolated nodes keep their own. Exactly ``rounds`` rounds — the SQL
+    twin unrolls the same count, so no convergence question arises."""
+    from collections import Counter
+
+    order = sorted(set(nodes))
+    node_set = set(order)
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in node_set and b in node_set}
+    adj: dict[str, set] = {n: set() for n in order}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in order}
+    for _ in range(rounds):
+        new = {}
+        for v in order:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in adj[v])
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+        labels = new
+    return pd.DataFrame({"entity_id": order,
+                         "label": [labels[n] for n in order]})
+
+
+def label_propagation(entities_ds, edges_ds, rounds: int = 8):
+    """LPA communities after a fixed round count (single-task canonical-
+    graph disposition)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(
+        ray.get(_lpa_task.remote(nodes, edges, rounds)))

@@ -1543,3 +1543,102 @@ def kgx_kcore_sql(k: int = 2) -> str:
         WITH RECURSIVE {_corpus_cte()},
         {_kcore_replay('canon', 'kgx_edge_agg', k=k)}
     """
+
+
+def _link_pred_replay(nodes_rel: str, edges_rel: str) -> str:
+    """Common-neighbor / Adamic-Adar replay: non-adjacent ordered pairs
+    scored over the simple undirected graph. A common neighbor always has
+    degree >= 2, so 1/ln(deg) is well-defined."""
+    return f"""
+        simple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst),
+        lp_deg AS (SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM simple
+            UNION ALL SELECT b AS node FROM simple) AS m GROUP BY 1),
+        lp_nbr AS (SELECT a AS x, b AS y FROM simple
+                   UNION ALL SELECT b AS x, a AS y FROM simple),
+        lp_cand AS (
+          SELECT n1.x AS a, n2.x AS b, n1.y AS c
+          FROM lp_nbr n1 JOIN lp_nbr n2
+            ON n1.y = n2.y AND n1.x < n2.x),
+        lp_nonadj AS (
+          SELECT lp_cand.a, lp_cand.b, lp_cand.c FROM lp_cand
+          LEFT JOIN simple s ON s.a = lp_cand.a AND s.b = lp_cand.b
+          WHERE s.a IS NULL)
+        SELECT na.a AS src, na.b AS dst, count(*)::BIGINT AS n_common,
+               round(sum(1.0 / ln(d.d)), 4) AS adamic_adar
+        FROM lp_nonadj na JOIN lp_deg d ON d.node = na.c
+        GROUP BY 1, 2
+    """
+
+
+def _lpa_replay(nodes_rel: str, edges_rel: str, rounds: int = 8) -> str:
+    """Synchronous label-propagation replay, exactly ``rounds`` rounds
+    (stages/graph_analytics._lpa_task runs the same fixed count): per
+    round every node takes the most frequent previous-round neighbor
+    label, ties to the minimum; isolated nodes keep their own."""
+    parts = [f"""
+        lsimple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst),
+        lund AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM lsimple
+          UNION ALL SELECT b AS x, a AS y FROM lsimple),
+        l0 AS MATERIALIZED (
+          SELECT canonical_id AS node, canonical_id AS label
+          FROM {nodes_rel})"""]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        cand{i} AS (
+          SELECT u.x AS node, l.label, count(*) AS c
+          FROM lund u JOIN {prev} l ON l.node = u.y GROUP BY 1, 2),
+        best{i} AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM cand{i}) AS r WHERE rn = 1),
+        l{i} AS MATERIALIZED (
+          SELECT p.node, coalesce(b.label, p.label) AS label
+          FROM {prev} p LEFT JOIN best{i} b ON b.node = p.node)""")
+        prev = f"l{i}"
+    parts.append(f"""
+        SELECT node AS entity_id, label FROM {prev}""")
+    return "".join(parts)
+
+
+def syn_link_pred_sql() -> str:
+    """Adamic-Adar link prediction over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_link_pred_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_link_pred_sql() -> str:
+    """Adamic-Adar link prediction over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_link_pred_replay('canon', 'kgx_edge_agg')}
+    """
+
+
+def syn_lpa_sql() -> str:
+    """Synchronous LPA communities over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_lpa_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_lpa_sql() -> str:
+    """Synchronous LPA communities over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_lpa_replay('canon', 'kgx_edge_agg')}
+    """

@@ -211,3 +211,69 @@ def test_doc_length_quantiles_monotone(ray_session):
     out = doc_length_quantiles(SF).to_pandas().sort_values("q")
     assert list(out["q"]) == [0.25, 0.5, 0.75, 0.9, 0.99]
     assert out["value"].is_monotonic_increasing
+
+
+# ----------------------------------------------- running / funnel / lpa
+
+def test_user_running_totals_order(ray_session):
+    from graphrag_ray.stages.events import user_running_totals
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([3, 1, 2], pa.int64()),
+        "ts": pa.array([30, 10, 20], pa.timestamp("us")),
+        "user_id": pa.array([5, 5, 5], pa.int64()),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    }))
+    out = (user_running_totals(ds).to_pandas()
+           .sort_values("ts").reset_index(drop=True))
+    assert list(out["running_n"]) == [1, 2, 3]
+    assert list(out["running_value"]) == [2.0, 6.0, 7.0]
+
+
+def test_funnel_requires_strict_order(ray_session):
+    from graphrag_ray.stages.events import funnel_stages
+
+    # user 1: full funnel; user 2: purchase BEFORE click -> stops at click
+    rows = [
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "signup"), (2, 15, "purchase"), (2, 20, "click"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = funnel_stages(ds).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("stage_idx")
+    assert list(u1["stage"]) == ["signup", "click", "purchase"]
+    u2 = out[out["user_id"] == 2].sort_values("stage_idx")
+    assert list(u2["stage"]) == ["signup", "click"]  # no purchase after click
+
+
+def test_lpa_two_cliques_converge_to_min_labels(ray_session):
+    from graphrag_ray.stages import graph_analytics as ga
+
+    # two triangles joined by nothing: labels collapse to each clique min
+    ent, edg = _graph(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z")],
+        ["a", "b", "c", "x", "y", "z"])
+    out = ga.label_propagation(ent, edg, rounds=8).to_pandas()
+    lbl = dict(zip(out["entity_id"], out["label"]))
+    assert lbl["a"] == lbl["b"] == lbl["c"]
+    assert lbl["x"] == lbl["y"] == lbl["z"]
+    assert lbl["a"] != lbl["x"]
+
+
+def test_link_prediction_non_adjacent_only(ray_session):
+    from graphrag_ray.stages import graph_analytics as ga
+
+    # path a-b-c: only candidate is (a,c) via common neighbor b (deg 2)
+    ent, edg = _graph([("a", "b"), ("b", "c")], ["a", "b", "c"])
+    out = ga.link_prediction(ent, edg).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["src"], row["dst"], row["n_common"]) == ("a", "c", 1)
+    import math
+    assert row["adamic_adar"] == pytest.approx(
+        round(1.0 / math.log(2), 4), abs=1e-9)
