@@ -293,9 +293,12 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
 
     shingle→sign→band rows → groupby(band bucket) → candidate pairs
     (hot band groups salt-and-requeue through a bounded second groupby) →
-    groupby(pair) distinct → per-doc participation rows → union with
-    per-doc shingle rows → groupby(doc) shuffle semi-join emitting shingle
-    halves for candidate docs only → groupby(pair) exact-Jaccard verify.
+    per-doc participation rows (multi-band duplicates deduped batch-
+    locally and inside the doc group — no global pair-distinct exchange) →
+    union with per-doc shingle rows → groupby(doc) shuffle semi-join
+    emitting shingle halves for candidate docs only → groupby(pair)
+    exact-Jaccard verify (first half per side, so residual duplicate
+    halves are harmless).
 
     The corpus is never materialized anywhere and the driver never holds
     the pair set — only Datasets flow. DuckDB-oracled: output equals exact
@@ -317,9 +320,11 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
             ["rq_band", "rq_hash", "cell_lo", "cell_hi"]
         ).map_groups(dedup.pairs_between_cells, batch_format="pyarrow")
         candidates = candidates.union(requeued)
-    # distinct pairs → per-doc participation rows (distributed dedup)
-    pair_rows = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup.pair_participation_rows, batch_format="pyarrow"
+    # candidate rows → per-doc participation rows directly (no global
+    # pair-distinct exchange: batch-local + per-doc-group dedupe and the
+    # first-half-per-side verify reducer make it redundant)
+    pair_rows = candidates.map_batches(
+        dedup.participation_rows_batch, batch_format="pyarrow"
     )
     doc_rows = docs.map_batches(dedup.doc_shingle_list_rows,
                                 batch_format="pyarrow")

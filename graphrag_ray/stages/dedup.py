@@ -300,6 +300,34 @@ def pair_participation_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def participation_rows_batch(batch: pa.Table) -> pa.Table:
+    """Candidate rows (multi-band duplicates allowed) → participation rows
+    WITHOUT a global pair-distinct exchange: batch-local pair dedupe here,
+    per-doc-group dedupe in emit_pair_halves, and the verify reducer takes
+    the first half per side — so global distinctness is never needed and
+    one whole AllToAll drops out of the minhash pipeline."""
+    pairs = sorted({(a, b) for a, b in
+                    zip(batch.column("doc_a").to_pylist(),
+                        batch.column("doc_b").to_pylist())})
+    ids, da, db, sides = [], [], [], []
+    for a, b in pairs:
+        ids.extend((a, b))
+        da.extend((a, a))
+        db.extend((b, b))
+        sides.extend((0, 1))
+    n = len(ids)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "side": pa.array(sides, pa.int32()),
+            "sh": pa.array([None] * n, pa.list_(pa.int64())),
+        },
+        schema=_HALVES_SCHEMA,
+    )
+
+
 def doc_shingle_list_rows(batch: pa.Table) -> pa.Table:
     """docs → one (doc_id, sh) row each (pair cols null)."""
     doc_ids = batch.column("doc_id").to_pylist()
@@ -334,9 +362,11 @@ def emit_pair_halves(batch: pa.Table) -> pa.Table:
     if sh_list is not None:
         a_col = batch.column("doc_a").to_pylist()
         b_col = batch.column("doc_b").to_pylist()
+        seen = set()  # cross-batch duplicate pairs: emit one half each
         for i, s in enumerate(sides):
-            if s is None:
+            if s is None or (a_col[i], b_col[i], s) in seen:
                 continue
+            seen.add((a_col[i], b_col[i], s))
             out_a.append(a_col[i])
             out_b.append(b_col[i])
             out_side.append(s)
