@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
         "doc_lm_score": q.doc_lm_score,              # SQL-oracled (bigram LM replay)
+        "top_bigrams": q.top_bigrams,                # SQL-oracled
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "embedding_near_dup": q.embedding_near_dup,
@@ -292,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
+        "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
     }
 
 
@@ -511,6 +513,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY 1, 2
         """,
+        "top_bigrams": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS w,
+                         generate_subscripts(t, 1) AS pos FROM toks),
+            bg AS (SELECT a.w AS w1, b.w AS w2
+                   FROM w a JOIN w b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+            SELECT w1, w2, count(*)::BIGINT AS n
+            FROM bg GROUP BY 1, 2
+            ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20
+        """,
         "doc_lm_score": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             w AS (SELECT doc_id, unnest(t) AS w,
@@ -549,6 +562,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_dup_windows
             FROM f JOIN d USING (phash) GROUP BY 1
+        """,
+        "events_value_quantiles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            qs AS (SELECT unnest([25, 50, 75, 90]) AS qpct)
+            SELECT r.event_type, qs.qpct / 100.0 AS q, r.value
+            FROM r JOIN qs ON r.rn = (r.n * qs.qpct + 99) // 100
         """,
         "events_user_running": """
             WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value

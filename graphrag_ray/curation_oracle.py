@@ -247,11 +247,16 @@ def source_cap_sql(cap: int = 10) -> str:
 
 
 def doc_length_quantiles_sql() -> str:
-    """Discrete length-quantile twin (quantile_disc order statistics)."""
+    """Discrete length-quantile twin: integer nearest-rank
+    (k = (n*qpct + 99) // 100 — same contract as the Ray side; avoids
+    quantile_disc's implementation-defined float ties)."""
     return """
-        SELECT q, value FROM (
-          SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
-                 unnest(quantile_disc(length(text),
-                        [0.25, 0.5, 0.75, 0.9, 0.99])) AS value
-          FROM documents)
+        WITH r AS (
+          SELECT length(text) AS v,
+                 row_number() OVER (ORDER BY length(text)) AS rn,
+                 count(*) OVER () AS n
+          FROM documents),
+        qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS qpct)
+        SELECT qs.qpct / 100.0 AS q, r.v::BIGINT AS value
+        FROM r JOIN qs ON r.rn = (r.n * qs.qpct + 99) // 100
     """

@@ -346,6 +346,14 @@ def doc_lm_score(sf_dir: str):
     return lm_score.lm_bigram_doc_scores(_docs(sf_dir))
 
 
+def top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus top-k bigrams (the LM head): combiner → groupby sum →
+    partial top-k → tiny driver merge."""
+    from .stages import lm_score
+
+    return lm_score.top_bigrams(_docs(sf_dir), k)
+
+
 def dup_passages(sf_dir: str):
     """Substring-level dedup (Lee et al. 2107.06499 shape): every 8-token
     rolling window fingerprinted, fingerprints seen in >=2 distinct docs
@@ -2486,6 +2494,15 @@ def events_funnel(sf_dir: str):
     return funnel_stages(ds)
 
 
+def events_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (grouped order statistics)."""
+    from .stages.events import value_quantiles_by_type
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return value_quantiles_by_type(ds)
+
+
 def events_asof(sf_dir: str):
     """As-of join (the canonical operator Ray Data lacks): every purchase
     event matched with the same user's most recent click at-or-before it —
@@ -3742,8 +3759,7 @@ def doc_length_quantiles(sf_dir: str):
     tbl = pa.concat_tables(
         [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows],
         promote_options="default")
-    return text_analysis.quantiles_from_counts(
-        tbl, (0.25, 0.5, 0.75, 0.9, 0.99))
+    return text_analysis.quantiles_from_counts(tbl, (25, 50, 75, 90, 99))
 
 
 def doc_filter_verdict(sf_dir: str):

@@ -383,3 +383,29 @@ def funnel_stages(events_ds, stages: tuple[str, ...] =
     return (events_ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(funnel, batch_format="pandas"))
+
+def value_quantiles_by_type(events_ds,
+                            qpcts: tuple[int, ...] = (25, 50, 75, 90)):
+    """Exact per-group quantiles of event value. Contract: nearest-rank,
+    k = ceil(n*q) via integer arithmetic from percent points
+    (k = (n*qpct + 99) // 100) — the SQL twin joins on the same integer
+    rank, so no float-product tie ambiguity. One groupby(event_type)
+    exchange; a hot type at cluster scale would move to the value-count
+    combiner shape used by doc_length_quantiles."""
+
+    _COLS = {"event_type": "object", "q": "float64", "value": "float64"}
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _COLS.items()})
+        df = df.sort_values("value", kind="mergesort")
+        vals = df["value"].to_numpy()
+        n = len(vals)
+        rows = [(df["event_type"].iloc[0], qpct / 100.0,
+                 float(vals[(n * qpct + 99) // 100 - 1]))
+                for qpct in qpcts]
+        return pd.DataFrame(rows, columns=list(_COLS))
+
+    return (events_ds.groupby("event_type")
+            .map_groups(quant, batch_format="pandas"))

@@ -130,3 +130,26 @@ def lm_bigram_doc_scores(docs_ds):
         })
 
     return final.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_bigrams(docs_ds, k: int = 20):
+    """Corpus top-k bigrams by occurrence count (the LM model's head):
+    per-batch bigram-count combiner → groupby sum → per-block partial
+    top-k → tiny driver merge. Ties break on (w1, w2) ascending."""
+    from ray.data.aggregate import Sum
+
+    occ = docs_ds.map_batches(bigram_occ_rows, batch_format="pyarrow")
+    agg = occ.groupby(["w1", "w2"]).aggregate(Sum("n_occ", alias_name="n"))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = agg.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["n", "w1", "w2"],
+                             ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[["w1", "w2", "n"]]

@@ -205,10 +205,12 @@ def length_count_rows(batch: pa.Table) -> pa.Table:
 
 
 def quantiles_from_counts(counts_tbl: pa.Table,
-                          qs: tuple[float, ...]) -> pa.Table:
-    """Exact discrete quantiles from a (value, count) table — DuckDB
-    quantile_disc semantics: the (floor((n-1)*q) + 1)-th order statistic,
-    matched bit-for-bit by using the same double product."""
+                          qpcts: tuple[int, ...]) -> pa.Table:
+    """Exact discrete quantiles from a (value, count) table. Contract:
+    nearest-rank with k = ceil(n * q) computed in INTEGER arithmetic from
+    percent points (k = (n*qpct + 99) // 100) — immune to the float-
+    product tie ambiguity that makes quantile_disc's .5 cases
+    implementation-defined; the SQL twin uses the same integer rank."""
     import numpy as np
 
     vals = counts_tbl.column("n_chars").to_numpy(zero_copy_only=False)
@@ -218,10 +220,10 @@ def quantiles_from_counts(counts_tbl: pa.Table,
     cum = np.cumsum(ns)
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
-    for q in qs:
-        k = int(np.floor((n - 1) * q)) + 1
+    for qpct in qpcts:
+        k = (n * qpct + 99) // 100
         idx = int(np.searchsorted(cum, k, side="left"))
-        out_q.append(q)
+        out_q.append(qpct / 100.0)
         out_v.append(int(vals[idx]))
     return pa.Table.from_pydict({
         "q": pa.array(out_q, pa.float64()),

@@ -277,3 +277,24 @@ def test_link_prediction_non_adjacent_only(ray_session):
     import math
     assert row["adamic_adar"] == pytest.approx(
         round(1.0 / math.log(2), 4), abs=1e-9)
+
+
+def test_top_bigrams_counts(ray_session):
+    from graphrag_ray.stages.lm_score import top_bigrams
+
+    out = top_bigrams(_docs_ds(["a b a b", "a b c"]), k=3)
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("a", "b", 3), ("b", "a", 1), ("b", "c", 1)]
+
+
+def test_events_value_quantiles_nearest_rank(ray_session):
+    from graphrag_ray.stages.events import value_quantiles_by_type
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["x"] * 4, pa.string()),
+        "value": pa.array([4.0, 1.0, 3.0, 2.0], pa.float64()),
+    }))
+    out = (value_quantiles_by_type(ds).to_pandas()
+           .sort_values("q").reset_index(drop=True))
+    # n=4: k = ceil(4q) -> ranks 1, 2, 3, 4
+    assert list(out["value"]) == [1.0, 2.0, 3.0, 4.0]
