@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dual_retrieval_weighted": q.dual_retrieval_weighted,  # SQL-oracled (weighted merge)
         "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
         "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
+        "ivf_cluster_sizes": q.ivf_cluster_sizes,  # SQL-oracled (same trainer replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
         #     (SQL-oracled end-to-end: extract → canonicalize → edges)
         "kgx_doc_entities": q.kgx_doc_entities,
@@ -763,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "dual_retrieval_weighted": _kgx_sql.dual_retrieval_sql(
             strategy="weighted"),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ivf_cluster_sizes": _ivf_cluster_sizes_sql(),
         "rrf_fusion": """
             WITH cos AS (
               SELECT vec_id,
@@ -850,17 +852,15 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _ann_ivf_sql(k_cent: int = 16, iters: int = 10, nprobe: int = 4,
-                 sample_n: int = 1024) -> str:
-    """IVF top-k oracle: re-derives the strided-init float64 Lloyd
-    quantizer (stages/ann.py train_ivf_centroids) in SQL — sample =
+def _ivf_train_parts(k_cent: int = 16, iters: int = 10,
+                     sample_n: int = 1024) -> tuple[list, str]:
+    """Shared IVF trainer replay: re-derives the strided-init float64
+    Lloyd quantizer (stages/ann.py train_ivf_centroids) in SQL — sample =
     ``vec_id < 1024 ORDER BY vec_id``, init = every ⌊n/k⌋-th row, then
     ``iters`` unrolled assign/update rounds (assignment ties broken by
-    centroid index, matching np.argmin; empty cells keep their centroid) —
-    probes the query's nprobe nearest cells and scores survivors with the
-    same float32-compatible cosine as ann_topk. The only divergence from
-    the pipeline is float summation order, far inside the assignment
-    margins."""
+    centroid index, matching np.argmin; empty cells keep their centroid).
+    Returns (CTE parts incl. the full-corpus assignment ``alla``, final
+    centroid CTE name)."""
     d2 = ("list_sum(list_transform(generate_series(1, array_length(s.v)), "
           "j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))")
     parts = [f"""
@@ -897,18 +897,6 @@ def _ann_ivf_sql(k_cent: int = 16, iters: int = 10, nprobe: int = 4,
             GROUP BY c) m ON m.c = p.c)""")
     cf = f"c{iters}"
     parts.append(f"""
-        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id = 0),
-        probe AS (
-          SELECT c FROM (
-            SELECT c, row_number() OVER (ORDER BY d2, c) AS rn
-            FROM (SELECT ct.c AS c,
-                         list_sum(list_transform(
-                             generate_series(1, array_length(s.v)),
-                             j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))
-                             AS d2
-                  FROM qv s CROSS JOIN {cf} ct) z4) z5
-          WHERE rn <= {nprobe}),
         alla AS (
           SELECT vec_id, c FROM (
             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
@@ -921,16 +909,54 @@ def _ann_ivf_sql(k_cent: int = 16, iters: int = 10, nprobe: int = 4,
                   FROM (SELECT vec_id, embedding::DOUBLE[] AS v
                         FROM embeddings) s
                   CROSS JOIN {cf} ct) z6) z7
-          WHERE rn = 1),
+          WHERE rn = 1)""")
+    return parts, cf
+
+
+def _ann_ivf_sql(k_cent: int = 16, iters: int = 10, nprobe: int = 4,
+                 sample_n: int = 1024) -> str:
+    """IVF top-k oracle: the shared trainer replay, probing the query's
+    nprobe nearest cells and scoring survivors with the same
+    float32-compatible cosine as ann_topk. The only divergence from the
+    pipeline is float summation order, far inside the assignment
+    margins."""
+    parts, cf = _ivf_train_parts(k_cent, iters, sample_n)
+    parts.append(f"""
+        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id = 0),
+        probe AS (
+          SELECT c FROM (
+            SELECT c, row_number() OVER (ORDER BY d2, c) AS rn
+            FROM (SELECT ct.c AS c,
+                         list_sum(list_transform(
+                             generate_series(1, array_length(s.v)),
+                             j -> (s.v[j] - ct.v[j]) * (s.v[j] - ct.v[j])))
+                             AS d2
+                  FROM qv s CROSS JOIN {cf} ct) z4) z5
+          WHERE rn <= {nprobe}),
         cand AS (SELECT vec_id FROM alla
                  WHERE c IN (SELECT c FROM probe))""")
-    return ("WITH " + ",".join(parts) + f"""
+    return ("WITH " + ",".join(parts) + """
         SELECT e.vec_id::BIGINT AS vec_id,
                round(list_cosine_similarity(e.embedding,
                    (SELECT embedding FROM embeddings WHERE vec_id = 0)
                )::DOUBLE, 4) AS sim
         FROM embeddings e JOIN cand USING (vec_id)
         ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """)
+
+
+def _ivf_cluster_sizes_sql(k_cent: int = 16, iters: int = 10,
+                           sample_n: int = 1024) -> str:
+    """k-means cluster-size oracle: every embedding assigned to its
+    nearest trained centroid (the same ``alla`` assignment the IVF top-k
+    probe uses); empty cells report 0."""
+    parts, cf = _ivf_train_parts(k_cent, iters, sample_n)
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT ct.c::BIGINT AS centroid,
+               coalesce(m.n, 0)::BIGINT AS n_vecs
+        FROM {cf} ct LEFT JOIN (
+          SELECT c, count(*) AS n FROM alla GROUP BY c) m ON m.c = ct.c
     """)
 
 

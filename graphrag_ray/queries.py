@@ -2530,6 +2530,13 @@ def events_asof(sf_dir: str):
         ["event_id", "user_id", "ts", "r_event_id", "r_ts", "gap"])
 
 
+def ivf_cluster_sizes(sf_dir: str):
+    """k-means cluster sizes over the full embedding table (the IVF
+    quantizer's cell occupancy): combiner partials + tiny groupby."""
+    centroids = ann.train_ivf_centroids(_ivf_sample(sf_dir))
+    return ann.ivf_cluster_sizes(_embeddings(sf_dir), centroids)
+
+
 def ann_ivf_topk(sf_dir: str, k: int = 10):
     """IVF-bucketed approximate top-k: seeded k-means coarse quantizer
     trained on a sample, query probes its nprobe nearest cells."""

@@ -349,3 +349,46 @@ def make_ivf_topk_partial_fn(query: np.ndarray, k: int,
         )
 
     return ivf_partial
+
+
+def make_ivf_assign_counts_fn(centroids: np.ndarray):
+    """Per-batch combiner for k-means cluster sizes: assign each embedding
+    to its nearest centroid in float64 (ties → lowest index, matching
+    np.argmin and the SQL trainer replay) and emit per-centroid partial
+    counts."""
+    c64 = np.asarray(centroids, dtype=np.float64)
+
+    def assign_counts(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        if len(mat) == 0 or len(c64) == 0:
+            return pa.Table.from_pydict(
+                {"centroid": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64())})
+        d2 = ((mat.astype(np.float64)[:, None, :]
+               - c64[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cs, ns = np.unique(assign, return_counts=True)
+        return pa.Table.from_pydict(
+            {"centroid": pa.array(cs.astype(np.int64)),
+             "n_vecs": pa.array(ns.astype(np.int64))})
+
+    return assign_counts
+
+
+def ivf_cluster_sizes(embeddings_ds, centroids: np.ndarray):
+    """(centroid, n_vecs) for every trained centroid, empty cells 0 —
+    combiner partials + tiny groupby, then a driver-side zero-fill over
+    the (small) centroid list."""
+    from ray.data.aggregate import Sum
+
+    agg = (embeddings_ds.map_batches(make_ivf_assign_counts_fn(centroids),
+                                     batch_format="pyarrow")
+           .groupby("centroid")
+           .aggregate(Sum("n_vecs", alias_name="n_vecs")))
+    got = {r["centroid"]: r["n_vecs"] for r in agg.take_all()}
+    k = len(centroids)
+    return pa.table({
+        "centroid": pa.array(range(k), pa.int64()),
+        "n_vecs": pa.array([int(got.get(c, 0)) for c in range(k)],
+                           pa.int64()),
+    })

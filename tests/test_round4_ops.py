@@ -298,3 +298,12 @@ def test_events_value_quantiles_nearest_rank(ray_session):
            .sort_values("q").reset_index(drop=True))
     # n=4: k = ceil(4q) -> ranks 1, 2, 3, 4
     assert list(out["value"]) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_ivf_cluster_sizes_total(ray_session):
+    from graphrag_ray.queries import ivf_cluster_sizes
+
+    out = ivf_cluster_sizes(SF).to_pandas()
+    assert len(out) == 16
+    assert out["n_vecs"].sum() == 500  # every embedding assigned once
+    assert (out["n_vecs"] >= 0).all()
