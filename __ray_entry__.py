@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_link_pred": q.syn_link_pred,
         "syn_lpa": q.syn_lpa,
         "syn_kcore": q.syn_kcore,
+        "syn_eccentricity": q.syn_eccentricity,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
         "syn_leiden_l2": q.syn_leiden_l2,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_link_pred": q.kgx_link_pred,
         "kgx_lpa": q.kgx_lpa,
         "kgx_kcore": q.kgx_kcore,
+        "kgx_eccentricity": q.kgx_eccentricity,
         "kgx_leiden": q.kgx_leiden,
         "kgx_leiden_l1": q.kgx_leiden_l1,
         "kgx_rel_hierarchy": q.kgx_rel_hierarchy,
@@ -719,6 +721,8 @@ def oracle_sql() -> dict[str, str]:
         "syn_kcore": _synkg_sql.syn_kcore_sql(),
         "kgx_triangles": _synkg_sql.kgx_triangles_sql(),
         "kgx_kcore": _synkg_sql.kgx_kcore_sql(),
+        "kgx_eccentricity": _synkg_sql.kgx_eccentricity_sql(),
+        "syn_eccentricity": _synkg_sql.syn_eccentricity_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),
         "syn_leiden_l2": _synkg_sql.syn_leiden_l2_sql(),

@@ -1547,6 +1547,23 @@ def syn_lpa(sf_dir: str):
     return ga.label_propagation(res.entities, res.edges, rounds=8)
 
 
+def kgx_eccentricity(sf_dir: str):
+    """Per-node eccentricity over the kgx graph (driver-oracled:
+    bounded-BFS recursive twin)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.eccentricity(res.entities, res.edges)
+
+
+def syn_eccentricity(sf_dir: str):
+    """Per-node eccentricity over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.eccentricity(res.entities, res.edges)
+
+
 def syn_triangles(sf_dir: str):
     """Per-node triangle counts over the replayed syn graph."""
     from .stages import graph_analytics as ga

@@ -853,3 +853,47 @@ def label_propagation(entities_ds, edges_ds, rounds: int = 8):
              edges_ds.select_columns(["src", "dst"]).take_all()]
     return ray.data.from_pandas(
         ray.get(_lpa_task.remote(nodes, edges, rounds)))
+
+@ray.remote
+def _ecc_task(nodes, edges, max_depth):
+    """Per-node eccentricity within its connected component (BFS per
+    node over the simple undirected graph; isolated nodes have 0).
+    ``max_depth`` bounds the walk — shared with the SQL twin's bounded
+    recursion; real diameters being far below it is pytest-asserted."""
+    from collections import deque
+
+    order = sorted(set(nodes))
+    node_set = set(order)
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in node_set and b in node_set}
+    adj: dict[str, set] = {n: set() for n in order}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    eccs = []
+    for src in order:
+        seen = {src: 0}
+        dq = deque([src])
+        far = 0
+        while dq:
+            v = dq.popleft()
+            d = seen[v]
+            if d >= max_depth:
+                continue
+            for u in adj[v]:
+                if u not in seen:
+                    seen[u] = d + 1
+                    far = max(far, d + 1)
+                    dq.append(u)
+        eccs.append(far)
+    return pd.DataFrame({"entity_id": order, "eccentricity": eccs})
+
+
+def eccentricity(entities_ds, edges_ds, max_depth: int = 16):
+    """Eccentricity per node (single-task canonical-graph disposition)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(
+        ray.get(_ecc_task.remote(nodes, edges, max_depth)))

@@ -1642,3 +1642,45 @@ def kgx_lpa_sql() -> str:
         WITH RECURSIVE {_corpus_cte()},
         {_lpa_replay('canon', 'kgx_edge_agg')}
     """
+
+
+def _ecc_replay(nodes_rel: str, edges_rel: str, max_depth: int = 16) -> str:
+    """Eccentricity replay: bounded BFS as a recursive CTE over (src,
+    dst, depth) triples — min depth per pair, max per source. The depth
+    bound makes the cyclic recursion terminate; the Python stage shares
+    it (stages/graph_analytics._ecc_task)."""
+    return f"""
+        esimple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst),
+        eund AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM esimple
+          UNION ALL SELECT b AS x, a AS y FROM esimple),
+        walk(a, b, d) AS (
+          SELECT canonical_id, canonical_id, 0 FROM {nodes_rel}
+          UNION
+          SELECT w.a, u.y, w.d + 1
+          FROM walk w JOIN eund u ON u.x = w.b
+          WHERE w.d < {max_depth}),
+        edist AS (SELECT a, b, min(d) AS dmin FROM walk GROUP BY 1, 2)
+        SELECT a AS entity_id, max(dmin)::BIGINT AS eccentricity
+        FROM edist GROUP BY a
+    """
+
+
+def syn_eccentricity_sql() -> str:
+    """Per-node eccentricity over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_ecc_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_eccentricity_sql() -> str:
+    """Per-node eccentricity over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_ecc_replay('canon', 'kgx_edge_agg')}
+    """

@@ -307,3 +307,14 @@ def test_ivf_cluster_sizes_total(ray_session):
     assert len(out) == 16
     assert out["n_vecs"].sum() == 500  # every embedding assigned once
     assert (out["n_vecs"] >= 0).all()
+
+
+def test_eccentricity_path_graph(ray_session):
+    from graphrag_ray.stages import graph_analytics as ga
+
+    ent, edg = _graph([("a", "b"), ("b", "c"), ("c", "d")],
+                      ["a", "b", "c", "d", "iso"])
+    out = (ga.eccentricity(ent, edg).to_pandas()
+           .set_index("entity_id")["eccentricity"])
+    assert out["a"] == 3 and out["b"] == 2 and out["c"] == 2 and out["d"] == 3
+    assert out["iso"] == 0  # isolated node
