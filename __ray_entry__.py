@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bench_rag_summary": q.bench_rag_summary,
         # --- text analysis (SQL-oracled)
         "doc_token_stats": q.doc_token_stats,
+        "doc_bpe_tokens": q.doc_bpe_tokens,      # SQL-oracled (RE2 twin)
         "doc_quality": q.doc_quality,
         "doc_lang_id": q.doc_lang_id,
         "doc_fingerprint": q.doc_fingerprint,
@@ -526,6 +527,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, count(*)::BIGINT AS n
             FROM bg GROUP BY 1, 2
             ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   array_length(regexp_extract_all(text, ' ?[A-Za-z]+'))::BIGINT
+                       AS n_alpha_tokens,
+                   array_length(regexp_extract_all(text, ' ?[0-9]+'))::BIGINT
+                       AS n_num_tokens,
+                   array_length(regexp_extract_all(text,
+                       ' ?[^ \tA-Za-z0-9]+'))::BIGINT AS n_other_tokens,
+                   (array_length(regexp_extract_all(text, ' ?[A-Za-z]+'))
+                    + array_length(regexp_extract_all(text, ' ?[0-9]+'))
+                    + array_length(regexp_extract_all(text,
+                        ' ?[^ \tA-Za-z0-9]+')))::BIGINT AS n_bpe_tokens
+            FROM documents
         """,
         "doc_lm_score": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -336,6 +336,13 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2 pre-tokenizer classes, RE2-safe —
+    the same patterns run verbatim in the DuckDB twin)."""
+    return _docs(sf_dir).map_batches(text_analysis.bpe_token_counts,
+                                     batch_format="pyarrow")
+
+
 def doc_lm_score(sf_dir: str):
     """CCNet-shaped LM quality scoring: add-one bigram model trained on
     the corpus, each doc scored by average token log-probability — one

@@ -229,3 +229,37 @@ def quantiles_from_counts(counts_tbl: pa.Table,
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v, pa.int64()),
     })
+
+
+# GPT-2-style pre-tokenizer classes, RE2-compatible (no lookahead — the
+# same pattern strings run verbatim in DuckDB's regexp_extract_all).
+BPE_ALPHA = r" ?[A-Za-z]+"
+BPE_NUM = r" ?[0-9]+"
+BPE_OTHER = r" ?[^ \tA-Za-z0-9]+"
+
+
+def bpe_token_counts(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting (driver-brief op): per doc, counts of
+    GPT-2-pre-tokenizer-style alpha / numeric / other runs (optional
+    leading space attached, as BPE vocabularies do). Contract: the three
+    class patterns are counted INDEPENDENTLY over the raw text — exactly
+    what the SQL twin's regexp_extract_all does."""
+    import re
+
+    import numpy as np
+
+    pats = [re.compile(p) for p in (BPE_ALPHA, BPE_NUM, BPE_OTHER)]
+    texts = batch.column("text").to_pylist()
+    counts = [[], [], []]
+    for t in texts:
+        t = t or ""
+        for i, p in enumerate(pats):
+            counts[i].append(len(p.findall(t)))
+    alpha, num, other = (np.asarray(c, dtype=np.int64) for c in counts)
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_alpha_tokens": pa.array(alpha),
+        "n_num_tokens": pa.array(num),
+        "n_other_tokens": pa.array(other),
+        "n_bpe_tokens": pa.array(alpha + num + other),
+    })

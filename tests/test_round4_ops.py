@@ -318,3 +318,16 @@ def test_eccentricity_path_graph(ray_session):
            .set_index("entity_id")["eccentricity"])
     assert out["a"] == 3 and out["b"] == 2 and out["c"] == 2 and out["d"] == 3
     assert out["iso"] == 0  # isolated node
+
+
+def test_bpe_token_counts_classes(ray_session):
+    from graphrag_ray.stages.text_analysis import bpe_token_counts
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["Hello world, 42 times!"], pa.string())})
+    out = bpe_token_counts(t).to_pydict()
+    # alpha: 'Hello',' world',' times'; num: ' 42'; other: ',','!'
+    assert out["n_alpha_tokens"] == [3]
+    assert out["n_num_tokens"] == [1]
+    assert out["n_other_tokens"] == [2]
+    assert out["n_bpe_tokens"] == [6]
