@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
+        "dedup_ngram_keep": q.dedup_ngram_keep,      # SQL-oracled (min-label closure)
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
@@ -850,6 +851,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
                    round(j, 4) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_ngram_keep": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN array_length(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, array_length(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS va, b.doc_id AS vb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE array_length(list_intersect(a.s, b.s))::DOUBLE /
+                    array_length(list_distinct(list_concat(a.s, b.s)))
+                    >= 0.5),
+            und AS (SELECT va AS a, vb AS b FROM pairs
+                    UNION SELECT vb, va FROM pairs),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+            SELECT a::BIGINT AS doc_id, min(b)::BIGINT AS keep_id
+            FROM reach GROUP BY a
         """,
         "events_hopping": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),

@@ -482,6 +482,41 @@ def dedup_semantic_keep(sf_dir: str, threshold: float = 0.45):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+def dedup_ngram_keep(sf_dir: str, threshold: float = 0.5):
+    """TEXT near-dup to cluster representatives — the most common web
+    curation op: the distributed n-gram-Jaccard pairs feed the same
+    hash-to-min label propagation as the semantic variant; keep_id =
+    minimum doc_id reachable through the near-dup graph, singletons keep
+    themselves. SQL-oracled via the same Jaccard predicate + recursive
+    min-label closure."""
+    import pyarrow.compute as pc
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": batch.column("doc_a"),
+                         "vec_b": batch.column("doc_b")})
+
+    pairs = dedup_ngram_pairs(sf_dir, threshold).map_batches(
+        to_nodes, batch_format="pyarrow").materialize()
+    labels = dedup.semantic_components_labels(pairs)
+    lbl_blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    lbl = (pa.concat_tables(lbl_blocks, promote_options="default")
+           if lbl_blocks else
+           pa.table({"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}))
+    lbl_ref = ray.put(lbl)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lbl_ref)
+        did = batch.column("doc_id").cast(pa.int64())
+        idx = pc.index_in(did, lt.column("node"))
+        keep = pc.coalesce(pc.take(lt.column("label"), idx), did)
+        return pa.table({"doc_id": did, "keep_id": keep.cast(pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 

@@ -331,3 +331,15 @@ def test_bpe_token_counts_classes(ray_session):
     assert out["n_num_tokens"] == [1]
     assert out["n_other_tokens"] == [2]
     assert out["n_bpe_tokens"] == [6]
+
+
+def test_dedup_ngram_keep_covers_corpus(ray_session):
+    from graphrag_ray.queries import dedup_ngram_keep, dedup_ngram_pairs
+
+    keep = dedup_ngram_keep(SF).to_pandas()
+    assert len(keep) == 500
+    assert (keep["keep_id"] <= keep["doc_id"]).all()  # min-id representative
+    pairs = dedup_ngram_pairs(SF).to_pandas()
+    kmap = dict(zip(keep["doc_id"], keep["keep_id"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert kmap[a] == kmap[b]  # paired docs share a representative
