@@ -145,6 +145,9 @@ def run_bench() -> dict:
     timed("embedding_near_dup", lambda: consume(q.embedding_near_dup(sf_dir)))
     timed("media_features", lambda: consume(q.media_features(sf_dir)))
     timed("top_terms", lambda: consume(q.top_terms(sf_dir)))
+    timed("doc_lm_score", lambda: consume(q.doc_lm_score(sf_dir)))
+    timed("dup_passages", lambda: consume(q.dup_passages(sf_dir)))
+    timed("events_asof", lambda: consume(q.events_asof(sf_dir)))
 
     result = {
         "metric": "kg_construction_end_to_end",

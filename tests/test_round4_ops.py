@@ -343,3 +343,33 @@ def test_dedup_ngram_keep_covers_corpus(ray_session):
     kmap = dict(zip(keep["doc_id"], keep["keep_id"]))
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         assert kmap[a] == kmap[b]  # paired docs share a representative
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_asof_random_equivalence(ray_session, seed):
+    """asof_join equals a per-row linear predecessor scan on random
+    event sets (duplicate timestamps included)."""
+    import random
+
+    rng = random.Random(seed)
+    def mk(n, id0):
+        rows = [(id0 + i, rng.randrange(0, 50) * 1_000_000,
+                 rng.randrange(0, 4)) for i in range(n)]
+        return rows
+
+    lrows, rrows = mk(40, 1000), mk(30, 2000)
+    from graphrag_ray.stages.events import asof_join
+
+    out = asof_join(ray.data.from_arrow(_events_tbl(lrows)),
+                    ray.data.from_arrow(_events_tbl(rrows))).to_pandas()
+    got = {r.event_id: (r.r_event_id, r.gap)
+           for r in out.itertuples(index=False)}
+    want = {}
+    for eid, ts, uid in lrows:
+        cands = [(rts, rid) for rid, rts, ruid in rrows
+                 if ruid == uid and rts <= ts]
+        if cands:
+            best_ts = max(c[0] for c in cands)
+            best_id = min(rid for rts, rid in cands if rts == best_ts)
+            want[eid] = (best_id, ts - best_ts)
+    assert got == want
