@@ -373,3 +373,39 @@ def test_asof_random_equivalence(ray_session, seed):
             best_id = min(rid for rts, rid in cands if rts == best_ts)
             want[eid] = (best_id, ts - best_ts)
     assert got == want
+
+
+# ------------------------------------------------- adversarial / hot keys
+
+def test_dup_passages_universal_boilerplate(ray_session):
+    """One 8-gram shared by EVERY doc (the web-boilerplate case): the
+    bucket reduction stays vectorized-aggregate-shaped (no pairwise
+    expansion anywhere in the passage pipeline), so output size is
+    O(distinct windows), not O(docs^2)."""
+    from graphrag_ray.stages import passages
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    ds = _docs_ds([f"{shared} tail{i} x{i} y{i} z{i} q{i} r{i} s{i} t{i}"
+                   for i in range(200)])
+    out = passages.dup_passages(ds).to_pandas()
+    row = out[out["n_docs"] == 200]
+    assert len(row) == 1 and row.iloc[0]["n_occ"] == 200
+    # windows containing per-doc unique tails must not appear
+    assert (out["n_docs"] >= 2).all()
+    counts = passages.doc_dup_passage_counts(ds).to_pandas()
+    assert len(counts) == 200
+
+
+def test_lm_score_hot_context_word(ray_session):
+    """Every bigram shares one context word -> one bucket holds the whole
+    stream; the fused train+score pass is a pandas transform (vectorized),
+    and results stay exact."""
+    from graphrag_ray.stages import lm_score
+
+    import numpy as np
+    texts = [f"the x{i} the y{i} the z{i}" for i in range(100)]
+    # bigrams: (the, x_i), (x_i, the), ... context 'the' dominates
+    out = lm_score.lm_bigram_doc_scores(_docs_ds(texts)).to_pandas()
+    assert len(out) == 100
+    assert (out["n_bigrams"] == 5).all()
+    assert np.isfinite(out["avg_logprob"]).all()
