@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q.ann_lsh_topk,          # SQL-oracled (plane replay)
         "ann_ivf_topk": q.ann_ivf_topk,          # SQL-oracled (k-means replay)
         "ivf_cluster_sizes": q.ivf_cluster_sizes,  # SQL-oracled (same trainer replay)
+        "embedding_pca_top": q.embedding_pca_top,  # SQL-oracled (power-iteration replay)
         # --- kgx: KG pipeline over the md5-derived oracle corpus
         #     (SQL-oracled end-to-end: extract → canonicalize → edges)
         "kgx_doc_entities": q.kgx_doc_entities,
@@ -785,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
             strategy="weighted"),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ivf_cluster_sizes": _ivf_cluster_sizes_sql(),
+        "embedding_pca_top": _pca_top_sql(),
         "rrf_fusion": """
             WITH cos AS (
               SELECT vec_id,
@@ -1006,6 +1008,48 @@ def _ivf_cluster_sizes_sql(k_cent: int = 16, iters: int = 10,
         FROM {cf} ct LEFT JOIN (
           SELECT c, count(*) AS n FROM alla GROUP BY c) m ON m.c = ct.c
     """)
+
+
+def _pca_top_sql(iters: int = 20) -> str:
+    """PCA top-component oracle: the same mean-centered covariance and
+    uniform-init power iteration as stages/ann.pca_top_component, unrolled
+    ``iters`` rounds (each round MATERIALIZED — referenced twice by the
+    next). Divergence from the pipeline is float summation order only,
+    ~1e-11 against the 1e-4 rounding."""
+    parts = ["""
+        e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+        dims AS MATERIALIZED (
+          SELECT unnest(generate_series(1,
+              (SELECT array_length(v) FROM e LIMIT 1))) AS i),
+        m AS MATERIALIZED (
+          SELECT d.i AS i, sum(e.v[d.i]) AS s
+          FROM e CROSS JOIN dims d GROUP BY 1),
+        s2 AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j, sum(e.v[a.i] * e.v[b.i]) AS s
+          FROM e CROSS JOIN dims a CROSS JOIN dims b GROUP BY 1, 2),
+        cov AS MATERIALIZED (
+          SELECT s2.i, s2.j,
+                 s2.s / nn.n - (ma.s / nn.n) * (mb.s / nn.n) AS c
+          FROM s2 JOIN m ma ON ma.i = s2.i JOIN m mb ON mb.i = s2.j
+          CROSS JOIN nn),
+        v0 AS MATERIALIZED (
+          SELECT i, 1.0 / sqrt((SELECT count(*) FROM dims)) AS val
+          FROM dims)"""]
+    prev = "v0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        w{k} AS MATERIALIZED (
+          SELECT cov.i, sum(cov.c * p.val) AS w
+          FROM cov JOIN {prev} p ON p.i = cov.j GROUP BY 1),
+        v{k} AS MATERIALIZED (
+          SELECT i, w / sqrt((SELECT sum(w * w) FROM w{k})) AS val
+          FROM w{k})""")
+        prev = f"v{k}"
+    parts.append(f"""
+        SELECT (i - 1)::BIGINT AS dim, round(val, 4) AS loading
+        FROM {prev}""")
+    return "WITH " + "".join(parts)
 
 
 def _ann_lsh_sql() -> str:

@@ -2596,6 +2596,13 @@ def ivf_cluster_sizes(sf_dir: str):
     return ann.ivf_cluster_sizes(_embeddings(sf_dir), centroids)
 
 
+def embedding_pca_top(sf_dir: str):
+    """Top principal component of the embedding cloud: distributed moment
+    partials + driver power iteration (embedding whitening/compression
+    building block)."""
+    return ann.pca_top_component(_embeddings(sf_dir))
+
+
 def ann_ivf_topk(sf_dir: str, k: int = 10):
     """IVF-bucketed approximate top-k: seeded k-means coarse quantizer
     trained on a sample, query probes its nprobe nearest cells."""

@@ -392,3 +392,61 @@ def ivf_cluster_sizes(embeddings_ds, centroids: np.ndarray):
         "n_vecs": pa.array([int(got.get(c, 0)) for c in range(k)],
                            pa.int64()),
     })
+
+
+def pca_partial_rows(batch: pa.Table) -> pa.Table:
+    """Per-batch moment partials for PCA: flattened X^T X entries
+    (i, j, v), column sums (i, -1, v) and the row count (-1, -1, n) — the
+    exchange carries O(d^2) rows per batch, never vectors."""
+    mat = _to_matrix(batch.column("embedding")).astype(np.float64)
+    n, d = mat.shape if mat.ndim == 2 else (0, 0)
+    if n == 0:
+        return pa.table({"i": pa.array([], pa.int32()),
+                         "j": pa.array([], pa.int32()),
+                         "v": pa.array([], pa.float64())})
+    s2 = mat.T @ mat
+    s1 = mat.sum(axis=0)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    i_col = np.concatenate([ii.ravel(), np.arange(d), [-1]]).astype(np.int32)
+    j_col = np.concatenate([jj.ravel(), np.full(d, -1), [-1]]).astype(np.int32)
+    v_col = np.concatenate([s2.ravel(), s1, [float(n)]])
+    return pa.table({"i": pa.array(i_col), "j": pa.array(j_col),
+                     "v": pa.array(v_col, pa.float64())})
+
+
+def pca_top_component(embeddings_ds, iters: int = 20):
+    """Top principal component of the (mean-centered) embedding cloud:
+    distributed moment partials → tiny groupby → driver-side power
+    iteration from the uniform init (d numbers on the driver, never a
+    vector table). Output: (dim, loading) rounded to 4 — the SQL twin
+    unrolls the same iteration over the same covariance."""
+    from ray.data.aggregate import Sum
+
+    agg = (embeddings_ds.map_batches(pca_partial_rows,
+                                     batch_format="pyarrow")
+           .groupby(["i", "j"]).aggregate(Sum("v", alias_name="v")))
+    rows = agg.take_all()
+    n = 0.0
+    s1: dict[int, float] = {}
+    s2: dict[tuple, float] = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s1[r["i"]] = r["v"]
+        else:
+            s2[(r["i"], r["j"])] = r["v"]
+    d = max(s1) + 1 if s1 else 0
+    if d == 0 or n == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "loading": pa.array([], pa.float64())})
+    mean = np.array([s1[i] / n for i in range(d)])
+    cov = np.array([[s2[(i, j)] / n for j in range(d)] for i in range(d)])
+    cov -= np.outer(mean, mean)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.sqrt((w * w).sum())
+    loading = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+    return pa.table({"dim": pa.array(range(d), pa.int64()),
+                     "loading": pa.array(loading, pa.float64())})

@@ -409,3 +409,23 @@ def test_lm_score_hot_context_word(ray_session):
     assert len(out) == 100
     assert (out["n_bigrams"] == 5).all()
     assert np.isfinite(out["avg_logprob"]).all()
+
+
+def test_pca_top_component_recovers_dominant_axis(ray_session):
+    from graphrag_ray.stages.ann import pca_top_component
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    # variance overwhelmingly along axis 2
+    base = rng.normal(0, 0.01, size=(200, 8)).astype(np.float32)
+    base[:, 2] += rng.normal(0, 5.0, size=200).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in base],
+                              pa.list_(pa.float32())),
+    }))
+    out = pca_top_component(ds).to_pandas()
+    lead = out.loc[out["loading"].abs().idxmax()]
+    assert lead["dim"] == 2
+    assert abs(lead["loading"]) > 0.99
+    assert abs((out["loading"] ** 2).sum() - 1.0) < 1e-3  # unit norm
