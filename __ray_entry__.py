@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
         "dedup_ngram_keep": q.dedup_ngram_keep,      # SQL-oracled (min-label closure)
+        "curation_pipeline": q.curation_pipeline,    # SQL-oracled (composed twin)
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
         "rrf_fusion": q.rrf_fusion,              # SQL-oracled
@@ -300,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
+        "events_bursts": q.events_bursts,    # SQL-oracled (integer contract)
     }
 
 
@@ -315,7 +317,7 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_ray import synth_oracle as _syn_sql
     from graphrag_ray import curation_oracle as _cur_sql
 
-    return {
+    oracles = {
         # training-data curation (curation_oracle.py replays the
         # md5-derived PII injection, RE2 regexes, hash split, n-gram
         # repetition/decontamination and sampling arithmetic exactly)
@@ -582,6 +584,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_dup_windows
             FROM f JOIN d USING (phash) GROUP BY 1
+        """,
+        "events_bursts": """
+            WITH c AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 21600000000)::BIGINT AS window_id,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(n_events) AS total,
+                         count(*) AS nw
+                  FROM c GROUP BY 1)
+            SELECT c.event_type, c.window_id, c.n_events,
+                   (CASE WHEN c.n_events * t.nw > 2 * t.total
+                         THEN 1 ELSE 0 END)::BIGINT AS is_burst
+            FROM c JOIN t USING (event_type)
         """,
         "events_value_quantiles": """
             WITH r AS (
@@ -900,6 +916,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
     }
+
+    oracles["curation_pipeline"] = f"""
+        WITH v AS ({oracles["doc_filter_verdict"]}),
+             k AS ({oracles["dedup_ngram_keep"]}),
+             s AS ({oracles["doc_split"]})
+        SELECT v.doc_id, s.split, v.n_tokens
+        FROM v JOIN k USING (doc_id) JOIN s USING (doc_id)
+        WHERE v.keep AND k.keep_id = v.doc_id
+    """
+    return oracles
 
 
 def _ivf_train_parts(k_cent: int = 16, iters: int = 10,

@@ -517,6 +517,46 @@ def dedup_ngram_keep(sf_dir: str, threshold: float = 0.5):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+def curation_pipeline(sf_dir: str):
+    """END-TO-END curation composition — the pipeline a training-data user
+    actually runs: quality filter (first-failing-rule verdict) ∧ text
+    near-dup dedup (keep only cluster representatives) → hash split.
+    ONE document scan: verdict + split are per-row; the dedup-cluster
+    label table (dup nodes only, tiny by construction) is the only
+    broadcast. Output: the kept training rows (doc_id, split, n_tokens)."""
+    import pyarrow.compute as pc
+
+    from .stages import curation
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": batch.column("doc_a"),
+                         "vec_b": batch.column("doc_b")})
+
+    pairs = dedup_ngram_pairs(sf_dir).map_batches(
+        to_nodes, batch_format="pyarrow").materialize()
+    labels = dedup.semantic_components_labels(pairs)
+    lbl_blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    lbl = (pa.concat_tables(lbl_blocks, promote_options="default")
+           if lbl_blocks else
+           pa.table({"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}))
+    lbl_ref = ray.put(lbl)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lbl_ref)
+        v = curation.filter_verdict(batch)
+        s = curation.hash_split(batch)
+        did = batch.column("doc_id").cast(pa.int64())
+        idx = pc.index_in(did, lt.column("node"))
+        keep_id = pc.coalesce(pc.take(lt.column("label"), idx), did)
+        mask = pc.and_(v.column("keep"), pc.equal(keep_id, did))
+        out = pa.table({"doc_id": did, "split": s.column("split"),
+                        "n_tokens": v.column("n_tokens")})
+        return out.filter(mask)
+
+    return _docs(sf_dir).map_batches(annotate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -2560,6 +2600,16 @@ def events_value_quantiles(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return value_quantiles_by_type(ds)
+
+
+def events_bursts(sf_dir: str):
+    """Burst windows per event type (all-integer contract:
+    n * n_windows > 2 * total)."""
+    from .stages.events import burst_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return burst_windows(ds)
 
 
 def events_asof(sf_dir: str):

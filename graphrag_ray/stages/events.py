@@ -409,3 +409,43 @@ def value_quantiles_by_type(events_ds,
 
     return (events_ds.groupby("event_type")
             .map_groups(quant, batch_format="pandas"))
+
+def burst_windows(events_ds, window_hours: int = 6):
+    """Burst detection over tumbling windows: a (event_type, window) is a
+    burst when its count exceeds 2x the type's mean window rate. The
+    comparison is ALL-INTEGER (n * n_windows > 2 * total) so the surface
+    carries no float at all. Two small exchanges: per-(type, window)
+    counts (combiner-first), then a per-type rollup broadcast back onto
+    the window rows via a self-groupby."""
+    window_us = window_hours * HOUR_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_id": (ts // window_us).astype(np.int64),
+        })
+        g = (df.groupby(["event_type", "window_id"], sort=False)
+             .size().rename("n_events").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (events_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None)
+              .groupby(["event_type", "window_id"])
+              .aggregate(Sum("n_events", alias_name="n_events")))
+
+    _COLS = {"event_type": "object", "window_id": "int64",
+             "n_events": "int64", "is_burst": "int64"}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _COLS.items()})
+        total = int(df["n_events"].sum())
+        nw = len(df)
+        df = df.copy()
+        df["is_burst"] = (df["n_events"] * nw > 2 * total).astype("int64")
+        return df[list(_COLS)]
+
+    return counts.groupby("event_type").map_groups(
+        flag, batch_format="pandas")

@@ -429,3 +429,36 @@ def test_pca_top_component_recovers_dominant_axis(ray_session):
     assert lead["dim"] == 2
     assert abs(lead["loading"]) > 0.99
     assert abs((out["loading"] ** 2).sum() - 1.0) < 1e-3  # unit norm
+
+
+def test_events_bursts_integer_rule(ray_session):
+    from graphrag_ray.stages.events import burst_windows
+
+    # type 'a': window 0 has 9 events, windows 1..3 have 1 each ->
+    # total 12, nw 4; burst iff n*4 > 24 -> only window 0 (36 > 24)
+    rows = []
+    for i in range(9):
+        rows.append((i, i * 60_000_000, 0, "a"))
+    for w in (1, 2, 3):
+        rows.append((100 + w, w * 21_600_000_000 + 5, 0, "a"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    out = burst_windows(ds).to_pandas().sort_values("window_id")
+    assert list(out["is_burst"]) == [1, 0, 0, 0]
+
+
+def test_curation_pipeline_composition(ray_session):
+    from graphrag_ray.queries import (curation_pipeline, dedup_ngram_keep,
+                                      doc_filter_verdict)
+
+    out = curation_pipeline(SF).to_pandas()
+    verdict = doc_filter_verdict(SF).to_pandas()
+    keep = dedup_ngram_keep(SF).to_pandas()
+    ok = set(verdict[verdict["keep"]]["doc_id"])
+    reps = set(keep[keep["keep_id"] == keep["doc_id"]]["doc_id"])
+    assert set(out["doc_id"]) == ok & reps
+    assert set(out["split"]) <= {"train", "valid", "test"}
