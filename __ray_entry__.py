@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_lpa": q.syn_lpa,
         "syn_kcore": q.syn_kcore,
         "syn_eccentricity": q.syn_eccentricity,
+        "syn_assortativity": q.syn_assortativity,
+        "syn_component_sizes": q.syn_component_sizes,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
         "syn_leiden_l2": q.syn_leiden_l2,
@@ -185,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_lpa": q.kgx_lpa,
         "kgx_kcore": q.kgx_kcore,
         "kgx_eccentricity": q.kgx_eccentricity,
+        "kgx_assortativity": q.kgx_assortativity,
+        "kgx_component_sizes": q.kgx_component_sizes,
         "kgx_leiden": q.kgx_leiden,
         "kgx_leiden_l1": q.kgx_leiden_l1,
         "kgx_rel_hierarchy": q.kgx_rel_hierarchy,
@@ -755,6 +759,10 @@ def oracle_sql() -> dict[str, str]:
         "kgx_triangles": _synkg_sql.kgx_triangles_sql(),
         "kgx_kcore": _synkg_sql.kgx_kcore_sql(),
         "kgx_eccentricity": _synkg_sql.kgx_eccentricity_sql(),
+        "kgx_assortativity": _synkg_sql.kgx_assortativity_sql(),
+        "kgx_component_sizes": _synkg_sql.kgx_component_sizes_sql(),
+        "syn_assortativity": _synkg_sql.syn_assortativity_sql(),
+        "syn_component_sizes": _synkg_sql.syn_component_sizes_sql(),
         "syn_eccentricity": _synkg_sql.syn_eccentricity_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),

@@ -1629,6 +1629,38 @@ def syn_lpa(sf_dir: str):
     return ga.label_propagation(res.entities, res.edges, rounds=8)
 
 
+def kgx_assortativity(sf_dir: str):
+    """Degree assortativity over the kgx graph (integer-sum contract)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.assortativity(res.entities, res.edges)
+
+
+def kgx_component_sizes(sf_dir: str):
+    """Component-size histogram over the kgx graph."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    return ga.component_sizes(res.entities, res.edges)
+
+
+def syn_assortativity(sf_dir: str):
+    """Degree assortativity over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.assortativity(res.entities, res.edges)
+
+
+def syn_component_sizes(sf_dir: str):
+    """Component-size histogram over the replayed syn graph."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    return ga.component_sizes(res.entities, res.edges)
+
+
 def kgx_eccentricity(sf_dir: str):
     """Per-node eccentricity over the kgx graph (driver-oracled:
     bounded-BFS recursive twin)."""

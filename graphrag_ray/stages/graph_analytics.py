@@ -897,3 +897,51 @@ def eccentricity(entities_ds, edges_ds, max_depth: int = 16):
              edges_ds.select_columns(["src", "dst"]).take_all()]
     return ray.data.from_pandas(
         ray.get(_ecc_task.remote(nodes, edges, max_depth)))
+
+@ray.remote
+def _assortativity_task(nodes, edges):
+    """Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    degrees over the directed double cover of the simple undirected graph.
+    All accumulators are integers; the single float division happens once
+    at the end (round4), so the SQL twin is bit-exact."""
+    import math
+
+    order = sorted(set(nodes))
+    node_set = set(order)
+    und = {tuple(sorted((a, b))) for a, b in edges
+           if a != b and a in node_set and b in node_set}
+    deg: dict[str, int] = {n: 0 for n in order}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    m2 = 2 * len(und)  # directed double cover size
+    if m2 == 0:
+        return pd.DataFrame({"n_edges": [0], "assortativity": [0.0]})
+    s_jk = sum(deg[a] * deg[b] for a, b in und) * 2
+    s_sum = sum(deg[a] + deg[b] for a, b in und)      # Σ(j+k) over cover /1
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    num = s_jk / m2 - (s_sum / m2) ** 2
+    den = s_sq / m2 - (s_sum / m2) ** 2
+    r = 0.0 if den == 0 else num / den
+    r4 = math.copysign(math.floor(abs(r) * 1e4 + 0.5) / 1e4, r)
+    return pd.DataFrame({"n_edges": [len(und)], "assortativity": [r4]})
+
+
+def assortativity(entities_ds, edges_ds):
+    """Degree assortativity coefficient (single-task disposition)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(
+        ray.get(_assortativity_task.remote(nodes, edges)))
+
+
+def component_sizes(entities_ds, edges_ds):
+    """Component-size histogram: (size, n_components) — derived from the
+    oracled connected-components labels."""
+    comp = connected_components(entities_ds, edges_ds).to_pandas()
+    sizes = comp.groupby("component").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({"size": hist.index.astype("int64"),
+                         "n_components": hist.values.astype("int64")})

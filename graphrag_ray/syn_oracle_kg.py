@@ -1684,3 +1684,78 @@ def kgx_eccentricity_sql() -> str:
         WITH RECURSIVE {_corpus_cte()},
         {_ecc_replay('canon', 'kgx_edge_agg')}
     """
+
+
+def _assortativity_replay(nodes_rel: str, edges_rel: str) -> str:
+    """Degree-assortativity replay: integer sums over the simple graph,
+    one float expression at the end written operation-for-operation as the
+    Python stage computes it (x/m2 divisions then products)."""
+    return f"""
+        asimple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM {edges_rel} WHERE src <> dst),
+        adeg AS (SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM asimple
+            UNION ALL SELECT b AS node FROM asimple) AS m GROUP BY 1),
+        asums AS (
+          SELECT 2 * count(*) AS m2,
+                 coalesce(2 * sum(da.d * db.d), 0) AS s_jk,
+                 coalesce(sum(da.d + db.d), 0) AS s_sum,
+                 coalesce(sum(da.d * da.d + db.d * db.d), 0) AS s_sq
+          FROM asimple e
+          JOIN adeg da ON da.node = e.a
+          JOIN adeg db ON db.node = e.b)
+        SELECT (m2 / 2)::BIGINT AS n_edges,
+               CASE WHEN m2 = 0 OR
+                         (s_sq::DOUBLE / m2
+                          - (s_sum::DOUBLE / m2) * (s_sum::DOUBLE / m2)) = 0
+                    THEN 0.0
+                    ELSE round(
+                      (s_jk::DOUBLE / m2
+                       - (s_sum::DOUBLE / m2) * (s_sum::DOUBLE / m2))
+                      / (s_sq::DOUBLE / m2
+                         - (s_sum::DOUBLE / m2) * (s_sum::DOUBLE / m2)), 4)
+               END AS assortativity
+        FROM asums
+    """
+
+
+def syn_assortativity_sql() -> str:
+    """Degree assortativity over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_assortativity_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_assortativity_sql() -> str:
+    """Degree assortativity over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_assortativity_replay('canon', 'kgx_edge_agg')}
+    """
+
+
+def syn_component_sizes_sql() -> str:
+    """Component-size histogram over the replayed syn graph (composed
+    from the oracled components replay)."""
+    return f"""
+        WITH comp AS ({syn_components_sql()}),
+        s AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+        SELECT sz::BIGINT AS size, count(*)::BIGINT AS n_components
+        FROM s GROUP BY 1
+    """
+
+
+def kgx_component_sizes_sql() -> str:
+    """Component-size histogram over the kgx graph."""
+    from .kgx import kgx_components_sql
+
+    return f"""
+        WITH comp AS ({kgx_components_sql()}),
+        s AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+        SELECT sz::BIGINT AS size, count(*)::BIGINT AS n_components
+        FROM s GROUP BY 1
+    """

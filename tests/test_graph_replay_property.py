@@ -12,6 +12,7 @@ import ray
 
 from graphrag_ray.stages import graph_analytics as ga
 from graphrag_ray.syn_oracle_kg import (
+    _assortativity_replay,
     _ecc_replay,
     _kcore_replay,
     _link_pred_replay,
@@ -88,3 +89,13 @@ def test_link_pred_replay_equivalence(ray_session, seed, n, m):
     want = {(a, b): (int(c), float(s))
             for a, b, c, s in py.itertuples(index=False, name=None)}
     assert got == want
+
+
+@pytest.mark.parametrize("seed,n,m", CASES)
+def test_assortativity_replay_equivalence(ray_session, seed, n, m):
+    nodes, edges = _rand_graph(seed, n, m)
+    py = ray.get(ga._assortativity_task.remote(nodes, edges))
+    rows = _sql(nodes, edges, _assortativity_replay("tn", "te"))
+    assert len(rows) == 1
+    assert rows[0][0] == py["n_edges"].iloc[0]
+    assert rows[0][1] == pytest.approx(py["assortativity"].iloc[0], abs=0)
