@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
         "events_bursts": q.events_bursts,    # SQL-oracled (integer contract)
+        "events_retention": q.events_retention,  # SQL-oracled
     }
 
 
@@ -588,6 +589,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_dup_windows
             FROM f JOIN d USING (phash) GROUP BY 1
+        """,
+        "events_retention": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS week
+                       FROM events),
+            uw AS (SELECT DISTINCT user_id, week FROM e),
+            f AS (SELECT user_id, min(week) AS cw FROM uw GROUP BY 1)
+            SELECT f.cw::BIGINT AS cohort_week,
+                   (uw.week - f.cw)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM uw JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "events_bursts": """
             WITH c AS (

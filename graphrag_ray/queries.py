@@ -2634,6 +2634,15 @@ def events_value_quantiles(sf_dir: str):
     return value_quantiles_by_type(ds)
 
 
+def events_retention(sf_dir: str):
+    """Weekly retention cohorts (cohort_week, week_offset, n_users)."""
+    from .stages.events import retention_cohorts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return retention_cohorts(ds)
+
+
 def events_bursts(sf_dir: str):
     """Burst windows per event type (all-integer contract:
     n * n_windows > 2 * total)."""

@@ -449,3 +449,40 @@ def burst_windows(events_ds, window_hours: int = 6):
 
     return counts.groupby("event_type").map_groups(
         flag, batch_format="pandas")
+
+WEEK_US = 7 * 24 * HOUR_US
+
+
+def retention_cohorts(events_ds, num_buckets: int = 16):
+    """Weekly retention cohorts: users grouped by first-event week; for
+    each (cohort_week, week_offset) the number of cohort users active in
+    that week. Two exchanges: hash(user) co-location to derive each
+    user's cohort + active weeks, then a tiny (cohort, offset) count."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "bucket": pa.array((users % num_buckets).astype(np.int32)),
+            "user_id": batch.column("user_id"),
+            "week": pa.array((ts // WEEK_US).astype(np.int64)),
+        })
+
+    _COLS = {"cohort_week": "int64", "week_offset": "int64",
+             "user_id": "int64"}
+
+    def user_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _COLS.items()})
+        df = df.drop_duplicates(["user_id", "week"])
+        first = df.groupby("user_id")["week"].transform("min")
+        return pd.DataFrame({"cohort_week": first,
+                             "week_offset": df["week"] - first,
+                             "user_id": df["user_id"]})
+
+    rows = (events_ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(user_weeks, batch_format="pandas"))
+    return rows.groupby(["cohort_week", "week_offset"]).aggregate(
+        Count(alias_name="n_users"))

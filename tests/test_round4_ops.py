@@ -462,3 +462,19 @@ def test_curation_pipeline_composition(ray_session):
     reps = set(keep[keep["keep_id"] == keep["doc_id"]]["doc_id"])
     assert set(out["doc_id"]) == ok & reps
     assert set(out["split"]) <= {"train", "valid", "test"}
+
+
+def test_retention_cohorts_semantics(ray_session):
+    from graphrag_ray.stages.events import WEEK_US, retention_cohorts
+
+    # user 1: weeks 0,1,3 ; user 2: weeks 1,1 (dup) -> cohort 1, offset 0
+    rows = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * WEEK_US + 5 for r in rows],
+                       pa.timestamp("us")),
+    }))
+    out = retention_cohorts(ds).to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples(index=False)}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
