@@ -78,6 +78,17 @@ def main(argv: list[str] | None = None) -> dict:
 
     t0 = time.perf_counter()
     docs = read_spans_documents(args.input)
+    if "spans" not in docs.schema().names:
+        if "text" in docs.schema().names:
+            # flat (doc_id, text, ...) table: adapt through the same
+            # deterministic spans synthesizer the tests/bench use
+            from .pipelines.kg import spans_dataset_from_flat_parquet
+
+            docs = spans_dataset_from_flat_parquet(args.input)
+        else:
+            raise SystemExit(
+                "input must be a spans table (doc_id, spans) or a flat "
+                f"(doc_id, text) table; got columns {docs.schema().names}")
     res = build_kg(docs, cfg)
     tables = {"entities": res.entities, "edges": res.edges, "triples": res.triples}
     communities = summaries = None
