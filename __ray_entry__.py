@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_eccentricity": q.syn_eccentricity,
         "syn_assortativity": q.syn_assortativity,
         "syn_component_sizes": q.syn_component_sizes,
+        "syn_hits": q.syn_hits,
+        "kgx_hits": q.kgx_hits,
         "syn_leiden": q.syn_leiden,
         "syn_leiden_l1": q.syn_leiden_l1,
         "syn_leiden_l2": q.syn_leiden_l2,
@@ -775,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
         "kgx_component_sizes": _synkg_sql.kgx_component_sizes_sql(),
         "syn_assortativity": _synkg_sql.syn_assortativity_sql(),
         "syn_component_sizes": _synkg_sql.syn_component_sizes_sql(),
+        "syn_hits": _synkg_sql.syn_hits_sql(),
+        "kgx_hits": _synkg_sql.kgx_hits_sql(),
         "syn_eccentricity": _synkg_sql.syn_eccentricity_sql(),
         "syn_leiden": _synkg_sql.syn_leiden_sql(),
         "syn_leiden_l1": _synkg_sql.syn_leiden_l1_sql(),

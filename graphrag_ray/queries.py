@@ -3944,3 +3944,28 @@ def split_leakage(sf_dir: str):
 
     return dedup_simhash_pairs(sf_dir).map_batches(
         curation.pair_split_leakage, batch_format="pyarrow")
+
+
+def syn_hits(sf_dir: str):
+    """HITS hubs/authorities over the replayed syn graph (driver-oracled:
+    the SQL twin replays the unnormalized directed power iteration as a
+    recursive CTE — syn_oracle_kg._hits_replay)."""
+    from .stages import graph_analytics as ga
+
+    res = _syn(sf_dir)
+    df = ga.hits(res.entities, res.edges).to_pandas()
+    for c in ("authority", "hub"):
+        df[c] = _round4(df[c].to_numpy())
+    return df
+
+
+def kgx_hits(sf_dir: str):
+    """HITS hubs/authorities over the kgx graph (same recursive-CTE twin
+    over the template corpus graph)."""
+    from .stages import graph_analytics as ga
+
+    res = _kgx(sf_dir)
+    df = ga.hits(res.entities, res.edges).to_pandas()
+    for c in ("authority", "hub"):
+        df[c] = _round4(df[c].to_numpy())
+    return df

@@ -945,3 +945,50 @@ def component_sizes(entities_ds, edges_ds):
     hist = sizes.value_counts().sort_index()
     return pd.DataFrame({"size": hist.index.astype("int64"),
                          "n_components": hist.values.astype("int64")})
+
+
+@ray.remote
+def _hits_task(nodes, edges, iterations):
+    """HITS hubs/authorities (Kleinberg 1999) on the DIRECTED extraction
+    graph (subj→obj as emitted; self-loops dropped). Unnormalized power
+    iteration — auth ← AᵀΒ·hub, hub ← A·auth — with one L1 normalization
+    at the end; per-iteration normalization only rescales, and deferring
+    it keeps every intermediate an exact sum of products so the SQL twin
+    replays the arithmetic verbatim (values stay ≪ 1e308 for any graph
+    small enough for the single-task disposition)."""
+    order = sorted(set(nodes))
+    n = len(order)
+    if n == 0:
+        return pd.DataFrame({"entity_id": [], "authority": [], "hub": []})
+    idx = pd.Index(order)
+    if edges:
+        ea = idx.get_indexer([a for a, _ in edges])
+        eb = idx.get_indexer([b for _, b in edges])
+        keep = (ea >= 0) & (eb >= 0) & (ea != eb)
+        ea, eb = ea[keep], eb[keep]
+    else:
+        ea = eb = np.zeros(0, dtype=np.int64)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iterations):
+        auth = np.zeros(n)
+        np.add.at(auth, eb, hub[ea])
+        hub = np.zeros(n)
+        np.add.at(hub, ea, auth[eb])
+    sa, sh = auth.sum(), hub.sum()
+    if sa > 0:
+        auth = auth / sa
+    if sh > 0:
+        hub = hub / sh
+    return pd.DataFrame({"entity_id": order, "authority": auth, "hub": hub})
+
+
+def hits(entities_ds, edges_ds, iterations: int = 8):
+    """HITS over the canonical graph (single-task disposition, SURVEY
+    §2.9: canonical node/edge tables are small after canonicalization)."""
+    nodes = [r["canonical_id"] for r in
+             entities_ds.select_columns(["canonical_id"]).take_all()]
+    edges = [(r["src"], r["dst"]) for r in
+             edges_ds.select_columns(["src", "dst"]).take_all()]
+    return ray.data.from_pandas(
+        ray.get(_hits_task.remote(nodes, edges, iterations)))

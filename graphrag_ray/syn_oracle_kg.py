@@ -1759,3 +1759,70 @@ def kgx_component_sizes_sql() -> str:
         SELECT sz::BIGINT AS size, count(*)::BIGINT AS n_components
         FROM s GROUP BY 1
     """
+
+
+def _hits_replay(nodes_rel: str, edges_rel: str, iters: int = 8) -> str:
+    """HITS replay mirroring stages/graph_analytics._hits_task: directed
+    edges (multiplicity kept, self-loops and FK-dangling endpoints
+    dropped), unnormalized power iteration — auth ← Σ_in hub_old,
+    hub ← Σ_out auth_new (a two-hop sum over hub_old) — with one L1
+    normalization at the very end. Every intermediate is an exact sum of
+    products, so the only divergence from the numpy task is float
+    summation order (absorbed by round4).
+
+    DuckDB 1.0 quirk (measured): a CTE referenced ONLY from inside a
+    recursive part scans empty when the defining chain is deep; the seed
+    therefore consumes ``hedges`` through a no-op scalar term
+    (+ 0.0 * count) to force its materialization before recursion — the
+    same reason syn_pagerank_sql's working ``dirs`` is consumed by its
+    ``oinv`` sibling."""
+    return f"""
+        hedges AS MATERIALIZED (
+          SELECT e.src AS a, e.dst AS b
+          FROM {edges_rel} e
+          JOIN {nodes_rel} na ON na.canonical_id = e.src
+          JOIN {nodes_rel} nb ON nb.canonical_id = e.dst
+          WHERE e.src <> e.dst),
+        hits(iter, node, auth, hub) AS (
+          SELECT 0, canonical_id,
+                 1.0::DOUBLE + 0.0 * (SELECT count(*) FROM hedges),
+                 1.0::DOUBLE
+          FROM {nodes_rel}
+          UNION ALL
+          SELECT h.iter + 1, h.node,
+                 coalesce((SELECT sum(q.hub) FROM hits q
+                           JOIN hedges e ON e.a = q.node
+                           WHERE e.b = h.node), 0.0),
+                 coalesce((SELECT sum(q2.hub) FROM hedges e1
+                           JOIN hedges e2 ON e2.b = e1.b
+                           JOIN hits q2 ON q2.node = e2.a
+                           WHERE e1.a = h.node), 0.0)
+          FROM hits h WHERE h.iter < {iters}),
+        hlast AS (SELECT node, auth, hub FROM hits
+                  WHERE iter = (SELECT max(iter) FROM hits)),
+        hnorm AS (SELECT sum(auth) AS sa, sum(hub) AS sh FROM hlast)
+        SELECT node AS entity_id,
+               round(CASE WHEN sa > 0 THEN auth / sa ELSE auth END,
+                     4) AS authority,
+               round(CASE WHEN sh > 0 THEN hub / sh ELSE hub END,
+                     4) AS hub
+        FROM hlast CROSS JOIN hnorm
+    """
+
+
+def syn_hits_sql() -> str:
+    """HITS hubs/authorities over the replayed syn graph."""
+    return f"""
+        {_full_cte()},
+        {_hits_replay('canonf', 'edge_agg')}
+    """
+
+
+def kgx_hits_sql() -> str:
+    """HITS hubs/authorities over the kgx graph."""
+    from .kgx import _corpus_cte
+
+    return f"""
+        WITH RECURSIVE {_corpus_cte()},
+        {_hits_replay('canon', 'kgx_edge_agg')}
+    """

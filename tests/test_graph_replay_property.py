@@ -99,3 +99,24 @@ def test_assortativity_replay_equivalence(ray_session, seed, n, m):
     assert len(rows) == 1
     assert rows[0][0] == py["n_edges"].iloc[0]
     assert rows[0][1] == pytest.approx(py["assortativity"].iloc[0], abs=0)
+
+
+@pytest.mark.parametrize("seed,n,m", CASES)
+def test_hits_replay_equivalence(ray_session, seed, n, m):
+    from graphrag_ray.syn_oracle_kg import _hits_replay
+
+    nodes, edges = _rand_graph(seed, n, m)
+    py = ray.get(ga._hits_task.remote(nodes, edges, 8))
+    rows = _sql(nodes, edges, _hits_replay("tn", "te"))
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    want = {
+        e: (round4(a), round4(h))
+        for e, a, h in zip(py["entity_id"], py["authority"], py["hub"])
+    }
+    assert got == want
+
+
+def round4(x: float) -> float:
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
