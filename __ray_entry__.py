@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q.events_hopping,
         "events_type_stats": q.events_type_stats,
         "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
+        "lineitem_pricing_summary": q.lineitem_pricing_summary,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
@@ -671,6 +672,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "lineitem_pricing_summary": """
+            WITH li AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS qty_i,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_c,
+                     CAST(round(l_discount * 100, 0) AS BIGINT) AS d100,
+                     CAST(round(l_tax * 100, 0) AS BIGINT) AS t100
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59')
+            SELECT l_returnflag, l_linestatus,
+                   sum(qty_i)::BIGINT AS sum_qty,
+                   sum(ext_c)::BIGINT AS sum_base_cents,
+                   sum(ext_c * (100 - d100))::BIGINT AS sum_disc_e4,
+                   sum(ext_c * (100 - d100) * (100 + t100))::BIGINT
+                       AS sum_charge_e6,
+                   count(*)::BIGINT AS count_order,
+                   round(sum(qty_i)::DOUBLE / count(*), 4) AS avg_qty,
+                   round(sum(ext_c)::DOUBLE / count(*), 4) AS avg_price_cents,
+                   round(sum(d100)::DOUBLE / count(*), 4) AS avg_disc100
+            FROM li GROUP BY 1, 2
         """,
         "kgx_rdf_import": f"""
             WITH choice AS (

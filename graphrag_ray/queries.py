@@ -3969,3 +3969,79 @@ def kgx_hits(sf_dir: str):
     for c in ("authority", "hub"):
         df[c] = _round4(df[c].to_numpy())
     return df
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over the biggest table: per-batch
+    Arrow partial aggregation into integer-scaled accumulators (cents /
+    1e-4 / 1e-6 dollars — exact under ANY summation order, so the
+    distributed combine is bit-identical to the SQL twin), then a tiny
+    groupby over ≤6 (returnflag, linestatus) groups. Averages are one
+    float division at the end (round4)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        cutoff = np.datetime64("1998-09-02T23:59:59")
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        mask = ship <= cutoff
+        if not mask.any():
+            return pa.Table.from_pydict(
+                {c: pa.array([], t) for c, t in (
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("sum_qty", pa.int64()),
+                    ("sum_base_cents", pa.int64()),
+                    ("sum_disc_e4", pa.int64()),
+                    ("sum_charge_e6", pa.int64()),
+                    ("sum_disc100", pa.int64()),
+                    ("count_order", pa.int64()))})
+        flag = np.asarray(batch.column("l_returnflag").to_pylist(),
+                          dtype=object)[mask]
+        status = np.asarray(batch.column("l_linestatus").to_pylist(),
+                            dtype=object)[mask]
+        qty = batch.column("l_quantity").to_numpy()[mask]
+        ext = batch.column("l_extendedprice").to_numpy()[mask]
+        disc = batch.column("l_discount").to_numpy()[mask]
+        tax = batch.column("l_tax").to_numpy()[mask]
+        # integer-scaled: all inputs are 2-decimal money/ratio values, so
+        # rint(x*100) recovers the exact integer (never a .5 tie)
+        qty_i = np.rint(qty).astype(np.int64)
+        ext_c = np.rint(ext * 100).astype(np.int64)
+        d100 = np.rint(disc * 100).astype(np.int64)
+        t100 = np.rint(tax * 100).astype(np.int64)
+        disc_e4 = ext_c * (100 - d100)
+        charge_e6 = disc_e4 * (100 + t100)
+        keys = np.char.add(np.char.add(flag.astype(str), "|"),
+                           status.astype(str))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = len(uniq)
+        out = {
+            "l_returnflag": [k.split("|")[0] for k in uniq],
+            "l_linestatus": [k.split("|")[1] for k in uniq],
+            "sum_qty": np.bincount(inv, qty_i, n).astype(np.int64),
+            "sum_base_cents": np.bincount(inv, ext_c, n).astype(np.int64),
+            "sum_disc_e4": np.bincount(inv, disc_e4, n).astype(np.int64),
+            "sum_charge_e6": np.bincount(inv, charge_e6, n).astype(np.int64),
+            "sum_disc100": np.bincount(inv, d100, n).astype(np.int64),
+            "count_order": np.bincount(inv, minlength=n).astype(np.int64),
+        }
+        return pa.Table.from_pydict(out)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("sum_qty", "sum_base_cents", "sum_disc_e4",
+                         "sum_charge_e6", "sum_disc100", "count_order")]))
+    df = agg.to_pandas()
+    cnt = df["count_order"].to_numpy().astype(np.float64)
+    df["avg_qty"] = _round4(df["sum_qty"].to_numpy() / cnt)
+    df["avg_price_cents"] = _round4(df["sum_base_cents"].to_numpy() / cnt)
+    df["avg_disc100"] = _round4(df["sum_disc100"].to_numpy() / cnt)
+    df = df.drop(columns=["sum_disc100"])
+    return df
