@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": q.events_type_stats,
         "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
         "lineitem_pricing_summary": q.lineitem_pricing_summary,
+        "ship_latency_histogram": q.ship_latency_histogram,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
@@ -672,6 +673,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "ship_latency_histogram": """
+            SELECT CAST(floor((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                              / 86400000000.0) AS BIGINT) AS latency_days,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         "lineitem_pricing_summary": """
             WITH li AS (

@@ -4045,3 +4045,39 @@ def lineitem_pricing_summary(sf_dir: str):
     df["avg_disc100"] = _round4(df["sum_disc100"].to_numpy() / cnt)
     df = df.drop(columns=["sum_disc100"])
     return df
+
+
+def ship_latency_histogram(sf_dir: str):
+    """Order→ship latency distribution: big×big bucketed hash join
+    (lineitem ⋈ orders on the high-cardinality orderkey, one
+    groupby(bucket) exchange) feeding a per-batch integer-day histogram
+    partial and a tiny groupby — the canonical fact⋈dimension + rollup
+    shape at 100-TB scale (all-integer contract)."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import bucketed_hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                                ["l_shipdate"], ["o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"latency_days": pa.array([], pa.int64()),
+                 "n_items": pa.array([], pa.int64())})
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        odate = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        us = (ship - odate).astype("timedelta64[us]").astype(np.int64)
+        days = us // 86_400_000_000
+        uniq, counts = np.unique(days, return_counts=True)
+        return pa.Table.from_pydict(
+            {"latency_days": pa.array(uniq, pa.int64()),
+             "n_items": pa.array(counts.astype(np.int64), pa.int64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("latency_days")
+            .aggregate(Sum("n_items", alias_name="n_items")))
