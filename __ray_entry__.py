@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q.doc_token_stats,
         "doc_bpe_tokens": q.doc_bpe_tokens,      # SQL-oracled (RE2 twin)
         "doc_quality": q.doc_quality,
+        "doc_readability": q.doc_readability,
         "doc_lang_id": q.doc_lang_id,
         "doc_fingerprint": q.doc_fingerprint,
         "corpus_stats": q.corpus_stats,
@@ -415,6 +416,27 @@ def oracle_sql() -> dict[str, str]:
                        AS n_stop_tokens,
                    array_length(list_distinct(t))::BIGINT AS n_uniq_tokens
             FROM toks
+        """,
+        "doc_readability": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+            c AS (SELECT doc_id,
+                   greatest(1, array_length(
+                       regexp_extract_all(text, '[.!?]+')))::BIGINT
+                       AS n_sentences,
+                   coalesce(array_length(t), 0)::BIGINT AS n_words,
+                   coalesce(list_sum(list_transform(t, w ->
+                       greatest(1, array_length(
+                           regexp_extract_all(lower(w), '[aeiouy]+'))))),
+                       0)::BIGINT AS n_syllables
+              FROM toks)
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE round(206.835
+                                   - 1.015 * (n_words::DOUBLE / n_sentences)
+                                   - 84.6 * (n_syllables::DOUBLE / n_words),
+                                   4)
+                   END AS flesch
+            FROM c
         """,
         "doc_lang_id": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -4081,3 +4081,10 @@ def ship_latency_histogram(sf_dir: str):
     return (joined.map_batches(partial, batch_format="pyarrow")
             .groupby("latency_days")
             .aggregate(Sum("n_items", alias_name="n_items")))
+
+
+def doc_readability(sf_dir: str):
+    """Flesch reading-ease per document (deterministic vowel-group
+    syllable heuristic; stateless map_batches)."""
+    return _docs(sf_dir).map_batches(text_analysis.readability_stats,
+                                     batch_format="pyarrow")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -263,3 +264,41 @@ def bpe_token_counts(batch: pa.Table) -> pa.Table:
         "n_other_tokens": pa.array(other),
         "n_bpe_tokens": pa.array(alpha + num + other),
     })
+
+
+_VOWEL_GROUPS = re.compile(r"[aeiouy]+")
+_SENT_ENDS = re.compile(r"[.!?]+")
+
+
+def readability_stats(batch: pa.Table) -> pa.Table:
+    """Flesch reading-ease inputs under a deterministic syllable heuristic
+    (maximal [aeiouy]+ groups per lowercased word, floor 1) and sentence
+    count = maximal [.!?]+ runs (floor 1). Integer counts + one float
+    expression at the end — the SQL twin replays it with
+    regexp_extract_all over the same token array."""
+    texts = batch.column("text").to_pylist()
+    n_sents, n_words, n_syll, flesch = [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        sents = max(1, len(_SENT_ENDS.findall(t)))
+        syll = sum(max(1, len(_VOWEL_GROUPS.findall(w.lower()))) for w in toks)
+        n_sents.append(sents)
+        n_words.append(len(toks))
+        n_syll.append(syll)
+        if toks:
+            score = (206.835 - 1.015 * (len(toks) / sents)
+                     - 84.6 * (syll / len(toks)))
+        else:
+            score = 0.0
+        flesch.append(
+            math.copysign(math.floor(abs(score) * 1e4 + 0.5) / 1e4, score))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": pa.array(n_sents, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_syllables": pa.array(n_syll, pa.int64()),
+            "flesch": pa.array(flesch, pa.float64()),
+        }
+    )
