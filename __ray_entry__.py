@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "embedding_near_dup": q.embedding_near_dup,
+        "embedding_mutual_knn": q.embedding_mutual_knn,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
         "dedup_ngram_keep": q.dedup_ngram_keep,      # SQL-oracled (min-label closure)
@@ -517,6 +518,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) >= 0.45
+        """,
+        "embedding_mutual_knn": """
+            WITH sims AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     round(list_cosine_similarity(
+                         a.embedding, b.embedding)::DOUBLE, 4) AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            nn AS (
+              SELECT ia, ib, sim,
+                     row_number() OVER (PARTITION BY ia
+                                        ORDER BY sim DESC, ib) AS rn
+              FROM sims)
+            SELECT n1.ia::BIGINT AS vec_a, n1.ib::BIGINT AS vec_b, n1.sim
+            FROM nn n1 JOIN nn n2 ON n2.ia = n1.ib AND n2.ib = n1.ia
+            WHERE n1.rn = 1 AND n2.rn = 1 AND n1.ia < n1.ib
         """,
         # same EXACT oracle: the banded path must reach full recall
         "embedding_near_dup_bucketed": """

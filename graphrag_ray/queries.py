@@ -4088,3 +4088,35 @@ def doc_readability(sf_dir: str):
     syllable heuristic; stateless map_batches)."""
     return _docs(sf_dir).map_batches(text_analysis.readability_stats,
                                      batch_format="pyarrow")
+
+
+def embedding_mutual_knn(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embedding table (the
+    classic near-duplicate / translation-pair miner): blocked all-pairs
+    NN partials over object-store block refs (bounded per-task memory),
+    a per-vector max-reduce, then a groupby on the unordered pair key to
+    keep only mutually-nearest pairs. Ties break to the smallest
+    neighbor id on both sides."""
+    import pyarrow.compute as _pc
+
+    ds = _embeddings(sf_dir).materialize()
+    refs = ds.to_arrow_refs()
+    n = len(refs)
+    pair_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(n) for j in range(i, n)])
+    partials = pair_ds.map_batches(
+        ann.make_block_pair_nn_fn(refs), batch_size=1,
+        batch_format="pyarrow")
+    nn = partials.groupby("vec_id").map_groups(
+        ann.nn_reduce, batch_format="pyarrow")
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").to_numpy()
+        b = batch.column("nbr_id").to_numpy()
+        return batch.append_column(
+            "pmin", pa.array(np.minimum(a, b), pa.int64())).append_column(
+            "pmax", pa.array(np.maximum(a, b), pa.int64()))
+
+    return (nn.map_batches(pair_key, batch_format="pyarrow")
+            .groupby(["pmin", "pmax"])
+            .map_groups(ann.mutual_pairs, batch_format="pyarrow"))

@@ -450,3 +450,91 @@ def pca_top_component(embeddings_ds, iters: int = 20):
     loading = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
     return pa.table({"dim": pa.array(range(d), pa.int64()),
                      "loading": pa.array(loading, pa.float64())})
+
+
+def make_block_pair_nn_fn(block_refs: list):
+    """Blocked all-pairs nearest-neighbor partials (mutual-kNN stage 1):
+    each task resolves TWO Arrow blocks, computes the float32 cross-cosine
+    matrix once and emits, for every row of BOTH blocks, its best
+    neighbor within the pair — (vec_id, nbr_id, sim) with sims rounded to
+    4 digits and ties broken to the smallest neighbor id, so the global
+    argmax is a deterministic max-reduce over these partials. Same
+    bounded-memory shape as make_block_pair_near_dup_fn."""
+    import ray
+
+    def _best(sims: np.ndarray, ids_rows: np.ndarray, ids_cols: np.ndarray):
+        if sims.shape[1] == 0:
+            return None
+        maxv = sims.max(axis=1)
+        big = np.int64(np.iinfo(np.int64).max)
+        cand = np.where(sims == maxv[:, None], ids_cols[None, :], big)
+        nbr = cand.min(axis=1)
+        return ids_rows, nbr, maxv
+
+    def block_pair_nn(batch: pa.Table) -> pa.Table:
+        out_id, out_nbr, out_sim = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            tbl_i = ray.get(block_refs[i])
+            tbl_j = tbl_i if j == i else ray.get(block_refs[j])
+            mat_i = _to_matrix(tbl_i.column("embedding"))
+            mat_j = mat_i if j == i else _to_matrix(tbl_j.column("embedding"))
+            ids_i = np.asarray(tbl_i.column("vec_id").to_pylist(),
+                               dtype=np.int64)
+            ids_j = ids_i if j == i else np.asarray(
+                tbl_j.column("vec_id").to_pylist(), dtype=np.int64)
+            sims = _cross_sims(mat_i, mat_j)
+            if i == j:
+                np.fill_diagonal(sims, -np.inf)
+            got = _best(sims, ids_i, ids_j)
+            if got is not None:
+                out_id.append(got[0]); out_nbr.append(got[1]); out_sim.append(got[2])
+            if j != i:
+                got = _best(sims.T, ids_j, ids_i)
+                if got is not None:
+                    out_id.append(got[0]); out_nbr.append(got[1]); out_sim.append(got[2])
+        if not out_id:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())})
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+             "nbr_id": pa.array(np.concatenate(out_nbr), pa.int64()),
+             "sim": pa.array(np.concatenate(out_sim), pa.float64())})
+
+    return block_pair_nn
+
+
+def nn_reduce(group: pa.Table) -> pa.Table:
+    """Mutual-kNN stage 2: per-vec_id max-reduce of the block-pair
+    partials (max sim, ties to smallest neighbor id)."""
+    sims = group.column("sim").to_numpy()
+    nbrs = group.column("nbr_id").to_numpy()
+    best = sims.max()
+    mask = sims == best
+    nbr = nbrs[mask].min()
+    return pa.Table.from_pydict(
+        {"vec_id": group.column("vec_id").slice(0, 1),
+         "nbr_id": pa.array([nbr], pa.int64()),
+         "sim": pa.array([float(best)], pa.float64())})
+
+
+def mutual_pairs(group: pa.Table) -> pa.Table:
+    """Mutual-kNN stage 3: groups keyed by the unordered pair (pmin,
+    pmax); exactly two rows referencing each other = a mutual pair."""
+    empty = pa.Table.from_pydict(
+        {"vec_a": pa.array([], pa.int64()),
+         "vec_b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())})
+    if group.num_rows != 2:
+        return empty
+    ids = group.column("vec_id").to_pylist()
+    nbrs = group.column("nbr_id").to_pylist()
+    if ids[0] != nbrs[1] or ids[1] != nbrs[0]:
+        return empty
+    a, b = sorted(ids)
+    return pa.Table.from_pydict(
+        {"vec_a": pa.array([a], pa.int64()),
+         "vec_b": pa.array([b], pa.int64()),
+         "sim": group.column("sim").slice(0, 1)})
