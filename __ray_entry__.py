@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.events_asof,        # SQL-oracled (ASOF JOIN twin)
         "lineitem_pricing_summary": q.lineitem_pricing_summary,
         "ship_latency_histogram": q.ship_latency_histogram,
+        "customers_without_orders": q.customers_without_orders,
+        "latest_order_per_customer": q.latest_order_per_customer,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
@@ -711,6 +713,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey::BIGINT AS c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+        """,
+        "latest_order_per_customer": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS price_cents,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC,
+                                                 o_orderkey) AS rn
+              FROM orders)
+            SELECT o_custkey::BIGINT AS o_custkey,
+                   o_orderkey::BIGINT AS o_orderkey,
+                   odate_us::BIGINT AS odate_us, price_cents
+            FROM r WHERE rn = 1
         """,
         "ship_latency_histogram": """
             SELECT CAST(floor((epoch_us(l_shipdate) - epoch_us(o_orderdate))

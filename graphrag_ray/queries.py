@@ -4120,3 +4120,97 @@ def embedding_mutual_knn(sf_dir: str):
     return (nn.map_batches(pair_key, batch_format="pyarrow")
             .groupby(["pmin", "pmax"])
             .map_groups(ann.mutual_pairs, batch_format="pyarrow"))
+
+
+def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
+    """Distributed ANTI-join (J-family): customers with no high-value
+    order (o_totalprice > price_floor — the floor keeps the result
+    non-degenerate at every test scale). Both sides hash into the same
+    bucket space on the join key, ONE groupby(bucket) exchange
+    co-locates them, and the per-bucket task keeps left rows whose key
+    is absent from the right side (vectorized pc.index_in null-mask) —
+    the scale shape for EXCEPT/NOT-EXISTS at 100 TB. The right side is
+    filtered BEFORE the exchange, so only qualifying keys shuffle."""
+    import pyarrow.compute as _pc
+
+    num_buckets = 32
+
+    def tag(side: int, key_col: str, name_col: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bucket = ((keys.astype(np.uint64) * np.uint64(2654435761))
+                      % np.uint64(1 << 32)) % np.uint64(num_buckets)
+            return pa.Table.from_pydict(
+                {"bucket": pa.array(bucket.astype(np.int32)),
+                 "jkey": pa.array(keys),
+                 "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+                 "c_name": (batch.column(name_col) if name_col
+                            else pa.nulls(len(keys), pa.string()))})
+        return fn
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def high_value(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            _pc.greater(batch.column("o_totalprice"), price_floor))
+
+    left = customers.map_batches(tag(0, "c_custkey", "c_name"),
+                                 batch_format="pyarrow")
+    right = (orders.map_batches(high_value, batch_format="pyarrow")
+             .map_batches(tag(1, "o_custkey", None), batch_format="pyarrow"))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        side = batch.column("side")
+        l = batch.filter(_pc.equal(side, 0))
+        r = batch.filter(_pc.equal(side, 1))
+        idx = _pc.index_in(l.column("jkey"), r.column("jkey"))
+        keep = _pc.is_null(idx)
+        l = l.filter(keep)
+        return pa.Table.from_pydict(
+            {"c_custkey": l.column("jkey"), "c_name": l.column("c_name")})
+
+    return (left.union(right).groupby("bucket")
+            .map_groups(anti, batch_format="pyarrow"))
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Distributed argmax-per-group: each customer's most recent order
+    (latest o_orderdate; ties to the smallest orderkey). Per-batch
+    partial argmax collapses each batch to ≤1 row per key BEFORE the
+    exchange, then a keyed groupby finishes — the pre-aggregate shape
+    that keeps the shuffle proportional to |keys|, not |rows|."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        odate = batch.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        price = batch.column("o_totalprice").to_numpy()
+        # sort by (cust, -date, okey) then take first per cust
+        order = np.lexsort((okey, -odate, cust))
+        cust_s = cust[order]
+        first = np.ones(len(cust_s), dtype=bool)
+        first[1:] = cust_s[1:] != cust_s[:-1]
+        sel = order[first]
+        return pa.Table.from_pydict(
+            {"o_custkey": pa.array(cust[sel], pa.int64()),
+             "o_orderkey": pa.array(okey[sel], pa.int64()),
+             "odate_us": pa.array(odate[sel], pa.int64()),
+             "price_cents": pa.array(
+                 np.rint(price[sel] * 100).astype(np.int64), pa.int64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        okey = group.column("o_orderkey").to_numpy()
+        odate = group.column("odate_us").to_numpy()
+        best = np.lexsort((okey, -odate))[0]
+        return group.take([best])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey").map_groups(final, batch_format="pyarrow"))
