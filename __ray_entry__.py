@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": q.lineitem_pricing_summary,
         "ship_latency_histogram": q.ship_latency_histogram,
         "customers_without_orders": q.customers_without_orders,
+        "events_user_cms": q.events_user_cms,
         "latest_order_per_customer": q.latest_order_per_customer,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
@@ -720,6 +721,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000.0)
+        """,
+        "events_user_cms": """
+            WITH ex AS (SELECT user_id, count(*) AS exact_count
+                        FROM events GROUP BY 1),
+            top AS (SELECT user_id, exact_count FROM ex
+                    ORDER BY exact_count DESC, user_id LIMIT 20),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cms AS (SELECT r.r,
+                           ('0x'||substr(md5(r.r||':'||e.user_id), 1, 8))
+                               ::BIGINT % 256 AS b,
+                           count(*) AS cnt
+                    FROM events e CROSS JOIN rws r GROUP BY 1, 2),
+            est AS (SELECT t.user_id, t.exact_count, min(c.cnt) AS est
+                    FROM top t CROSS JOIN rws r
+                    JOIN cms c ON c.r = r.r
+                     AND c.b = ('0x'||substr(md5(r.r||':'||t.user_id), 1, 8))
+                                   ::BIGINT % 256
+                    GROUP BY 1, 2)
+            SELECT user_id::BIGINT AS user_id,
+                   exact_count::BIGINT AS exact_count,
+                   est::BIGINT AS cms_estimate
+            FROM est
         """,
         "latest_order_per_customer": """
             WITH r AS (

@@ -64,3 +64,47 @@ def hll_estimate(reg: bytes) -> int:
         if zeros:
             est = m * np.log(m / zeros)  # linear counting
     return int(round(est))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable by elementwise
+# SUM, so the distributed dataflow is: per-batch partial counter tables →
+# one tiny keyed groupby (DEPTH×WIDTH rows max) → point queries. Hashes are
+# md5-derived 32-bit (the repo's stable cross-process convention), which
+# makes every estimate SQL-replayable.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(item: str, row: int, width: int = CMS_WIDTH) -> int:
+    """Row-salted md5 bucket — SQL twin:
+    ('0x'||substr(md5(row||':'||item),1,8))::BIGINT % width."""
+    h = hashlib.md5(f"{row}:{item}".encode()).digest()
+    return int.from_bytes(h[:4], "big") % width
+
+
+def cms_partial_counts(items: np.ndarray, counts: np.ndarray,
+                       depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Flattened (row, bucket, cnt) partial for one batch: hash each
+    DISTINCT item once per row (callers pre-aggregate with np.unique, so
+    the md5 work is per-unique-key, not per-event)."""
+    rows_out, buckets_out, cnts_out = [], [], []
+    for r in range(depth):
+        acc: dict[int, int] = {}
+        for item, c in zip(items, counts):
+            b = cms_bucket(str(item), r, width)
+            acc[b] = acc.get(b, 0) + int(c)
+        rows_out.extend([r] * len(acc))
+        buckets_out.extend(acc.keys())
+        cnts_out.extend(acc.values())
+    return (np.asarray(rows_out, dtype=np.int64),
+            np.asarray(buckets_out, dtype=np.int64),
+            np.asarray(cnts_out, dtype=np.int64))
+
+
+def cms_estimate(merged: dict, item: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> int:
+    """Point query over the merged sketch ({(row, bucket): cnt})."""
+    return min(merged.get((r, cms_bucket(str(item), r, width)), 0)
+               for r in range(depth))

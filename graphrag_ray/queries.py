@@ -4214,3 +4214,53 @@ def latest_order_per_customer(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("o_custkey").map_groups(final, batch_format="pyarrow"))
+
+
+def events_user_cms(sf_dir: str, k: int = 20):
+    """Count-Min heavy hitters: per-user event counts estimated through a
+    distributed 4×256 md5-hashed Count-Min sketch (per-batch partial
+    counter tables merged by one tiny keyed groupby — the sketch, not the
+    keys, crosses the wire), reported for the exact top-k users alongside
+    their exact counts. The sketch arithmetic is md5-replayable, so the
+    SQL twin recomputes every estimate."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .functions import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        users, counts = np.unique(batch.column("user_id").to_numpy(),
+                                  return_counts=True)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(users, pa.int64()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        users, counts = np.unique(batch.column("user_id").to_numpy(),
+                                  return_counts=True)
+        r, b, c = sketch.cms_partial_counts(users, counts)
+        return pa.Table.from_pydict(
+            {"row": pa.array(r, pa.int64()),
+             "bucket": pa.array(b, pa.int64()),
+             "cnt": pa.array(c, pa.int64())})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt")))
+    cms = (ds.map_batches(cms_partial, batch_format="pyarrow")
+           .groupby(["row", "bucket"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    # both reduced tables are tiny (|users| and ≤ DEPTH×WIDTH rows)
+    exact_df = exact.to_pandas().sort_values(
+        ["cnt", "user_id"], ascending=[False, True]).head(k)
+    merged = {(int(r), int(b)): int(c) for r, b, c in
+              cms.to_pandas()[["row", "bucket", "cnt"]].itertuples(index=False)}
+    est = [sketch.cms_estimate(merged, str(int(u)))
+           for u in exact_df["user_id"]]
+    return pd.DataFrame(
+        {"user_id": exact_df["user_id"].to_numpy(),
+         "exact_count": exact_df["cnt"].to_numpy().astype(np.int64),
+         "cms_estimate": np.asarray(est, dtype=np.int64)})
