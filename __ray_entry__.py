@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_histogram": q.ship_latency_histogram,
         "customers_without_orders": q.customers_without_orders,
         "events_user_cms": q.events_user_cms,
+        "events_user_hll": q.events_user_hll,
         "latest_order_per_customer": q.latest_order_per_customer,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
@@ -721,6 +722,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000.0)
+        """,
+        "events_user_hll": """
+            WITH h AS (SELECT DISTINCT
+                           ('0x'||substr(md5(user_id::VARCHAR), 1, 16))
+                               ::UBIGINT AS hv
+                       FROM events),
+            rg AS (SELECT (hv >> 54)::BIGINT AS idx,
+                          CASE WHEN (hv & ((1::UBIGINT << 54) - 1)) = 0
+                               THEN 55
+                               ELSE 54 - length(bin(
+                                        hv & ((1::UBIGINT << 54) - 1))) + 1
+                          END AS rank
+                   FROM h),
+            regs AS (SELECT i.idx, coalesce(max(rg.rank), 0) AS r
+                     FROM (SELECT unnest(range(1024)) AS idx) i
+                     LEFT JOIN rg ON rg.idx = i.idx GROUP BY 1),
+            s AS (SELECT sum(power(2.0, -r)) AS z,
+                         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+                  FROM regs),
+            e AS (SELECT (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 / z
+                             AS raw,
+                         zeros
+                  FROM s),
+            f AS (SELECT CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                              THEN 1024 * ln(1024.0 / zeros)
+                              ELSE raw END AS est
+                  FROM e)
+            SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+                       AS exact_distinct,
+                   CAST(round(est, 0) AS BIGINT) AS hll_estimate
+            FROM f
         """,
         "events_user_cms": """
             WITH ex AS (SELECT user_id, count(*) AS exact_count

@@ -4264,3 +4264,49 @@ def events_user_cms(sf_dir: str, k: int = 20):
         {"user_id": exact_df["user_id"].to_numpy(),
          "exact_count": exact_df["cnt"].to_numpy().astype(np.int64),
          "cms_estimate": np.asarray(est, dtype=np.int64)})
+
+
+def events_user_hll(sf_dir: str):
+    """Distributed HyperLogLog cardinality: distinct users in the events
+    stream estimated through the same mergeable md5 sketch the
+    canonicalization path uses for doc-frequency at 10^12 docs
+    (functions/sketch.py). Per-batch partials emit sparse (register,
+    rank) rows; one tiny groupby-max merges them (≤1024 rows cross the
+    wire); the estimate and the exact distinct count are reported side
+    by side. Every register and the HLL arithmetic are SQL-replayable."""
+    from ray.data.aggregate import Max
+
+    from .functions import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    p = sketch.DEFAULT_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = np.unique(batch.column("user_id").to_numpy())
+        reg = sketch.hll_create(p)
+        for u in users:
+            sketch.hll_add(reg, str(int(u)), p)
+        r = np.frombuffer(bytes(reg), dtype=np.uint8)
+        nz = np.nonzero(r)[0]
+        return pa.Table.from_pydict(
+            {"idx": pa.array(nz.astype(np.int64), pa.int64()),
+             "rank": pa.array(r[nz].astype(np.int64), pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("idx").aggregate(Max("rank", alias_name="rank")))
+    dense = bytearray(1 << p)
+    for row in merged.take_all():
+        dense[int(row["idx"])] = int(row["rank"])
+    est = sketch.hll_estimate(bytes(dense))
+
+    import pandas as pd
+
+    # exact distinct via the same partial-unique → global unique shape
+    uniq = (ds.map_batches(lambda b: pa.Table.from_pydict(
+        {"user_id": pa.array(np.unique(b.column("user_id").to_numpy()),
+                             pa.int64())}), batch_format="pyarrow")
+        .groupby("user_id").count())
+    exact = uniq.count()
+    return pd.DataFrame({"exact_distinct": [np.int64(exact)],
+                         "hll_estimate": [np.int64(est)]})
