@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": q.doc_readability,
         "doc_lang_id": q.doc_lang_id,
         "doc_fingerprint": q.doc_fingerprint,
+        "doc_split_counts": q.doc_split_counts,
+        "doc_sample": q.doc_sample,
         "corpus_stats": q.corpus_stats,
         "term_stats": q.term_stats,
         "term_cooccur": q.term_cooccur,
@@ -462,6 +464,22 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_split_counts": """
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   lang, count(*)::BIGINT AS n_docs
+            FROM (SELECT lang,
+                         ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                         % 100 AS b
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x'||substr(md5('sample:v1:'||doc_id::VARCHAR),1,8))::BIGINT
+                  % 100 < 10
+        """,
         "corpus_stats": f"""
             SELECT lang,
                    count(*)::BIGINT AS n_docs,

@@ -150,6 +150,34 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(text_analysis.fingerprint, batch_format="pyarrow")
 
 
+def doc_split_counts(sf_dir: str):
+    """Split × language stratification audit over the doc_split assignment
+    (stages/curation.hash_split): per-batch Arrow group_by partials → tiny
+    keyed aggregate — per-doc rows never enter the exchange."""
+    from .stages import curation
+
+    def partial(batch: pa.Table) -> pa.Table:
+        assigned = curation.hash_split(batch)
+        tbl = pa.table({"split": assigned.column("split"),
+                        "lang": batch.column("lang")})
+        g = tbl.group_by(["split", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["split", "lang", "n"])
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+def doc_sample(sf_dir: str):
+    """Deterministic 10% Bernoulli sample by hash bucket (salt distinct
+    from the splitter's, so sampling is uncorrelated with split)."""
+    return _docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        text_analysis.sample_filter, batch_format="pyarrow")
+
+
 def corpus_stats(sf_dir: str):
     """Per-language corpus rollup (G9 analogue): partial counts per batch →
     tiny groupby-aggregate."""

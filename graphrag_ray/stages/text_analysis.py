@@ -302,3 +302,25 @@ def readability_stats(batch: pa.Table) -> pa.Table:
             "flesch": pa.array(flesch, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Bernoulli sampling (training-data plumbing; complements the
+# hash split in stages/curation.hash_split and the stratified lang_sample)
+
+SAMPLE_SALT = "sample:v1"
+
+
+def sample_filter(batch: pa.Table, *, rate_pct: int = 10) -> pa.Table:
+    """Keep docs whose md5 hash bucket falls below rate_pct. A hash draw —
+    never position or RNG state — keeps the sample stable under
+    re-partitioning, resume and incremental appends, with no coordination.
+    The salt is distinct from the splitter's spec (bare md5(doc_id)), so
+    sampling is uncorrelated with the train/valid/test assignment."""
+    ids = batch.column("doc_id").to_pylist()
+    keep = [
+        int(hashlib.md5(f"{SAMPLE_SALT}:{d}".encode()).hexdigest()[:8], 16)
+        % 100 < rate_pct
+        for d in ids
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
