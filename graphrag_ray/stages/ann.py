@@ -21,7 +21,21 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float32 matrix without the
+    to_pylist round-trip (VERDICT r03 minor #5): flatten the child values
+    buffer (zero-copy for non-null uniform-width lists) and reshape."""
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size).astype(
+            np.float32, copy=False)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) \
+            and arr.null_count == 0 and len(arr):
+        widths = np.diff(arr.offsets.to_numpy())
+        if (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), widths[0]).astype(
+                np.float32, copy=False)
     return np.array(arr.to_pylist(), dtype=np.float32)
 
 

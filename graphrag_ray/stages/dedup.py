@@ -423,20 +423,21 @@ def make_verify_pairs_fn(threshold: float):
 # SimHash
 
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_POW = np.uint64(1) << _BIT_IDX
+
+
 def simhash64(text: str) -> int:
+    """One (n_unique_tokens, 64) numpy pass per document — no per-word
+    allocations (VERDICT r03 minor #5). Bit-identical to the loop form:
+    bit i set iff the +1/-1 vote sum over unique-token md5 bits is > 0."""
     toks = _norm_text(text).split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(toks):
-        h = _md5_64(w)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hs = np.fromiter((_md5_64(w) for w in set(toks)), dtype=np.uint64)
+    bits = (hs[:, None] >> _BIT_IDX) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(np.bitwise_or.reduce(_BIT_POW[votes > 0], initial=np.uint64(0)))
 
 
 def simhash_rows(batch: pa.Table) -> pa.Table:
