@@ -3824,14 +3824,42 @@ def inferred_relations(sf_dir: str):
                  for n, t in zip(names, types)], pa.string()),
         })
 
-    ent_rows = res.extraction.map_batches(
-        project, batch_format="pyarrow").take_all()
-    chunk_map: dict[str, set] = {}
-    for r in ent_rows:
-        chunk_map.setdefault(r["doc_id"], set()).add(r["canonical_id"])
-    chunk_entities = [(d, sorted(es)) for d, es in sorted(chunk_map.items())]
+    # Only chunks containing a target can contribute evidence (the stage
+    # filters to target_chunks and normalizes by their count), so prune to
+    # them distributed-side: the driver holds target-proportional rows, not
+    # the corpus (the old full-corpus take_all was a 100 TB driver payload).
+    target_ids = {t for t, _ in INFER_TARGETS}
+
+    def target_chunk_row(group: pa.Table) -> pa.Table:
+        ents = sorted(set(group.column("canonical_id").to_pylist()))
+        if not target_ids.intersection(ents):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.string()),
+                 "ents": pa.array([], pa.list_(pa.string()))})
+        d = group.column("doc_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([d], pa.string()),
+             "ents": pa.array([ents], pa.list_(pa.string()))})
+
+    tc_rows = (res.extraction.map_batches(project, batch_format="pyarrow")
+               .groupby("doc_id")
+               .map_groups(target_chunk_row, batch_format="pyarrow")
+               .take_all())
+    chunk_entities = sorted((r["doc_id"], list(r["ents"])) for r in tc_rows)
+    docset = {d for d, _ in chunk_entities}
+
+    def keep_target_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pa.array([str(d) for d in batch.column("doc_id").to_pylist()],
+                       pa.string())
+        return batch.filter(
+            pc.is_in(ids, value_set=pa.array(sorted(docset), pa.string())))
+
     contents = {str(r["doc_id"]): r["content"] for r in
-                res.chunks.select_columns(["doc_id", "content"]).take_all()}
+                res.chunks.select_columns(["doc_id", "content"])
+                .map_batches(keep_target_docs, batch_format="pyarrow")
+                .take_all()}
 
     rows = []
     for target, rel_type in INFER_TARGETS:
