@@ -166,3 +166,23 @@ def test_pair_split_leakage_filters_same_split_pairs():
     assert out.num_rows == 1
     assert out.column("split_a").to_pylist() == ["train"]
     assert out.column("split_b").to_pylist() == ["valid"]
+
+
+def test_sample_filter_deterministic_and_uncorrelated_with_split():
+    from graphrag_ray.stages import text_analysis
+
+    ids = list(range(1000))
+    batch = pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64())})
+    out1 = text_analysis.sample_filter(batch)
+    out2 = text_analysis.sample_filter(batch)
+    kept = out1.column("doc_id").to_pylist()
+    # determinism: same input → same sample, regardless of batching
+    assert kept == out2.column("doc_id").to_pylist()
+    half = text_analysis.sample_filter(batch.slice(0, 500))
+    assert half.column("doc_id").to_pylist() == [d for d in kept if d < 500]
+    # ~10% rate (hash-uniformity gives a loose band at n=1000)
+    assert 60 <= len(kept) <= 140
+    # distinct salt: the sample is not a subset of one split bucket —
+    # all three split labels appear among sampled docs
+    splits = {curation._split_of(d) for d in kept}
+    assert splits == {"train", "valid", "test"}
