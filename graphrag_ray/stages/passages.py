@@ -7,18 +7,26 @@ pages. The Ray-Data-native equivalent is rolling-window fingerprints:
 
   map_batches(passage_rows)      every W-token window of every doc emits
                                  (bucket, phash, doc_id, pos) — streaming,
-                                 no per-doc state
+                                 no per-doc state. Vectorized: the doc is
+                                 normalized ONCE (" ".join + encode) and
+                                 each window's md5 reads a byte-offset
+                                 slice of that buffer — no per-window
+                                 join/encode.
   groupby(bucket).map_groups     windows co-locate by fingerprint-prefix
                                  bucket (ONE exchange; a phash's rows all
                                  share a bucket) and each bucket reduces
-                                 with vectorized pandas
+                                 with vectorized pandas, emitting Arrow
+                                 (pandas-format blocks feed Ray's sort
+                                 shuffle ~8x slower).
   → passages seen in >=2 distinct docs, or per-doc duplicated-window
     counts (the substring-level dedup signal a filter stage consumes)
 
 Scale notes: rows out = tokens in (× ~1), so the exchange is corpus-sized
 — exactly the suffix-array build cost, but it shards freely by bucket.
-Per-bucket memory is corpus_windows/B; B scales with the corpus. The md5
-window fingerprint makes collisions negligible and gives the DuckDB twin
+The bucket count is DERIVED FROM INPUT SIZE (``derived_buckets``: one
+bucket per ~64 docs, floor 64) so per-bucket memory stays constant as the
+corpus grows — no fixed B anywhere on the path. The md5 window
+fingerprint makes collisions negligible and gives the DuckDB twin
 (windowed string_agg → md5) bit-exact parity.
 
 No reference counterpart (graphrag-rs dedupes whole chunks only —
@@ -34,25 +42,55 @@ import pandas as pd
 import pyarrow as pa
 
 WIDTH = 8
-NUM_BUCKETS = 64
+NUM_BUCKETS = 64  # floor; real runs derive B from the input size
+DOCS_PER_BUCKET = 64
+
+
+def derived_buckets(docs_ds, floor: int = NUM_BUCKETS,
+                    docs_per_bucket: int = DOCS_PER_BUCKET) -> int:
+    """Bucket count proportional to the corpus (cheap metadata count for
+    parquet inputs): per-bucket window volume ≈ tokens of
+    ``docs_per_bucket`` docs, constant as the corpus grows."""
+    return max(floor, int(docs_ds.count()) // docs_per_bucket + 1)
 
 
 def passage_rows(batch: pa.Table, width: int = WIDTH,
                  num_buckets: int = NUM_BUCKETS) -> pa.Table:
     """Explode docs into W-token rolling-window fingerprint rows:
     (bucket, phash, doc_id, pos). pos is the 0-based token offset of the
-    window start; docs shorter than W tokens emit nothing."""
+    window start; docs shorter than W tokens emit nothing.
+
+    Per-window work is one byte-slice + md5: token byte offsets into the
+    space-normalized buffer are computed as numpy cumsums, so the old
+    per-window ``" ".join(toks[i:i+W]).encode()`` disappears."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     out_b, out_h, out_doc, out_pos = [], [], [], []
+    md5 = hashlib.md5
     for doc_id, text in zip(ids, texts):
         toks = (text or "").split()
-        for i in range(len(toks) - width + 1):
-            h = hashlib.md5(" ".join(toks[i:i + width]).encode()).hexdigest()
-            out_b.append(int(h[:8], 16) % num_buckets)
-            out_h.append(h)
-            out_doc.append(doc_id)
-            out_pos.append(i)
+        n = len(toks) - width + 1
+        if n <= 0:
+            continue
+        norm = " ".join(toks)
+        buf = norm.encode()
+        if len(buf) == len(norm):  # pure-ASCII: char offsets == byte offsets
+            lens = np.fromiter(map(len, toks), dtype=np.int64,
+                               count=len(toks))
+        else:
+            lens = np.fromiter((len(t.encode()) for t in toks),
+                               dtype=np.int64, count=len(toks))
+        starts = np.empty(len(toks), dtype=np.int64)
+        starts[0] = 0
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        ends = starts[width - 1:width - 1 + n] + lens[width - 1:width - 1 + n]
+        mv = memoryview(buf)
+        hashes = [md5(mv[s:e]).hexdigest()
+                  for s, e in zip(starts[:n].tolist(), ends.tolist())]
+        out_h.extend(hashes)
+        out_b.extend(int(h[:8], 16) % num_buckets for h in hashes)
+        out_doc.extend([doc_id] * n)
+        out_pos.extend(range(n))
     return pa.Table.from_pydict({
         "bucket": pa.array(out_b, pa.int32()),
         "phash": pa.array(out_h, pa.string()),
@@ -61,72 +99,72 @@ def passage_rows(batch: pa.Table, width: int = WIDTH,
     })
 
 
-_GROUP_COLS = {"phash": "object", "n_docs": "int64", "n_occ": "int64",
-               "first_doc_id": "int64", "first_pos": "int64"}
+_GROUP_SCHEMA = pa.schema([
+    ("phash", pa.string()), ("n_docs", pa.int64()), ("n_occ", pa.int64()),
+    ("first_doc_id", pa.int64()), ("first_pos", pa.int64())])
 
 
-def dup_passages_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def dup_passages_in_bucket(df: pd.DataFrame) -> pa.Table:
     """Per bucket: fingerprints occurring in >=2 distinct docs, with
     occurrence stats and the earliest (doc_id, pos) attribution."""
     if df.empty:
-        return pd.DataFrame({c: pd.Series(dtype=t)
-                             for c, t in _GROUP_COLS.items()})
+        return _GROUP_SCHEMA.empty_table()
     g = df.groupby("phash", sort=False)
     stats = g.agg(n_docs=("doc_id", "nunique"), n_occ=("doc_id", "size"))
     dup = stats[stats["n_docs"] >= 2]
     if dup.empty:
-        return pd.DataFrame({c: pd.Series(dtype=t)
-                             for c, t in _GROUP_COLS.items()})
+        return _GROUP_SCHEMA.empty_table()
     first = (df[df["phash"].isin(dup.index)]
              .sort_values(["phash", "doc_id", "pos"], kind="mergesort")
              .drop_duplicates("phash", keep="first")
              .set_index("phash"))
     out = dup.join(first[["doc_id", "pos"]]).reset_index()
     out = out.rename(columns={"doc_id": "first_doc_id", "pos": "first_pos"})
-    return out[list(_GROUP_COLS)]
+    return pa.Table.from_pandas(out[[f.name for f in _GROUP_SCHEMA]],
+                                schema=_GROUP_SCHEMA, preserve_index=False)
 
 
-_DOC_COLS = {"doc_id": "int64", "n_dup_windows": "int64"}
+_DOC_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("n_dup_windows", pa.int64())])
 
 
-def doc_dup_counts_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def doc_dup_counts_in_bucket(df: pd.DataFrame) -> pa.Table:
     """Per bucket: PARTIAL per-doc counts of windows whose fingerprint is
     shared with at least one other doc (inner semantics — docs with zero
     duplicated windows don't emit). Final rollup is a tiny
     groupby(doc_id).sum over these partials."""
     if df.empty:
-        return pd.DataFrame({c: pd.Series(dtype=t)
-                             for c, t in _DOC_COLS.items()})
+        return _DOC_SCHEMA.empty_table()
     nd = df.groupby("phash")["doc_id"].nunique()
     dup_rows = df[df["phash"].map(nd).ge(2)]
     if dup_rows.empty:
-        return pd.DataFrame({c: pd.Series(dtype=t)
-                             for c, t in _DOC_COLS.items()})
+        return _DOC_SCHEMA.empty_table()
     out = (dup_rows.groupby("doc_id", sort=False).size()
            .rename("n_dup_windows").reset_index())
-    return out[list(_DOC_COLS)]
+    return pa.Table.from_pandas(out[[f.name for f in _DOC_SCHEMA]],
+                                schema=_DOC_SCHEMA, preserve_index=False)
 
 
 def dup_passages(docs_ds, width: int = WIDTH,
-                 num_buckets: int = NUM_BUCKETS):
+                 num_buckets: int | None = None):
     """Corpus-wide duplicated-passage table:
     (phash, n_docs, n_occ, first_doc_id, first_pos)."""
+    b = num_buckets or derived_buckets(docs_ds)
     rows = docs_ds.map_batches(
-        lambda b: passage_rows(b, width, num_buckets),
-        batch_format="pyarrow")
+        lambda t: passage_rows(t, width, b), batch_format="pyarrow")
     return rows.groupby("bucket").map_groups(
         dup_passages_in_bucket, batch_format="pandas")
 
 
 def doc_dup_passage_counts(docs_ds, width: int = WIDTH,
-                           num_buckets: int = NUM_BUCKETS):
+                           num_buckets: int | None = None):
     """Per-doc duplicated-window counts (the filterable signal):
     (doc_id, n_dup_windows), docs with >=1 duplicated window only."""
     from ray.data.aggregate import Sum
 
+    b = num_buckets or derived_buckets(docs_ds)
     rows = docs_ds.map_batches(
-        lambda b: passage_rows(b, width, num_buckets),
-        batch_format="pyarrow")
+        lambda t: passage_rows(t, width, b), batch_format="pyarrow")
     partial = rows.groupby("bucket").map_groups(
         doc_dup_counts_in_bucket, batch_format="pandas")
     return partial.groupby("doc_id").aggregate(
