@@ -161,7 +161,11 @@ def doc_split_counts(sf_dir: str):
         tbl = pa.table({"split": assigned.column("split"),
                         "lang": batch.column("lang")})
         g = tbl.group_by(["split", "lang"]).aggregate([([], "count_all")])
-        return g.rename_columns(["split", "lang", "n"])
+        # rename BY NAME: pyarrow has moved key vs aggregate column order
+        # across versions; positional renaming could silently mislabel the
+        # count as a key and corrupt the stratification audit
+        return g.select(["split", "lang", "count_all"]).rename_columns(
+            ["split", "lang", "n"])
 
     return (
         _docs(sf_dir, columns=("doc_id", "lang"))
@@ -3976,9 +3980,11 @@ def doc_length_quantiles(sf_dir: str):
                                         batch_format="pyarrow")
               .groupby("n_chars")
               .aggregate(Sum("n", alias_name="n")))
-    tbl = pa.concat_tables(
-        [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
+    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    if not blocks:  # empty corpus: typed empty result, not ArrowInvalid
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(blocks, promote_options="default")
     return text_analysis.quantiles_from_counts(tbl, (25, 50, 75, 90, 99))
 
 

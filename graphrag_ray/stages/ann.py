@@ -480,6 +480,13 @@ def make_block_pair_nn_fn(block_refs: list):
         if sims.shape[1] == 0:
             return None
         maxv = sims.max(axis=1)
+        # a single-row self block yields an all--inf row (the diagonal is
+        # masked); emitting it would hand downstream a bogus self-neighbor
+        finite = np.isfinite(maxv)
+        if not finite.all():
+            sims, ids_rows, maxv = sims[finite], ids_rows[finite], maxv[finite]
+            if len(ids_rows) == 0:
+                return None
         big = np.int64(np.iinfo(np.int64).max)
         cand = np.where(sims == maxv[:, None], ids_cols[None, :], big)
         nbr = cand.min(axis=1)

@@ -229,43 +229,6 @@ def pairs_between_cells(batch: pa.Table) -> pa.Table:
     )
 
 
-def make_shingle_halves_fn(partner_ref):
-    """Distributed verify, phase 1: docs → one row per candidate-pair
-    participation carrying that doc's shingle hashes.
-
-    ``partner_ref`` is a ``ray.put`` broadcast of {doc_id: [(doc_a, doc_b,
-    side), ...]} built from the (tiny) candidate pair set — the classic
-    broadcast semi-join: only candidate docs' shingles enter the pair
-    exchange; the corpus itself is never collected anywhere."""
-    import ray
-
-    def shingle_halves(batch: pa.Table) -> pa.Table:
-        partners: dict[int, list] = ray.get(partner_ref)
-        out_a, out_b, out_side, out_sh = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            hits = partners.get(int(doc_id))
-            if not hits:
-                continue
-            sh = np.fromiter(shingles(text or ""), dtype=np.uint64)
-            sh_list = sh.astype(np.int64).tolist()  # reinterpret for Arrow
-            for a, b, side in hits:
-                out_a.append(a)
-                out_b.append(b)
-                out_side.append(side)
-                out_sh.append(sh_list)
-        return pa.Table.from_pydict(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "side": pa.array(out_side, pa.int32()),
-                "sh": pa.array(out_sh, pa.list_(pa.int64())),
-            }
-        )
-
-    return shingle_halves
-
-
 # --- fully distributed verify (VERDICT r03 #3): the candidate pair set
 # never lands on the driver. Pairs explode to per-doc participation rows,
 # union with per-doc shingle rows, and ONE groupby(doc_id) co-locates each

@@ -9,6 +9,12 @@ per-batch combiner + small groupby; sessions require all of a user's events
 together and in ts order, so rows co-locate by hash(user) bucket and each
 group sessionizes its users with vectorized pandas. Both have exact DuckDB
 oracles (__ray_entry__).
+
+Scale contract (round 5): every bucketed operator derives its bucket
+count from the INPUT SIZE (``derived_buckets`` — one bucket per ~256k
+events, floor 16), so per-bucket memory stays constant as the log grows;
+group UDFs emit Arrow (pandas-format blocks feed Ray's sort shuffle ~8x
+slower than Arrow blocks).
 """
 
 from __future__ import annotations
@@ -20,6 +26,22 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Max, Min, Sum
 
 HOUR_US = 3_600_000_000  # microseconds
+
+NUM_BUCKETS = 16  # floor; real runs derive the count from input size
+ROWS_PER_BUCKET = 262_144
+
+
+def derived_buckets(events_ds, floor: int = NUM_BUCKETS,
+                    rows_per_bucket: int = ROWS_PER_BUCKET) -> int:
+    """Bucket count proportional to the log size (cheap metadata count
+    for parquet inputs): per-bucket volume ≈ ``rows_per_bucket`` events,
+    constant as the corpus grows — no fixed B at scale."""
+    return max(floor, int(events_ds.count()) // rows_per_bucket + 1)
+
+
+def _from_pandas(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_pandas(df[[f.name for f in schema]], schema=schema,
+                                preserve_index=False)
 
 
 def tumbling_window_agg(events_ds, window_hours: int = 6):
@@ -52,7 +74,8 @@ def tumbling_window_agg(events_ds, window_hours: int = 6):
     )
 
 
-def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
+def sessionize(events_ds, gap_minutes: int = 120,
+               num_buckets: int | None = None,
                time_bucket_hours: int | None = None):
     """Session assignment (gap > gap_minutes starts a new session) →
     per-session rows (user_id, session_idx, n_events, start/end ts).
@@ -72,6 +95,7 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
     construction (pytest-asserted); session rows per user are bounded by
     activity periods, never event counts."""
     gap_us = gap_minutes * 60 * 1_000_000
+    num_buckets = num_buckets or derived_buckets(events_ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -84,16 +108,16 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
             }
         )
 
-    _SESSION_COLS = {"user_id": "int64", "session_idx": "int64",
-                     "n_events": "int64", "start_ts": "int64",
-                     "end_ts": "int64", "sum_value": "float64"}
+    _SESSION_SCHEMA = pa.schema([
+        ("user_id", pa.int64()), ("session_idx", pa.int64()),
+        ("n_events", pa.int64()), ("start_ts", pa.int64()),
+        ("end_ts", pa.int64()), ("sum_value", pa.float64())])
 
-    def sessions_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def sessions_in_bucket(df: pd.DataFrame) -> pa.Table:
         if df.empty:
             # empty partitions arrive with NO columns; emit the typed empty
-            # frame so downstream RefBundles keep one schema
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _SESSION_COLS.items()})
+            # table so downstream RefBundles keep one schema
+            return _SESSION_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["ts"].diff() > gap_us
@@ -105,7 +129,7 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
             end_ts=("ts", "max"),
             sum_value=("value", "sum"),
         ).reset_index()
-        return g
+        return _from_pandas(g, _SESSION_SCHEMA)
 
     if time_bucket_hours is None:
         return (
@@ -123,12 +147,11 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
         return out.append_column(
             "tbucket", pa.array((ts // tb_us).astype(np.int64)))
 
-    def merge_user_sessions(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_user_sessions(df: pd.DataFrame) -> pa.Table:
         """Phase 2 over SESSION rows: per user, merge boundary-adjacent
         partial sessions (start - prev_end <= gap) and renumber."""
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _SESSION_COLS.items()})
+            return _SESSION_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "start_ts"], kind="mergesort")
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["start_ts"] - df["end_ts"].shift() > gap_us
@@ -141,7 +164,7 @@ def sessionize(events_ds, gap_minutes: int = 120, num_buckets: int = 16,
             sum_value=("sum_value", "sum"),
         ).reset_index(drop=True)
         g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
-        return g[list(_SESSION_COLS)]
+        return _from_pandas(g, _SESSION_SCHEMA)
 
     partial_sessions = (
         events_ds.map_batches(bucketize_tb, batch_format="pyarrow",
@@ -221,7 +244,7 @@ def hopping_window_agg(events_ds, window_hours: int = 6, hop_hours: int = 3):
 def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
               left_cols: tuple[str, ...] = ("event_id",),
               right_cols: tuple[str, ...] = ("event_id",),
-              num_buckets: int = 16, right_prefix: str = "r_"):
+              num_buckets: int | None = None, right_prefix: str = "r_"):
     """As-of join (backward, inclusive): each left row is matched with the
     single right row of the same ``by`` key whose ``on`` value is the
     greatest one <= the left row's ``on`` value. Inner semantics — left
@@ -230,10 +253,11 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     Ray Data has no asof/range join; the operator co-locates both sides by
     hash(by) bucket (ONE small exchange — the same partitioning assumption
     as `sessionize`) and runs vectorized `pandas.merge_asof` per bucket.
-    At cluster scale per-bucket memory is |left|/B + |right|/B; a hot key
-    would need the time-bucket split used by `sessionize(time_bucket_hours)`
-    — asof only needs the nearest predecessor, so each time bucket would
-    carry the right side's last row of the previous bucket.
+    The bucket count derives from the combined input size, so per-bucket
+    memory is constant at cluster scale; a hot key would need the
+    time-bucket split used by `sessionize(time_bucket_hours)` — asof only
+    needs the nearest predecessor, so each time bucket would carry the
+    right side's last row of the previous bucket.
 
     Determinism contract: duplicate right rows on the same (by, on) pair
     are reduced to the one with the smallest first right_col before
@@ -241,6 +265,10 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     attribution never depends on scan order.
     """
     tiecol = right_cols[0]
+    if num_buckets is None:
+        num_buckets = max(NUM_BUCKETS,
+                          (int(left_ds.count()) + int(right_ds.count()))
+                          // ROWS_PER_BUCKET + 1)
 
     def bucketize(cols: tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -283,10 +311,11 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     r_on = right_prefix + on
     out_cols = ([by, on, *left_cols]
                 + [right_prefix + c for c in right_cols] + [r_on, "gap"])
+    out_schema = pa.schema([(c, pa.int64()) for c in out_cols])
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
+    def match(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+            return out_schema.empty_table()
         left = df[df["side"] == 0][[by, on, *left_cols]]
         right = df[df["side"] == 1][
             [by, on] + [right_prefix + c for c in right_cols]]
@@ -302,18 +331,19 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
         for c in [right_prefix + c for c in right_cols] + [r_on]:
             m[c] = m[c].astype("int64")
         m["gap"] = m[on] - m[r_on]
-        return m[[c for c in out_cols]]
+        return _from_pandas(m, out_schema)
 
     return (left_tagged.union(right_tagged)
             .groupby("bucket")
             .map_groups(match, batch_format="pandas"))
 
-def user_running_totals(events_ds, num_buckets: int = 16):
+def user_running_totals(events_ds, num_buckets: int | None = None):
     """Per-event running aggregates within each user's ts-ordered stream
     (cumulative count + value sum) — the ordered-window operator Ray Data
     lacks. Same hash(user) co-location contract as `sessionize`; inside a
     bucket the cumsum is vectorized pandas in (user, ts) order, which is
     also the only order that makes the float sum deterministic."""
+    num_buckets = num_buckets or derived_buckets(events_ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -325,18 +355,19 @@ def user_running_totals(events_ds, num_buckets: int = 16):
             "value": batch.column("value"),
         })
 
-    _COLS = {"event_id": "int64", "user_id": "int64", "ts": "int64",
-             "running_n": "int64", "running_value": "float64"}
+    _SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.int64()), ("running_n", pa.int64()),
+        ("running_value", pa.float64())])
 
-    def running(df: pd.DataFrame) -> pd.DataFrame:
+    def running(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _COLS.items()})
+            return _SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         g = df.groupby("user_id", sort=False)
         df["running_n"] = g.cumcount() + 1
         df["running_value"] = g["value"].cumsum()
-        return df[list(_COLS)]
+        return _from_pandas(df, _SCHEMA)
 
     return (events_ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket")
@@ -344,11 +375,17 @@ def user_running_totals(events_ds, num_buckets: int = 16):
 
 
 def funnel_stages(events_ds, stages: tuple[str, ...] =
-                  ("signup", "click", "purchase"), num_buckets: int = 16):
+                  ("signup", "click", "purchase"),
+                  num_buckets: int | None = None):
     """Ordered funnel: per user, the earliest time each stage completes
     given the PREVIOUS stage completed strictly before it (first signup,
     first click after that signup, first purchase after that click).
-    Output: (user_id, stage_idx, stage, first_ts) for reached stages."""
+    Output: (user_id, stage_idx, stage, first_ts) for reached stages.
+
+    Vectorized as staged groupby-min passes inside each user bucket — the
+    SQL oracle's own shape (s0 = min signup; s_{i+1} = min stage-i+1 event
+    strictly after s_i) — no per-user Python loop."""
+    num_buckets = num_buckets or derived_buckets(events_ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -359,26 +396,33 @@ def funnel_stages(events_ds, stages: tuple[str, ...] =
             "event_type": batch.column("event_type"),
         })
 
-    _COLS = {"user_id": "int64", "stage_idx": "int64",
-             "stage": "object", "first_ts": "int64"}
+    _SCHEMA = pa.schema([
+        ("user_id", pa.int64()), ("stage_idx", pa.int64()),
+        ("stage", pa.string()), ("first_ts", pa.int64())])
 
-    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+    def funnel(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _COLS.items()})
-        out_rows = []
-        for user, g in df.groupby("user_id", sort=False):
-            prev_ts = None
-            for idx, stage in enumerate(stages):
-                sel = g[g["event_type"] == stage]
-                if prev_ts is not None:
-                    sel = sel[sel["ts"] > prev_ts]
-                if sel.empty:
-                    break
-                first = int(sel["ts"].min())
-                out_rows.append((int(user), idx, stage, first))
-                prev_ts = first
-        return pd.DataFrame(out_rows, columns=list(_COLS))
+            return _SCHEMA.empty_table()
+        outs = []
+        prev: pd.Series | None = None  # user_id -> completion ts of prev stage
+        for idx, stage in enumerate(stages):
+            sel = df[df["event_type"] == stage]
+            if prev is not None:
+                gate = sel["user_id"].map(prev)
+                sel = sel[sel["ts"] > gate]  # NaN gate -> False, drops user
+            if sel.empty:
+                break
+            cur = sel.groupby("user_id")["ts"].min()
+            outs.append(pd.DataFrame({
+                "user_id": cur.index.to_numpy(),
+                "stage_idx": np.int64(idx),
+                "stage": stage,
+                "first_ts": cur.to_numpy(),
+            }))
+            prev = cur
+        if not outs:
+            return _SCHEMA.empty_table()
+        return _from_pandas(pd.concat(outs, ignore_index=True), _SCHEMA)
 
     return (events_ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket")
@@ -393,19 +437,20 @@ def value_quantiles_by_type(events_ds,
     exchange; a hot type at cluster scale would move to the value-count
     combiner shape used by doc_length_quantiles."""
 
-    _COLS = {"event_type": "object", "q": "float64", "value": "float64"}
+    _SCHEMA = pa.schema([("event_type", pa.string()), ("q", pa.float64()),
+                         ("value", pa.float64())])
 
-    def quant(df: pd.DataFrame) -> pd.DataFrame:
+    def quant(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _COLS.items()})
+            return _SCHEMA.empty_table()
         df = df.sort_values("value", kind="mergesort")
         vals = df["value"].to_numpy()
         n = len(vals)
-        rows = [(df["event_type"].iloc[0], qpct / 100.0,
-                 float(vals[(n * qpct + 99) // 100 - 1]))
-                for qpct in qpcts]
-        return pd.DataFrame(rows, columns=list(_COLS))
+        rows = pd.DataFrame(
+            [(df["event_type"].iloc[0], qpct / 100.0,
+              float(vals[(n * qpct + 99) // 100 - 1])) for qpct in qpcts],
+            columns=[f.name for f in _SCHEMA])
+        return _from_pandas(rows, _SCHEMA)
 
     return (events_ds.groupby("event_type")
             .map_groups(quant, batch_format="pandas"))
@@ -434,18 +479,18 @@ def burst_windows(events_ds, window_hours: int = 6):
               .groupby(["event_type", "window_id"])
               .aggregate(Sum("n_events", alias_name="n_events")))
 
-    _COLS = {"event_type": "object", "window_id": "int64",
-             "n_events": "int64", "is_burst": "int64"}
+    _SCHEMA = pa.schema([
+        ("event_type", pa.string()), ("window_id", pa.int64()),
+        ("n_events", pa.int64()), ("is_burst", pa.int64())])
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
+    def flag(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _COLS.items()})
+            return _SCHEMA.empty_table()
         total = int(df["n_events"].sum())
         nw = len(df)
         df = df.copy()
         df["is_burst"] = (df["n_events"] * nw > 2 * total).astype("int64")
-        return df[list(_COLS)]
+        return _from_pandas(df, _SCHEMA)
 
     return counts.groupby("event_type").map_groups(
         flag, batch_format="pandas")
@@ -453,11 +498,12 @@ def burst_windows(events_ds, window_hours: int = 6):
 WEEK_US = 7 * 24 * HOUR_US
 
 
-def retention_cohorts(events_ds, num_buckets: int = 16):
+def retention_cohorts(events_ds, num_buckets: int | None = None):
     """Weekly retention cohorts: users grouped by first-event week; for
     each (cohort_week, week_offset) the number of cohort users active in
     that week. Two exchanges: hash(user) co-location to derive each
     user's cohort + active weeks, then a tiny (cohort, offset) count."""
+    num_buckets = num_buckets or derived_buckets(events_ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -468,18 +514,19 @@ def retention_cohorts(events_ds, num_buckets: int = 16):
             "week": pa.array((ts // WEEK_US).astype(np.int64)),
         })
 
-    _COLS = {"cohort_week": "int64", "week_offset": "int64",
-             "user_id": "int64"}
+    _SCHEMA = pa.schema([("cohort_week", pa.int64()),
+                         ("week_offset", pa.int64()),
+                         ("user_id", pa.int64())])
 
-    def user_weeks(df: pd.DataFrame) -> pd.DataFrame:
+    def user_weeks(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _COLS.items()})
+            return _SCHEMA.empty_table()
         df = df.drop_duplicates(["user_id", "week"])
         first = df.groupby("user_id")["week"].transform("min")
-        return pd.DataFrame({"cohort_week": first,
-                             "week_offset": df["week"] - first,
-                             "user_id": df["user_id"]})
+        out = pd.DataFrame({"cohort_week": first,
+                            "week_offset": df["week"] - first,
+                            "user_id": df["user_id"]})
+        return _from_pandas(out, _SCHEMA)
 
     rows = (events_ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket")

@@ -728,16 +728,24 @@ def triangle_counts(entities_ds, edges_ds):
     return ray.data.from_pandas(ray.get(_triangles_task.remote(nodes, edges)))
 
 
+# shared with syn_oracle_kg._kcore_replay — the SQL twin unrolls exactly
+# this many peel rounds, so the Python side must REACH FIXPOINT within it
+# (asserted below) or fail loudly instead of silently diverging
+KCORE_MAX_ROUNDS = 24
+
+
 @ray.remote
 def _kcore_task(nodes, edges, k, max_rounds):
     """Bounded iterative peel: drop nodes of degree < k among survivors
-    until a fixpoint (or max_rounds — the SQL twin unrolls exactly
-    max_rounds, so both sides share the bound by construction; the
-    convergence-within-bound property is pytest-asserted)."""
+    until a fixpoint. max_rounds is the SHARED bound with the unrolled SQL
+    twin; not converging within it raises instead of returning a
+    silently-diverged survivor set."""
     order = sorted(set(nodes))
+    node_set = set(order)
     und = {tuple(sorted((a, b))) for a, b in edges
-           if a != b and a in set(order) and b in set(order)}
+           if a != b and a in node_set and b in node_set}
     alive = set(order)
+    converged = False
     for _ in range(max_rounds):
         deg = {n: 0 for n in alive}
         for a, b in und:
@@ -746,8 +754,21 @@ def _kcore_task(nodes, edges, k, max_rounds):
                 deg[b] += 1
         drop = {n for n in alive if deg.get(n, 0) < k}
         if not drop:
+            converged = True
             break
         alive -= drop
+    if not converged:
+        # one extra probe: fixpoint exactly AT the bound is still fine
+        deg = {n: 0 for n in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        if any(deg.get(n, 0) < k for n in alive):
+            raise RuntimeError(
+                f"k-core did not reach fixpoint within {max_rounds} rounds; "
+                f"the unrolled SQL twin would diverge — raise "
+                f"KCORE_MAX_ROUNDS on both sides")
     deg = {n: 0 for n in alive}
     for a, b in und:
         if a in alive and b in alive:
@@ -760,7 +781,8 @@ def _kcore_task(nodes, edges, k, max_rounds):
     })
 
 
-def kcore(entities_ds, edges_ds, k: int = 2, max_rounds: int = 64):
+def kcore(entities_ds, edges_ds, k: int = 2,
+          max_rounds: int = KCORE_MAX_ROUNDS):
     """k-core membership + within-core degree (same single-task
     disposition as triangle_counts)."""
     nodes = [r["canonical_id"] for r in

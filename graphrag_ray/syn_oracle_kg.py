@@ -1479,12 +1479,17 @@ def _triangles_replay(nodes_rel: str, edges_rel: str) -> str:
 
 
 def _kcore_replay(nodes_rel: str, edges_rel: str, k: int = 2,
-                  rounds: int = 24) -> str:
-    """k-core peel unrolled to ``rounds`` (the repo's unrolled-depth
-    oracle pattern; stages/graph_analytics._kcore_task shares the bound).
+                  rounds: int | None = None) -> str:
+    """k-core peel unrolled to ``rounds`` — defaults to the SAME constant
+    the Python stage peels under (graph_analytics.KCORE_MAX_ROUNDS), so
+    the two sides cannot silently drift apart; the stage raises if a graph
+    needs more rounds than the shared bound.
     Every round's survivor set is MATERIALIZED — each is referenced twice
     by the next round's degree count, and inlining would double the plan
     per round."""
+    if rounds is None:
+        from .stages.graph_analytics import KCORE_MAX_ROUNDS
+        rounds = KCORE_MAX_ROUNDS
     parts = [f"""
         kund AS MATERIALIZED (
           SELECT least(src, dst) AS a, greatest(src, dst) AS b

@@ -1,0 +1,325 @@
+"""Round-5 operator tests: the re-keyed bigram-LM scorer (broadcast and
+shuffle-join paths), vectorized emitters (bit-identity vs the scalar
+reference), input-derived bucket counts, the staged-min funnel, and the
+ADVICE-item guards (k-core shared bound, -inf NN rows, empty-corpus
+quantiles).
+
+The hard correctness gate for each surface is its DuckDB oracle
+(tools/check_correctness.py); these tests pin operator-level semantics on
+small hand-built inputs so failures localize."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+          "theta", "iota", "kappa", "naïve", "café"]
+
+
+def _random_texts(n, seed=5, lo=0, hi=40):
+    rng = np.random.default_rng(seed)
+    return [" ".join(rng.choice(_WORDS, size=rng.integers(lo, hi)))
+            for _ in range(n)]
+
+
+# ------------------------------------------------------------ lm_score r5
+
+def test_bigram_emitter_matches_counter_reference(ray_session):
+    """The factorize+groupby emitter is bit-identical to the per-doc
+    Counter loop it replaced."""
+    from graphrag_ray.stages.lm_score import bigram_occ_rows
+
+    texts = _random_texts(30) + ["", "solo", "a b"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = (bigram_occ_rows(batch).to_pandas()
+           .sort_values(["doc_id", "w1", "w2"]).reset_index(drop=True))
+    rows = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        for (w1, w2), n in sorted(Counter(zip(toks, toks[1:])).items()):
+            rows.append((doc_id, w1, w2, n))
+    exp = pd.DataFrame(rows, columns=["doc_id", "w1", "w2", "n_occ"])
+    exp = exp.sort_values(["doc_id", "w1", "w2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_lm_score_join_path_equals_broadcast_path(ray_session):
+    """Forcing broadcast_limit=0 exercises the Dataset.join scale path;
+    both paths must agree to the last rounded digit."""
+    from graphrag_ray.stages.lm_score import lm_bigram_doc_scores
+
+    ds = _docs_ds(_random_texts(40, seed=9, lo=2, hi=25))
+    a = (lm_bigram_doc_scores(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_bigram_doc_scores(ds, broadcast_limit=0, num_partitions=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 40
+
+
+# ------------------------------------------------------------ passages r5
+
+def test_passage_rows_bit_identical_to_join_reference(ray_session):
+    """The byte-offset window fingerprint equals the per-window
+    ' '.join(...).encode() md5 — including non-ASCII tokens and messy
+    whitespace (which normalization must collapse)."""
+    from graphrag_ray.stages.passages import passage_rows
+
+    texts = _random_texts(20, seed=3, lo=0, hi=30)
+    texts += ["  naïve   café  " + " ".join(_WORDS),  # non-ASCII + runs
+              "\t".join(_WORDS[:9]), ""]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    width, nb = 8, 7
+    got = (passage_rows(batch, width, nb).to_pandas()
+           .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    rows = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        for i in range(len(toks) - width + 1):
+            h = hashlib.md5(" ".join(toks[i:i + width]).encode()).hexdigest()
+            rows.append((int(h[:8], 16) % nb, h, doc_id, i))
+    exp = pd.DataFrame(rows, columns=["bucket", "phash", "doc_id", "pos"])
+    exp = exp.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dup_passages_invariant_to_bucket_count(ray_session):
+    """The bucket count is a pure parallelism knob: results match across
+    counts (and the derived default)."""
+    from graphrag_ray.stages import passages
+
+    base = " ".join(_WORDS[:10])
+    ds = _docs_ds([base + " tail one", base + " tail two",
+                   "unrelated " + " ".join(reversed(_WORDS))])
+    outs = []
+    for b in (1, 5, None):  # None -> derived_buckets
+        outs.append(passages.dup_passages(ds, num_buckets=b).to_pandas()
+                    .sort_values("phash").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    assert (outs[0]["n_docs"] >= 2).all()
+
+
+def test_derived_buckets_scale_with_input(ray_session):
+    from graphrag_ray.stages import passages, events
+
+    small = _docs_ds(["x"] * 10)
+    assert passages.derived_buckets(small) == passages.NUM_BUCKETS
+    assert passages.derived_buckets(small, floor=1, docs_per_bucket=2) == 6
+    ev = ray.data.range(1000)
+    assert events.derived_buckets(ev) == events.NUM_BUCKETS
+    assert events.derived_buckets(ev, floor=1, rows_per_bucket=100) == 11
+    big = ray.data.range(10_000_000)
+    assert events.derived_buckets(big) > events.NUM_BUCKETS
+
+
+# -------------------------------------------------------------- funnel r5
+
+def _funnel_events(rng, n_users=40, n_events=400):
+    types = ["signup", "click", "purchase", "view"]
+    return pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n_events),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(rng.choice(types, n_events), pa.string()),
+    })
+
+
+def test_funnel_staged_min_equals_bruteforce(ray_session):
+    """The vectorized staged groupby-min funnel equals the per-user
+    sequential scan on random event logs (hot user included)."""
+    from graphrag_ray.stages.events import funnel_stages
+
+    rng = np.random.default_rng(11)
+    tbl = _funnel_events(rng)
+    # make user 0 hot: 200 extra events
+    hot = _funnel_events(rng, n_users=1, n_events=200)
+    tbl = pa.concat_tables([tbl, hot])
+    stages = ("signup", "click", "purchase")
+    got = (funnel_stages(ray.data.from_arrow(tbl), stages).to_pandas()
+           .sort_values(["user_id", "stage_idx"]).reset_index(drop=True))
+
+    df = tbl.to_pandas()
+    df["ts"] = df["ts"].astype("int64")
+    rows = []
+    for user, g in df.groupby("user_id"):
+        prev = None
+        for idx, st in enumerate(stages):
+            sel = g[g["event_type"] == st]
+            if prev is not None:
+                sel = sel[sel["ts"] > prev]
+            if sel.empty:
+                break
+            first = int(sel["ts"].min())
+            rows.append((int(user), idx, st, first))
+            prev = first
+    exp = (pd.DataFrame(rows,
+                        columns=["user_id", "stage_idx", "stage", "first_ts"])
+           .sort_values(["user_id", "stage_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# -------------------------------------------------------- ADVICE guards r5
+
+def test_kcore_raises_past_shared_bound(ray_session):
+    """A long path graph peels only two endpoints per round; needing more
+    rounds than the shared Python/SQL bound must fail loudly, not
+    silently diverge from the unrolled oracle."""
+    from graphrag_ray.stages.graph_analytics import (
+        KCORE_MAX_ROUNDS, kcore)
+
+    n = 2 * KCORE_MAX_ROUNDS + 12
+    ents = ray.data.from_arrow(pa.table(
+        {"canonical_id": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(range(n - 1), pa.int64()),
+        "dst": pa.array(range(1, n), pa.int64()),
+    }))
+    with pytest.raises((RuntimeError, ray.exceptions.RayTaskError)):
+        kcore(ents, edges, k=2).to_pandas()
+    # and a graph that converges inside the bound still works
+    tri = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+    }))
+    ents3 = ray.data.from_arrow(pa.table(
+        {"canonical_id": pa.array([0, 1, 2], pa.int64())}))
+    out = kcore(ents3, tri, k=2).to_pandas()
+    assert len(out) == 3 and (out["core_degree"] == 2).all()
+
+
+def test_single_vector_mutual_knn_emits_nothing(ray_session):
+    """A single-row self block used to emit a (v, v, -inf) row; the -inf
+    mask drops it at the source."""
+    from graphrag_ray.stages import ann
+
+    blk = pa.table({
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0, 0.0]], pa.list_(pa.float32())),
+    })
+    ref = ray.put(blk)
+    fn = ann.make_block_pair_nn_fn([ref])
+    out = fn(pa.table({"i": pa.array([0]), "j": pa.array([0])}))
+    assert out.num_rows == 0
+
+
+# ------------------------------------------- delta-bounded incremental r5
+
+def test_incremental_skips_untouched_buckets(ray_session):
+    """Poison-row proof that the delta-bounded incremental path does NOT
+    recompute canonicalization buckets untouched by the new docs: a
+    poisoned mention_count in a clean bucket must SURVIVE the update
+    (pass-through), while a poisoned row in a dirty bucket must be
+    REPLACED by the refresh."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphrag_ray.config import PipelineConfig
+    from graphrag_ray.pipelines.incremental import (canonical_full_for,
+                                                    dirty_buckets_for,
+                                                    entity_key_bloom,
+                                                    extraction_for_docs,
+                                                    incremental_update)
+    from graphrag_ray.state.propagation import bucket_of
+    from graphrag_ray.synth import synth_documents_table
+
+    cfg = PipelineConfig(chunk_size=512, chunk_overlap=100)
+    all_docs = synth_documents_table(40)
+    docs_a = rd.from_arrow(all_docs.slice(0, 30))
+    docs_b = rd.from_arrow(all_docs.slice(30, 10))
+
+    prev_ex = extraction_for_docs(docs_a, cfg).materialize()
+    prev_canonical = canonical_full_for(prev_ex, cfg)
+    new_ex = extraction_for_docs(docs_b, cfg).materialize()
+    dirty, _ = dirty_buckets_for(new_ex)
+    assert 0 < len(dirty) < 64  # genuinely selective on this corpus
+
+    tbl = prev_canonical.to_arrow_refs()
+    tbl = pa.concat_tables([t for t in ray.get(tbl)])
+    buckets = np.array([bucket_of(t, n) for t, n in
+                        zip(tbl.column("entity_type").to_pylist(),
+                            tbl.column("canonical_name").to_pylist())])
+    dirty_set = set(dirty)
+    clean_mask = np.array([b not in dirty_set for b in buckets])
+    assert clean_mask.any() and (~clean_mask).any()
+    POISON = 987_654
+    mc = tbl.column("mention_count").to_numpy(zero_copy_only=False).copy()
+    clean_victim = tbl.column("canonical_id").to_pylist()[
+        int(np.flatnonzero(clean_mask)[0])]
+    dirty_victim = tbl.column("canonical_id").to_pylist()[
+        int(np.flatnonzero(~clean_mask)[0])]
+    mc[int(np.flatnonzero(clean_mask)[0])] = POISON
+    mc[int(np.flatnonzero(~clean_mask)[0])] = POISON
+    poisoned = tbl.set_column(
+        tbl.schema.get_field_index("mention_count"), "mention_count",
+        pa.array(mc, tbl.column("mention_count").type))
+
+    bloom = entity_key_bloom(prev_ex)
+    res = incremental_update(prev_ex, docs_b, cfg,
+                             previous_canonical_full=rd.from_arrow(poisoned),
+                             previous_bloom=bloom)
+    ents = res.entities.to_pandas().set_index("canonical_id")
+    # clean bucket: poison survives => that bucket was NOT recomputed
+    assert ents.loc[clean_victim, "mention_count"] == POISON
+    # dirty bucket: poison replaced => that bucket WAS recomputed
+    assert ents.loc[dirty_victim, "mention_count"] != POISON
+    # bloom-gated delta report is wired through
+    assert res.report["dirty_buckets"] == len(dirty)
+    assert res.report["approach"] == "ray-data-incremental-delta"
+    assert res.report.get("modified_keys", 0) + \
+        res.report.get("added_keys", 0) > 0
+
+
+def test_lance_native_roundtrip(ray_session, tmp_path):
+    """S5 native-format proof: skips where the lance package is absent
+    (this sandbox), passes unchanged the day the environment provides it
+    — write_vector_store must then pick the REAL lance branch and
+    read_vector_store must come back through ray.data.read_lance."""
+    pytest.importorskip("lance")
+    from graphrag_ray.sources.lance_store import (read_vector_store,
+                                                  store_meta,
+                                                  write_vector_store)
+
+    ds = ray.data.from_items(
+        [{"id": i, "vector": [float(i), 1.0, 2.0]} for i in range(32)])
+    path = str(tmp_path / "native_vs")
+    fmt = write_vector_store(ds, path, meta={"dim": 3})
+    assert fmt == "lance"
+    assert store_meta(path)["format"] == "lance"
+    back = read_vector_store(path)
+    assert back.count() == 32
+    assert sorted(r["id"] for r in back.take_all()) == list(range(32))
+
+
+def test_doc_length_quantiles_empty_corpus(ray_session, tmp_path):
+    from graphrag_ray import queries as q
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    out = q.doc_length_quantiles(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["q", "value"]
