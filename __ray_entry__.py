@@ -955,6 +955,21 @@ def oracle_sql() -> dict[str, str]:
         "syn_pagerank": _synkg_sql.syn_pagerank_sql(),
         "syn_centrality": _synkg_sql.syn_centrality_sql(),
         "syn_mentions": _synkg_sql.syn_mentions_sql(),
+        # flagship (kg_*) twins: the CHUNKED corpus replay (_kg_full_cte —
+        # recursive chunker + per-chunk word-stream extraction + chunk→doc
+        # rollup into the same canonicalization/edge replay)
+        "kg_entities": _synkg_sql.kg_entities_sql(),
+        "kg_alias_map": _synkg_sql.kg_alias_map_sql(),
+        "kg_triples": _synkg_sql.kg_triples_sql(),
+        "kg_stats": _synkg_sql.kg_stats_sql(),
+        "kg_cooccur_edges": _synkg_sql.kg_cooccur_sql(),
+        "kg_common_entities": _synkg_sql.kg_common_entities_sql(),
+        "kg_components": _synkg_sql.kg_components_sql(),
+        "kg_louvain": _synkg_sql.kg_louvain_sql(),
+        "kg_graph_metrics": _synkg_sql.kg_graph_metrics_sql(),
+        "kg_pagerank": _synkg_sql.kg_pagerank_sql(),
+        "kg_centrality": _synkg_sql.kg_centrality_sql(),
+        "kg_mentions": _synkg_sql.kg_mentions_sql(),
         "syn_incremental": _synkg_sql.syn_triples_sql(),
         "syn_boundaries": _syn_sql.syn_boundaries_sql(),
         "syn_query_analysis": _synkg_sql.syn_query_analysis_sql(),

@@ -670,7 +670,19 @@ def kg_entities(sf_dir: str):
 
 
 def kg_triples(sf_dir: str):
-    return _kg(sf_dir).triples
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+                "n_occurrences": batch.column("n_occurrences"),
+            }
+        )
+
+    return _kg(sf_dir).triples.map_batches(project, batch_format="pyarrow")
 
 
 def kg_alias_map(sf_dir: str):
@@ -845,10 +857,24 @@ def kg_mentions(sf_dir: str):
     from .stages.extract import make_mentions_batch_fn
 
     res = _kg(sf_dir)
-    return res.chunks.map_batches(
+    ds = res.chunks.map_batches(
         make_mentions_batch_fn(KG_CFG.min_confidence, KG_CFG.entity_types),
         batch_format="pyarrow",
     )
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "entity_id": batch.column("entity_id"),
+                "chunk_id": batch.column("chunk_id"),
+                "start_offset": batch.column("start_offset"),
+                "end_offset": batch.column("end_offset"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2349,14 +2375,18 @@ def kg_stats(sf_dir: str):
     res = _kg(sf_dir)
     n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
     n_chunks = res.chunks.count()
-    return ga.graph_stats(res.entities, res.edges, n_docs, n_chunks)
+    df = ga.graph_stats(res.entities, res.edges, n_docs, n_chunks)
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
 
 
 def kg_pagerank(sf_dir: str):
     from .stages import graph_analytics as ga
 
     res = _kg(sf_dir)
-    return ga.pagerank(res.entities, res.edges)
+    df = ga.pagerank(res.entities, res.edges).to_pandas()
+    df["score"] = _round4(df["score"].to_numpy())
+    return df
 
 
 def kg_components(sf_dir: str):
@@ -2385,7 +2415,10 @@ def kg_centrality(sf_dir: str):
     from .stages import graph_analytics as ga
 
     res = _kg(sf_dir)
-    return ga.centrality_scores(res.edges)
+    df = ga.centrality_scores(res.edges).to_pandas()
+    for c in ("degree", "betweenness", "closeness"):
+        df[c] = _round4(df[c].to_numpy())
+    return df
 
 
 def kg_louvain(sf_dir: str):
@@ -2393,7 +2426,9 @@ def kg_louvain(sf_dir: str):
     from .stages import graph_analytics as ga
 
     res = _kg(sf_dir)
-    return ga.louvain_communities(res.edges)
+    df = ga.louvain_communities(res.edges).to_pandas()
+    df["modularity"] = _round4(df["modularity"].to_numpy())
+    return df
 
 
 def kg_graph_metrics(sf_dir: str):
@@ -2401,7 +2436,9 @@ def kg_graph_metrics(sf_dir: str):
     from .stages import graph_analytics as ga
 
     res = _kg(sf_dir)
-    return ga.graph_metrics(res.edges)
+    df = ga.graph_metrics(res.edges)
+    df["value"] = _round4(df["value"].to_numpy())
+    return df
 
 
 def kg_relationship_hierarchy(sf_dir: str):
@@ -2420,7 +2457,21 @@ def kg_cooccur_edges(sf_dir: str):
     from .stages import graph_analytics as ga
 
     res = _kg(sf_dir)
-    return ga.doc_cooccurrence_edges(res.extraction)
+    ds = ga.doc_cooccurrence_edges(res.extraction)
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "n_docs": batch.column("n_docs"),
+                "rel_type": batch.column("rel_type"),
+                "confidence": pa.array(_round4(conf), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

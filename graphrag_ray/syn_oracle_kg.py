@@ -250,11 +250,29 @@ def _events_cte() -> str:
         GROUP BY 1, 2, 3
     ),
     ents_m AS MATERIALIZED (
-        SELECT e.doc_id, e.name, e.etype, e.conf, e.ord,
+        SELECT e.doc_id, e.name, e.etype, e.conf, e.ord, 1 AS n_rows,
                e.n_events * ((length(t.text)
                               - length(replace(t.text, e.name, '')))
                              // length(e.name)) AS n_mentions
         FROM ents e JOIN texts t USING (doc_id)
+    )
+    """
+
+
+def _docents_cte() -> str:
+    """Chunk→doc rollup for the chunked (flagship) corpus: the pipeline's
+    in-batch per-doc entity combine (stages/extract.py ent_acc /
+    extraction_vec doc-level aggregation) keyed by (real doc, raw name,
+    type): conf = max over chunk events, n_mentions = sum of per-chunk
+    n_events x in-chunk occurrence counts, n_rows = #chunk-level rows (the
+    unit ExactCluster.name_counts accumulates, canonicalize.py:134)."""
+    return """
+    docents AS MATERIALIZED (
+        SELECT t.parent AS doc_id, em.name, em.etype,
+               max(em.conf) AS conf, sum(em.n_mentions) AS n_mentions,
+               count(*) AS n_rows
+        FROM ents_m em JOIN texts t USING (doc_id)
+        GROUP BY 1, 2, 3
     )
     """
 
@@ -268,8 +286,15 @@ _SX_CODE = """CASE WHEN {c} IN ('B','F','P','V') THEN '1'
      ELSE '0' END"""
 
 
-def _canon_cte() -> str:
-    """Exact clusters → soundex blocks → sims (recursive jaro) → greedy."""
+def _canon_cte(src: str = "ents_m") -> str:
+    """Exact clusters → soundex blocks → sims (recursive jaro) → greedy.
+
+    ``src`` is the per-doc entity-row relation feeding canonicalization:
+    ``ents_m`` for the single-chunk syn corpus, ``docents`` (the chunk→doc
+    rollup) for the chunked flagship corpus. raw_cnt sums ``n_rows``
+    because ExactCluster.name_counts accumulates CHUNK-level row counts
+    (canonicalize.py:134), which drives both the greedy seed order
+    (-total_count) and canonical-name pick."""
     sxc1 = _SX_CODE.format(c="substr(tok,1,1)")
     sxcn = _SX_CODE.format(c="substr(tok, pos+1, 1)")
     return f"""
@@ -278,11 +303,11 @@ def _canon_cte() -> str:
                trim(regexp_replace(regexp_replace(lower(name),
                     '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm,
                name,
-               count(*) AS raw_cnt,
+               sum(n_rows) AS raw_cnt,
                sum(n_mentions) AS mention_sum,
                max(conf) AS conf_max,
                list(DISTINCT doc_id) AS docs
-        FROM ents_m
+        FROM {src}
         GROUP BY 1, 2, 3
     ),
     ekeys AS MATERIALIZED (
@@ -498,7 +523,7 @@ def _canon_cte() -> str:
                round(max(g.conf), 4) AS confidence
         FROM (
             SELECT em.doc_id, em.n_mentions, em.conf, em.etype, na.seed_norm
-            FROM ents_m em
+            FROM {src} em
             JOIN norm_assign na
               ON na.etype = em.etype
              AND na.norm = trim(regexp_replace(regexp_replace(lower(em.name),
@@ -599,6 +624,32 @@ def _full_cte() -> str:
     )
 
 
+def _kg_full_cte(chunk_size: int = 512, overlap: int = 100) -> str:
+    """Full replay of the FLAGSHIP build (queries._kg: include_base_text,
+    chunk 512/100): the same word-stream extraction / canonicalization /
+    edge CTEs as the syn replay, but with ``texts`` bound to the CHUNK
+    units from the recursive chunker replay (synth_oracle.chunk_units_cte)
+    and the chunk→doc rollup (``docents``) feeding canonicalization — the
+    exact dataflow of the fused ChunkExtract stage (per-chunk extraction,
+    in-batch per-doc combine) followed by the salted canonicalization
+    groupby. Base text is all-lowercase in the driver corpus (asserted in
+    tests), so capitalization-gated extraction events arise only inside
+    pool sentences — which the md5 replay re-derives exactly; chunk
+    boundaries may still split names mid-token, and both sides see the
+    identical substring."""
+    from .synth_oracle import chunk_units_cte
+
+    return (
+        "WITH RECURSIVE "
+        + chunk_units_cte(chunk_size, overlap).strip() + ",\n"
+        + _words_cte().strip() + ",\n"
+        + _events_cte().strip() + ",\n"
+        + _docents_cte().strip() + ",\n"
+        + _canon_cte(src="docents").strip() + ",\n"
+        + _edges_cte().strip()
+    )
+
+
 def syn_doc_entities_sql() -> str:
     """Per-doc extraction stream (doc_id, name, type, conf, n_mentions)."""
     return f"""
@@ -643,6 +694,41 @@ def syn_triples_sql() -> str:
     """
 
 
+# --- flagship (kg_*) twins: the same builds over the CHUNKED corpus with
+# base text included (queries._kg / KG_CFG chunk 512/100) — see
+# _kg_full_cte. These close the rows-only gap on the flagship surfaces
+# themselves, not just their syn/kgx stand-ins.
+
+
+def kg_entities_sql() -> str:
+    return f"""
+        {_kg_full_cte()}
+        SELECT canonical_id, canonical_name, entity_type, doc_frequency,
+               mention_count
+        FROM canonf
+    """
+
+
+def kg_alias_map_sql() -> str:
+    return f"""
+        {_kg_full_cte()}
+        SELECT entity_id, canonical_id, canonical_name, entity_type
+        FROM aliasf
+    """
+
+
+def kg_triples_sql() -> str:
+    """Flagship triples: confidence is the constant pattern-path
+    relationship confidence (stages/extract.py:52, MAX-merged over
+    occurrences — constant in, constant out)."""
+    return f"""
+        {_kg_full_cte()}
+        SELECT src_name AS subj, rel_type AS pred, dst_name AS obj,
+               0.5 AS confidence, n_occurrences
+        FROM edge_agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # downstream graph-analytics twins over the replayed syn graph
 #
@@ -653,24 +739,19 @@ def syn_triples_sql() -> str:
 # corpus' Zipf-skewed fuzzy-merged graph, not just the kgx toy pools.
 
 
-def syn_stats_sql() -> str:
-    """G9 graph statistics (graph/mod.rs:330-352) over the syn graph.
-
-    chunk_count == document_count because the factor=1 corpus is
-    single-chunk-per-doc at chunk_size=2048 (asserted corpus-wide by
-    tests/test_syn_oracle_kg.py)."""
-    return f"""
-        {_full_cte()},
+def _stats_tail(chunk_count_expr: str) -> str:
+    return f""",
         base AS (
           SELECT (SELECT count(*) FROM canonf)::DOUBLE AS n_ent,
                  (SELECT count(*) FROM edge_agg)::DOUBLE AS n_edge,
-                 (SELECT count(*) FROM documents)::DOUBLE AS n_docs)
+                 (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 ({chunk_count_expr})::DOUBLE AS n_chunks)
         SELECT 'entity_count' AS stat, n_ent AS value FROM base
         UNION ALL SELECT 'relationship_count', n_edge FROM base
         UNION ALL SELECT 'document_count', n_docs FROM base
-        UNION ALL SELECT 'chunk_count', n_docs FROM base
+        UNION ALL SELECT 'chunk_count', n_chunks FROM base
         UNION ALL SELECT 'average_entities_per_chunk',
-                  round(n_ent / n_docs, 4) FROM base
+                  round(n_ent / n_chunks, 4) FROM base
         UNION ALL SELECT 'density',
                   round(n_edge / (n_ent * (n_ent - 1)), 4) FROM base
         UNION ALL
@@ -679,18 +760,28 @@ def syn_stats_sql() -> str:
     """
 
 
-def syn_cooccur_sql() -> str:
-    """G8 doc co-occurrence edges over the syn extraction stream
-    (corpus/knowledge_graph.rs:192-240): sorted distinct entity-id pairs
-    per doc, first-2000-per-doc cap replayed as row_number over the same
-    row-major (src, dst) order the sequential loop visits."""
-    return f"""
-        {_full_cte()},
+def syn_stats_sql() -> str:
+    """G9 graph statistics (graph/mod.rs:330-352) over the syn graph.
+
+    chunk_count == document_count because the factor=1 corpus is
+    single-chunk-per-doc at chunk_size=2048 (asserted corpus-wide by
+    tests/test_syn_oracle_kg.py)."""
+    return _full_cte() + _stats_tail("SELECT count(*) FROM documents")
+
+
+def kg_stats_sql() -> str:
+    """G9 graph statistics over the chunked flagship graph — chunk_count
+    comes from the recursive chunker replay itself."""
+    return _kg_full_cte() + _stats_tail("SELECT count(*) FROM texts")
+
+
+def _cooccur_tail(src: str) -> str:
+    return f""",
         co_eids AS (
           SELECT DISTINCT doc_id,
                  etype || '_' || regexp_replace(lower(name),
                                                 '[^a-z0-9_]+', '', 'g') AS eid
-          FROM ents_m),
+          FROM {src}),
         co_pairs AS (
           SELECT a.doc_id, a.eid AS src, b.eid AS dst,
                  row_number() OVER (PARTITION BY a.doc_id
@@ -704,23 +795,47 @@ def syn_cooccur_sql() -> str:
     """
 
 
-def syn_common_entities_sql() -> str:
-    """T4 top-k by mention count (entity/bidirectional_index.rs:315-335),
-    ties broken by canonical_id ascending."""
-    return f"""
-        {_full_cte()}
+def syn_cooccur_sql() -> str:
+    """G8 doc co-occurrence edges over the syn extraction stream
+    (corpus/knowledge_graph.rs:192-240): sorted distinct entity-id pairs
+    per doc, first-2000-per-doc cap replayed as row_number over the same
+    row-major (src, dst) order the sequential loop visits."""
+    return _full_cte() + _cooccur_tail("ents_m")
+
+
+def kg_cooccur_sql() -> str:
+    """Same co-occurrence replay over the flagship extraction stream —
+    entity rows are the chunk→doc rollup (docents), matching the per-doc
+    combine the real extraction emits."""
+    return _kg_full_cte() + _cooccur_tail("docents")
+
+
+_COMMON_ENTITIES_TAIL = """
         SELECT canonical_id, canonical_name, entity_type, mention_count
         FROM canonf
         ORDER BY mention_count DESC, canonical_id ASC LIMIT 20
     """
 
 
-def syn_components_sql() -> str:
-    """L3 connected components + degree (graph/analytics.rs): component
-    label = min reachable entity id (the pipeline's deterministic
-    union-find root), degree = incident edge rows."""
-    return f"""
-        {_full_cte()},
+def syn_common_entities_sql() -> str:
+    """T4 top-k by mention count (entity/bidirectional_index.rs:315-335),
+    ties broken by canonical_id ascending."""
+    return _full_cte() + _COMMON_ENTITIES_TAIL
+
+
+def kg_common_entities_sql() -> str:
+    """Same top-k replay over the chunked flagship graph."""
+    return _kg_full_cte() + _COMMON_ENTITIES_TAIL
+
+
+# --- shared analytics tails: each composes with EITHER corpus replay
+# (_full_cte for the single-chunk syn corpus, _kg_full_cte for the chunked
+# flagship corpus) — the analytics SQL reads only canonf/edge_agg, so one
+# tail oracles the same stage code over both graphs.
+
+
+def _components_tail() -> str:
+    return """,
         nodes AS (SELECT canonical_id AS node FROM canonf),
         und AS (SELECT src AS a, dst AS b FROM edge_agg
                 UNION SELECT dst, src FROM edge_agg),
@@ -738,6 +853,18 @@ def syn_components_sql() -> str:
                coalesce(d.degree, 0)::BIGINT AS degree
         FROM comp c LEFT JOIN deg d ON d.node = c.entity_id
     """
+
+
+def syn_components_sql() -> str:
+    """L3 connected components + degree (graph/analytics.rs): component
+    label = min reachable entity id (the pipeline's deterministic
+    union-find root), degree = incident edge rows."""
+    return _full_cte() + _components_tail()
+
+
+def kg_components_sql() -> str:
+    """Same components replay over the chunked flagship graph."""
+    return _kg_full_cte() + _components_tail()
 
 
 def _leiden_replay(nodes_rel: str, edges_rel: str,
@@ -876,12 +1003,8 @@ def kgx_leiden_sql() -> str:
     """
 
 
-def syn_louvain_sql() -> str:
-    """L3 'Louvain' as the reference ships it (analytics.rs:97-180):
-    components over edge-connected nodes, community ids in sorted-node
-    discovery order, simplified modularity = internal edge ends / 2n."""
-    return f"""
-        {_full_cte()},
+def _louvain_tail() -> str:
+    return """,
         enodes AS (SELECT DISTINCT node FROM (
             SELECT src AS node FROM edge_agg
             UNION ALL SELECT dst FROM edge_agg)),
@@ -912,12 +1035,20 @@ def syn_louvain_sql() -> str:
     """
 
 
-def syn_graph_metrics_sql() -> str:
-    """L3 density + avg clustering coefficient (analytics.rs:432-487);
-    multi-edge multiplicity in neighbor lists, distinct-set triangle
-    membership (the (mult, distinct) split, same as kgx_graph_metrics)."""
-    return f"""
-        {_full_cte()},
+def syn_louvain_sql() -> str:
+    """L3 'Louvain' as the reference ships it (analytics.rs:97-180):
+    components over edge-connected nodes, community ids in sorted-node
+    discovery order, simplified modularity = internal edge ends / 2n."""
+    return _full_cte() + _louvain_tail()
+
+
+def kg_louvain_sql() -> str:
+    """Same Louvain replay over the chunked flagship graph."""
+    return _kg_full_cte() + _louvain_tail()
+
+
+def _graph_metrics_tail() -> str:
+    return """,
         dirs AS (SELECT src AS a, dst AS b FROM edge_agg
                  UNION ALL SELECT dst, src FROM edge_agg),
         adj AS (SELECT a, b, count(*)::BIGINT AS mult FROM dirs GROUP BY a, b),
@@ -942,13 +1073,20 @@ def syn_graph_metrics_sql() -> str:
     """
 
 
-def syn_pagerank_sql() -> str:
-    """L2 PageRank power iteration as a recursive CTE (same arithmetic as
-    stages/graph_analytics._pagerank_task / graph/pagerank.rs: damping
-    0.85, uniform reset, dangling redistribution, L1 stop 1e-6, <=100
-    iterations) over the syn graph."""
-    return f"""
-        {_full_cte()},
+def syn_graph_metrics_sql() -> str:
+    """L3 density + avg clustering coefficient (analytics.rs:432-487);
+    multi-edge multiplicity in neighbor lists, distinct-set triangle
+    membership (the (mult, distinct) split, same as kgx_graph_metrics)."""
+    return _full_cte() + _graph_metrics_tail()
+
+
+def kg_graph_metrics_sql() -> str:
+    """Same density/clustering replay over the chunked flagship graph."""
+    return _kg_full_cte() + _graph_metrics_tail()
+
+
+def _pagerank_tail() -> str:
+    return """,
         nodes AS (SELECT canonical_id AS node FROM canonf),
         dirs AS (SELECT src AS a, dst AS b FROM edge_agg
                  UNION ALL SELECT dst, src FROM edge_agg),
@@ -976,9 +1114,22 @@ def syn_pagerank_sql() -> str:
     """
 
 
-# safe BFS depth bound for syn_centrality_sql; eccentricities are
+def syn_pagerank_sql() -> str:
+    """L2 PageRank power iteration as a recursive CTE (same arithmetic as
+    stages/graph_analytics._pagerank_task / graph/pagerank.rs: damping
+    0.85, uniform reset, dangling redistribution, L1 stop 1e-6, <=100
+    iterations) over the syn graph."""
+    return _full_cte() + _pagerank_tail()
+
+
+def kg_pagerank_sql() -> str:
+    """Same PageRank replay over the chunked flagship graph."""
+    return _kg_full_cte() + _pagerank_tail()
+
+
+# safe BFS depth bound for syn/kg centrality_sql; eccentricities are
 # asserted < this corpus-wide by tests/test_syn_oracle_kg.py (observed
-# diameter: 2 at sf0.01)
+# diameter: 2 at sf0.01, both graphs)
 _WALK_CAP = 6
 
 
@@ -995,8 +1146,17 @@ def syn_centrality_sql() -> str:
     extra information. tests/test_syn_oracle_kg.py asserts corpus-wide
     (independent Python BFS) that every eccentricity is < the cap, so the
     capped distances equal true distances."""
-    return f"""
-        {_full_cte()},
+    return _full_cte() + _centrality_tail()
+
+
+def kg_centrality_sql() -> str:
+    """Same centrality replay over the chunked flagship graph (walk cap
+    asserted for this graph too in tests/test_syn_oracle_kg.py)."""
+    return _kg_full_cte() + _centrality_tail()
+
+
+def _centrality_tail() -> str:
+    return f""",
         dirs AS (SELECT src AS a, dst AS b FROM edge_agg
                  UNION ALL SELECT dst, src FROM edge_agg),
         nbrd AS (SELECT DISTINCT a, b FROM dirs),
@@ -1046,16 +1206,8 @@ def syn_centrality_sql() -> str:
     """
 
 
-def syn_mentions_sql() -> str:
-    """M12 mention offsets over the syn corpus: per merged (doc, name,
-    type) entity, the successive NON-OVERLAPPING occurrence scan
-    (entity/mod.rs:613-625 — find, then resume at pos + len) replayed as a
-    recursive CTE, each occurrence repeated n_events times because the
-    per-event mention lists concatenate on dedup (entity/mod.rs:788-809;
-    extract_entities merge). chunk_id = doc_id || '_0' (single chunk per
-    doc at chunk_size=2048)."""
-    return f"""
-        {_full_cte()},
+def _mentions_tail(chunk_id_expr: str) -> str:
+    return f""",
         m_base AS MATERIALIZED (
           SELECT e.doc_id, e.name, e.etype, e.conf, e.n_events,
                  length(e.name) AS ln, t.text
@@ -1074,12 +1226,31 @@ def syn_mentions_sql() -> str:
           WHERE strpos(substr(b.text, o.pos + o.ln + 1), o.name) > 0)
         SELECT etype || '_' || regexp_replace(lower(name),
                    '[^a-z0-9_]+', '', 'g') AS entity_id,
-               doc_id || '_0' AS chunk_id,
+               {chunk_id_expr} AS chunk_id,
                pos::BIGINT AS start_offset,
                (pos + ln)::BIGINT AS end_offset,
                round(conf, 4) AS confidence
         FROM occ, unnest(range(n_events)) AS _r
     """
+
+
+def syn_mentions_sql() -> str:
+    """M12 mention offsets over the syn corpus: per merged (doc, name,
+    type) entity, the successive NON-OVERLAPPING occurrence scan
+    (entity/mod.rs:613-625 — find, then resume at pos + len) replayed as a
+    recursive CTE, each occurrence repeated n_events times because the
+    per-event mention lists concatenate on dedup (entity/mod.rs:788-809;
+    extract_entities merge). chunk_id = doc_id || '_0' (single chunk per
+    doc at chunk_size=2048)."""
+    return _full_cte() + _mentions_tail("doc_id || '_0'")
+
+
+def kg_mentions_sql() -> str:
+    """M12 mention offsets over the flagship corpus: the same occurrence
+    scan, but per CHUNK — `texts.doc_id` already IS the chunk id in the
+    chunked replay, and offsets are chunk-local (the mentions stage rescans
+    chunk content)."""
+    return _kg_full_cte() + _mentions_tail("doc_id")
 
 
 def syn_query_analysis_sql() -> str:

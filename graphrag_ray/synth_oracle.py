@@ -122,6 +122,29 @@ def _text_cte() -> str:
     """
 
 
+def _chunk_cut_case(alias: str, w: int) -> str:
+    """Cut-position CASE for the window starting at ``{alias}.s`` (the
+    chunker replay's single shared expression — see kg_chunks_sql for the
+    semantics)."""
+    sent_region = w - 200   # sentence-boundary search start (0-based)
+    word_region_start = w - 50 + 1  # 1-based substr start of the 50-char tail
+    rev_win = f"reverse(substr({alias}.text, {alias}.s + 1, {w}))"
+    rev_tail = f"reverse(substr({alias}.text, {alias}.s + {word_region_start}, 50))"
+    return f"""
+    CASE WHEN {alias}.s + {w} >= {alias}.n THEN {alias}.n
+    ELSE CASE
+      WHEN substr({alias}.text, {alias}.s + {w}, 1) = '.'
+        THEN {alias}.s + {w}
+      WHEN strpos({rev_win}, ' .') > 0
+           AND ({w} - strpos({rev_win}, ' .') - 1) >= {sent_region}
+        THEN {alias}.s + {w} - strpos({rev_win}, ' .')
+      WHEN strpos({rev_tail}, ' ') > 0
+        THEN {alias}.s + {w} - strpos({rev_tail}, ' ')
+      ELSE {alias}.s + {w}
+    END END
+    """
+
+
 def kg_chunks_sql(chunk_size: int = 512, overlap: int = 100) -> str:
     """Recursive-CTE replay of chunk_text (legacy sliding window + sentence
     snap) over the replayed doc text. 0-based char offsets; cut semantics:
@@ -134,25 +157,9 @@ def kg_chunks_sql(chunk_size: int = 512, overlap: int = 100) -> str:
     Blank chunks (whitespace-only) are skipped without consuming an index;
     next start = max(start+1, cut-overlap)."""
     w = chunk_size
-    sent_region = w - 200   # sentence-boundary search start (0-based)
-    word_region_start = w - 50 + 1  # 1-based substr start of the 50-char tail
 
     def cut(alias: str) -> str:
-        rev_win = f"reverse(substr({alias}.text, {alias}.s + 1, {w}))"
-        rev_tail = f"reverse(substr({alias}.text, {alias}.s + {word_region_start}, 50))"
-        return f"""
-        CASE WHEN {alias}.s + {w} >= {alias}.n THEN {alias}.n
-        ELSE CASE
-          WHEN substr({alias}.text, {alias}.s + {w}, 1) = '.'
-            THEN {alias}.s + {w}
-          WHEN strpos({rev_win}, ' .') > 0
-               AND ({w} - strpos({rev_win}, ' .') - 1) >= {sent_region}
-            THEN {alias}.s + {w} - strpos({rev_win}, ' .')
-          WHEN strpos({rev_tail}, ' ') > 0
-            THEN {alias}.s + {w} - strpos({rev_tail}, ' ')
-          ELSE {alias}.s + {w}
-        END END
-        """
+        return _chunk_cut_case(alias, w)
 
     return f"""
     {_text_cte()},
@@ -175,6 +182,52 @@ def kg_chunks_sql(chunk_size: int = 512, overlap: int = 100) -> str:
            cut AS end_offset
     FROM (SELECT st.*, ({cut('st')}) AS cut FROM state st) x
     WHERE length(trim(substr(text, s + 1, cut - s))) > 0
+    """
+
+
+def chunk_units_cte(chunk_size: int = 512, overlap: int = 100) -> str:
+    """CTE chain (caller supplies the ``WITH RECURSIVE`` prefix) exposing
+    the flagship corpus's CHUNKS as extraction units: ``texts`` has one row
+    per chunk with ``doc_id`` = '<doc>_<idx>' chunk id, ``parent`` = real
+    doc id, ``text`` = the chunk's raw content slice (chunk_doc emits
+    content = text[start:end] verbatim). The same recursive chunker replay
+    kg_chunks_sql verifies, re-used so the word-stream extraction replay
+    (syn_oracle_kg) can run per chunk — the unit the real pipeline's fused
+    ChunkExtract stage extracts over."""
+    w = chunk_size
+
+    def cut(alias: str) -> str:
+        return _chunk_cut_case(alias, w)
+
+    return f"""
+    {_sentence_cte()},
+    dtexts AS MATERIALIZED (
+        SELECT 'doc_'||lpad(d.doc_id::VARCHAR, 8, '0') AS doc_id,
+               (CASE WHEN d.text IS NOT NULL AND d.text <> ''
+                     THEN trim(d.text) || ' ' ELSE '' END)
+               || string_agg(sent.sentence, '' ORDER BY sent.s) AS text
+        FROM documents d JOIN sent ON sent.did = d.doc_id
+        GROUP BY d.doc_id, d.text
+    ),
+    cstate AS (
+        SELECT doc_id, text, length(text)::BIGINT AS n,
+               0::BIGINT AS s, 0::BIGINT AS idx
+        FROM dtexts
+        UNION ALL
+        SELECT doc_id, text, n,
+               greatest(s + 1, cut - {overlap}),
+               idx + CASE WHEN length(trim(substr(text, s + 1, cut - s))) > 0
+                          THEN 1 ELSE 0 END
+        FROM (SELECT st.*, ({cut('st')}) AS cut FROM cstate st) x
+        WHERE cut < n
+    ),
+    texts AS MATERIALIZED (
+        SELECT doc_id || '_' || idx AS doc_id,
+               doc_id AS parent,
+               substr(text, s + 1, cut - s) AS text
+        FROM (SELECT st.*, ({cut('st')}) AS cut FROM cstate st) x
+        WHERE length(trim(substr(text, s + 1, cut - s))) > 0
+    )
     """
 
 

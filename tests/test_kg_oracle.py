@@ -1,0 +1,96 @@
+"""Pins for the flagship (kg_*) oracle family — the CHUNKED corpus replay
+(graphrag_ray/syn_oracle_kg._kg_full_cte over synth_oracle.chunk_units_cte).
+
+The SQL derivation relies on three structural facts asserted here:
+ 1. driver base text is ALL-LOWERCASE (capitalization-gated extraction
+    events arise only inside the md5-replayable pool sentences);
+ 2. the chunk units the recursive chunker replay emits are byte-identical
+    to chunk_doc's (idx, content) stream over the same text;
+ 3. the kg graph's eccentricities stay strictly below the shared BFS walk
+    cap used by kg_centrality_sql.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict, deque
+
+import duckdb
+import pytest
+
+from graphrag_ray import syn_oracle_kg as so
+from graphrag_ray.functions.chunking import chunk_doc
+from graphrag_ray.synth import doc_text_from_spans, synth_spans_for_doc
+from graphrag_ray.synth_oracle import chunk_units_cte
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SQL = 120  # SQL subset (runtime-bounded; the driver gate runs full sf)
+
+
+@pytest.fixture(scope="module")
+def docs_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') WHERE doc_id < {N_SQL}"
+    )
+    return con
+
+
+def test_base_text_is_lowercase():
+    """No capitals/digits in the driver base text — the precondition for
+    the extraction replay to be exact on the chunked corpus (every
+    capitalization-gated event comes from a replayed pool sentence)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    for x in t.column("text").to_pylist():
+        assert not (x and re.search(r"[A-Z0-9]", x))
+
+
+def test_chunk_units_match_chunk_doc(docs_con):
+    """chunk_units_cte's (chunk_id, parent, text) rows == the fused
+    ChunkExtract stage's chunk stream (chunk_doc legacy 512/100 over
+    base+sentence text) for a corpus prefix."""
+    import pyarrow.parquet as pq
+
+    base = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{SF_DIR}/documents.parquet")
+        .to_pylist() if r["doc_id"] < N_SQL
+    }
+    want = []
+    for d, btxt in base.items():
+        doc = f"doc_{d:08d}"
+        text = doc_text_from_spans(synth_spans_for_doc(d, btxt, 1))
+        for idx, _s, _e, content in chunk_doc(text, "legacy", 512, 100, 50):
+            want.append((f"{doc}_{idx}", doc, content))
+    got = docs_con.execute(
+        "WITH RECURSIVE " + chunk_units_cte()
+        + " SELECT doc_id, parent, text FROM texts"
+    ).fetchall()
+    assert sorted(got) == sorted(want)
+
+
+def test_kg_walk_cap_exceeds_diameter(docs_con):
+    """kg_centrality_sql shares syn's BFS cap; sound only if every
+    eccentricity of the kg graph is strictly below it (independent Python
+    BFS over the replayed edge set)."""
+    edges = docs_con.execute(
+        so._kg_full_cte() + " SELECT src, dst FROM edge_agg"
+    ).fetchall()
+    adj: dict[str, set[str]] = defaultdict(set)
+    for s, t in edges:
+        adj[s].add(t)
+        adj[t].add(s)
+    assert adj, "replayed kg graph unexpectedly empty"
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        assert max(dist.values()) < so._WALK_CAP
