@@ -215,16 +215,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgx_atomic_facts": q.kgx_atomic_facts,
         "kgx_validated_facts": q.kgx_validated_facts,
         "kgx_gleaning": q.kgx_gleaning,
-        # --- KG construction over the REAL corpus (kg_chunks /
-        #     kg_chunk_embeddings / kg_boundary_chunks /
-        #     kg_semantic_chunk_coverage are SQL-oracled via the md5
-        #     synth respec; the rest are rows-only here and hard-oracled
-        #     through the kgx_*/syn_* twins of the same stage code)
+        # --- KG construction over the REAL corpus. Round 5: the chunked
+        #     corpus itself is SQL-replayed (_kg_full_cte), so the core
+        #     build (entities/alias/triples/mentions), the graph analytics
+        #     and Leiden levels are hard-oracled DIRECTLY; the remaining
+        #     rows-only kg_* surfaces stay oracled through the kgx_*/syn_*
+        #     twins of the same stage code.
         "kg_chunks": q.kg_chunks,
         "kg_entities": q.kg_entities,
         "kg_triples": q.kg_triples,
         "kg_alias_map": q.kg_alias_map,
         "kg_communities": q.kg_communities,
+        "kg_leiden": q.kg_leiden,
+        "kg_leiden_l1": q.kg_leiden_l1,
         "kg_community_summaries": q.kg_community_summaries,
         "kg_chunk_embeddings": q.kg_chunk_embeddings,
         "kg_semantic_chunks": q.kg_semantic_chunks,
@@ -968,6 +971,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_louvain": _synkg_sql.kg_louvain_sql(),
         "kg_graph_metrics": _synkg_sql.kg_graph_metrics_sql(),
         "kg_pagerank": _synkg_sql.kg_pagerank_sql(),
+        "kg_leiden": _synkg_sql.kg_leiden_sql(),
+        "kg_leiden_l1": _synkg_sql.kg_leiden_l1_sql(),
+        "kg_atomic_facts": _syn_sql.kg_atomic_facts_sql(),
+        "kg_validated_facts": _syn_sql.kg_validated_facts_sql(),
         "kg_centrality": _synkg_sql.kg_centrality_sql(),
         "kg_mentions": _synkg_sql.kg_mentions_sql(),
         "syn_incremental": _synkg_sql.syn_triples_sql(),

@@ -695,6 +695,38 @@ def kg_communities(sf_dir: str):
     return communities
 
 
+def _leiden_level(res, level: int):
+    """Level-``level`` rows of detect_communities canonicalized to
+    min-member labels (partition equality, SURVEY §7.5)."""
+    import pandas as pd
+
+    comm, _ = detect_communities(res.entities, res.edges)
+    df = comm.to_pandas()
+    df = df[df["level"] == level]
+    if df.empty:
+        return pd.DataFrame({"entity_id": pd.Series(dtype="str"),
+                             "community_rep": pd.Series(dtype="str")})
+    rep = df.groupby("community_id")["entity_id"].transform("min")
+    return (pd.DataFrame({"entity_id": df["entity_id"],
+                          "community_rep": rep})
+            .sort_values("entity_id").reset_index(drop=True))
+
+
+def kg_leiden(sf_dir: str):
+    """L1 Leiden over the FLAGSHIP graph, canonicalized for partition
+    equality — hard-oracled by syn_oracle_kg.kg_leiden_sql (the same
+    recursive-CTE local-move + refinement replay over the chunked-corpus
+    replay graph)."""
+    return _leiden_level(_kg(sf_dir), 0)
+
+
+def kg_leiden_l1(sf_dir: str):
+    """Hierarchical Leiden LEVEL 1 over the flagship graph (oracle
+    syn_oracle_kg.kg_leiden_l1_sql: exact level-0 label replay +
+    contraction + second recursive-CTE replay)."""
+    return _leiden_level(_kg(sf_dir), 1)
+
+
 def kg_community_summaries(sf_dir: str):
     res = _kg(sf_dir)
     _, summaries = detect_communities(res.entities, res.edges)
@@ -2489,11 +2521,23 @@ def kg_enriched_chunks(sf_dir: str):
 
 
 def kg_atomic_facts(sf_dir: str):
-    """M10/A5 atomic (subj, pred, obj) facts with temporal markers."""
+    """M10/A5 atomic (subj, pred, obj) facts with temporal markers
+    (SQL-oracled: synth_oracle.kg_atomic_facts_sql replays the fact regex
+    over the replayed chunk text with RE2-compatible delimiter
+    consumption)."""
     from .stages.atomic_facts import facts_batch
 
     res = _kg(sf_dir)
-    return res.chunks.map_batches(facts_batch, batch_format="pyarrow")
+    ds = res.chunks.map_batches(facts_batch, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("confidence"), "confidence",
+            pa.array(_round4(conf), pa.float64()),
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def kgx_entity_temporal(sf_dir: str):
@@ -2629,9 +2673,18 @@ def kg_validated_facts(sf_dir: str):
     validated = candidates.map_batches(
         TripleValidationStage, batch_format="pyarrow", concurrency=(1, 4)
     )
-    return validated.select_columns(
-        ["chunk_id", "subj", "pred", "obj", "is_valid", "validation_confidence"]
-    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        conf = batch.column("validation_confidence").to_numpy(
+            zero_copy_only=False)
+        batch = batch.set_column(
+            batch.schema.get_field_index("validation_confidence"),
+            "validation_confidence", pa.array(_round4(conf), pa.float64()),
+        )
+        return batch.select(["chunk_id", "subj", "pred", "obj", "is_valid",
+                             "validation_confidence"])
+
+    return validated.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1003,6 +1003,14 @@ def kgx_leiden_sql() -> str:
     """
 
 
+def kg_leiden_sql() -> str:
+    """Leiden partition equality over the chunked flagship graph."""
+    return f"""
+        {_kg_full_cte()},
+        {_leiden_replay('canonf', 'edge_agg')}
+    """
+
+
 def _louvain_tail() -> str:
     return """,
         enodes AS (SELECT DISTINCT node FROM (
@@ -1515,7 +1523,16 @@ def syn_leiden_l1_sql() -> str:
     applies before running a next level."""
     return f"""
         {_full_cte()},
-        {_leiden_replay('canonf', 'edge_agg', sfx='_l0', as_cte='lp0')},
+        {_leiden_l1_tail('canonf', 'edge_agg')}
+    """
+
+
+def _leiden_l1_tail(nodes_rel: str, edges_rel: str) -> str:
+    """Level-1 replay tail shared by the syn / kgx / kg corpora: exact
+    level-0 label replay, contraction into 'c{label}' supernodes, second
+    local-move replay, min-member canonicalization, coarsening gate."""
+    return f"""
+        {_leiden_replay(nodes_rel, edges_rel, sfx='_l0', as_cte='lp0')},
         {_leiden_label_cte('_l0', 'lab0')},
         l1gate AS (
             SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
@@ -1523,7 +1540,7 @@ def syn_leiden_l1_sql() -> str:
             SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
         l1edges AS MATERIALIZED (
             SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
-            FROM edge_agg e
+            FROM {edges_rel} e
             JOIN lab0 la ON la.canonical_id = e.src
             JOIN lab0 lb ON lb.canonical_id = e.dst
             WHERE la.label <> lb.label),
@@ -1539,6 +1556,14 @@ def syn_leiden_l1_sql() -> str:
     """
 
 
+def kg_leiden_l1_sql() -> str:
+    """Hierarchical Leiden LEVEL 1 over the chunked flagship graph."""
+    return f"""
+        {_kg_full_cte()},
+        {_leiden_l1_tail('canonf', 'edge_agg')}
+    """
+
+
 def kgx_leiden_l1_sql() -> str:
     """Hierarchical Leiden LEVEL 1 over the kgx corpus graph — same
     replay as syn_leiden_l1_sql composed with kgx's canon/kgx_edge_agg."""
@@ -1546,27 +1571,7 @@ def kgx_leiden_l1_sql() -> str:
 
     return f"""
         WITH RECURSIVE {_corpus_cte()},
-        {_leiden_replay('canon', 'kgx_edge_agg', sfx='_l0', as_cte='lp0')},
-        {_leiden_label_cte('_l0', 'lab0')},
-        l1gate AS (
-            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
-        l1nodes AS MATERIALIZED (
-            SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
-        l1edges AS MATERIALIZED (
-            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
-            FROM kgx_edge_agg e
-            JOIN lab0 la ON la.canonical_id = e.src
-            JOIN lab0 lb ON lb.canonical_id = e.dst
-            WHERE la.label <> lb.label),
-        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='lp1')},
-        ent1 AS (
-            SELECT l.canonical_id AS entity_id, lp1.community_rep AS srep
-            FROM lab0 l JOIN lp1 ON lp1.entity_id = 'c' || l.label)
-        SELECT entity_id,
-               min(entity_id) OVER (PARTITION BY srep) AS community_rep
-        FROM ent1
-        WHERE (SELECT nc FROM l1gate) > 1
-          AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+        {_leiden_l1_tail('canon', 'kgx_edge_agg')}
     """
 
 

@@ -231,6 +231,66 @@ def chunk_units_cte(chunk_size: int = 512, overlap: int = 100) -> str:
     """
 
 
+# atomic-fact regex (stages/atomic_facts._FACT_RE) in RE2 form: the
+# Python lookahead `(?=[\s.,;]|$)` becomes a CONSUMED `(?:[\s.,;]|$)` —
+# equivalent here because the delimiter class can never start the next
+# match's subject ([A-Z]), so non-overlapping scan order is unchanged;
+# tests/test_kg_oracle.py asserts corpus-wide fact-set equality with
+# extract_facts. Temporal markers never occur (no digits / 'during' in
+# pool sentences or lowercase base text — also asserted).
+_FACT_PAT_RE2 = (
+    r"([A-Z][\w'']+(?: [A-Z][\w'']+)?)\s+"
+    r"(works for|founded|is employed by|was born in|lives in|married|"
+    r"visited|met|partnered with|joined|traveled to|opened)\s+"
+    r"(?:a |the )?([A-Z][\w'']+(?: [A-Z][\w'']+){0,3})(?:[\s.,;]|$)"
+)
+
+
+def _kg_facts_cte(chunk_size: int = 512, overlap: int = 100) -> str:
+    return f"""WITH RECURSIVE {chunk_units_cte(chunk_size, overlap)},
+    fm AS (
+      SELECT doc_id AS chunk_id,
+             regexp_extract_all(text, '{_FACT_PAT_RE2}', 1) AS subjs,
+             regexp_extract_all(text, '{_FACT_PAT_RE2}', 2) AS preds,
+             regexp_extract_all(text, '{_FACT_PAT_RE2}', 3) AS objs
+      FROM texts),
+    facts AS (
+      SELECT chunk_id,
+             unnest(subjs) AS subj,
+             upper(replace(unnest(preds), ' ', '_')) AS pred,
+             unnest(objs) AS obj
+      FROM fm)
+    """
+
+
+def kg_atomic_facts_sql() -> str:
+    """M10/A5 atomic facts over the flagship chunk stream: the mock ATOM
+    decomposer's fact regex replayed per chunk (RE2 delimiter-consuming
+    form, see _FACT_PAT_RE2); constant confidence, no temporal markers in
+    this corpus."""
+    return f"""
+        {_kg_facts_cte()}
+        SELECT chunk_id, subj, pred, obj,
+               NULL::VARCHAR AS temporal_marker,
+               NULL::BIGINT AS timestamp,
+               0.8::DOUBLE AS confidence
+        FROM facts
+    """
+
+
+def kg_validated_facts_sql() -> str:
+    """A4 triple reflection over the flagship facts: subj/obj are regex
+    captures of the chunk text itself, so the mock validator (verbatim
+    containment) accepts every fact at confidence 0.9."""
+    return f"""
+        {_kg_facts_cte()}
+        SELECT chunk_id, subj, pred, obj,
+               true AS is_valid,
+               0.9::DOUBLE AS validation_confidence
+        FROM facts
+    """
+
+
 def media_features_sql() -> str:
     """Replay of the media span structure: docs with doc_id%10==0 emit one
     image span after sentence s for s%3==1; span_index = has_base + (s+1)

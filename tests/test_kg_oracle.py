@@ -72,6 +72,36 @@ def test_chunk_units_match_chunk_doc(docs_con):
     assert sorted(got) == sorted(want)
 
 
+def test_fact_regex_re2_form_equals_python(docs_con):
+    """kg_atomic_facts_sql's RE2 pattern (consumed delimiter instead of
+    Python's lookahead) yields the exact per-chunk fact multiset of
+    stages/atomic_facts.extract_facts, and the corpus carries no temporal
+    markers (the replay emits NULLs)."""
+    import pyarrow.parquet as pq
+
+    from graphrag_ray.stages.atomic_facts import extract_facts
+    from graphrag_ray.synth_oracle import kg_atomic_facts_sql
+
+    got = sorted(map(tuple, docs_con.execute(
+        kg_atomic_facts_sql()).fetchall()))
+    base = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+        if r["doc_id"] < N_SQL
+    }
+    want = []
+    for d, btxt in base.items():
+        doc = f"doc_{d:08d}"
+        text = doc_text_from_spans(synth_spans_for_doc(d, btxt, 1))
+        for idx, _s, _e, content in chunk_doc(text, "legacy", 512, 100, 50):
+            for f in extract_facts(content):
+                assert f["temporal_marker"] is None
+                want.append((f"{doc}_{idx}", f["subj"],
+                             f["pred"].upper().replace(" ", "_"), f["obj"],
+                             None, None, 0.8))
+    assert got == sorted(want)
+
+
 def test_kg_walk_cap_exceeds_diameter(docs_con):
     """kg_centrality_sql shares syn's BFS cap; sound only if every
     eccentricity of the kg graph is strictly below it (independent Python
