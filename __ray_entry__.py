@@ -975,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_leiden_l1": _synkg_sql.kg_leiden_l1_sql(),
         "kg_atomic_facts": _syn_sql.kg_atomic_facts_sql(),
         "kg_validated_facts": _syn_sql.kg_validated_facts_sql(),
+        "kg_yake_keywords": _syn_sql.kg_yake_sql(),
+        "kg_enriched_chunks": _syn_sql.kg_enriched_sql(),
         "kg_centrality": _synkg_sql.kg_centrality_sql(),
         "kg_mentions": _synkg_sql.kg_mentions_sql(),
         "syn_incremental": _synkg_sql.syn_triples_sql(),

@@ -700,23 +700,33 @@ def kgx_enriched_sql() -> str:
 
 def kgx_yake_sql() -> str:
     """YAKE keyword oracle (stages/enrich.py yake_keywords, Campos et al.
-    2020): every per-term feature — casing, median global position,
-    frequency vs mean+std, distinct window-2 neighbors, sentence
-    dispersion — is recomputed in SQL over the rendered sentences
-    (sentence split mirrors the lookbehind regex via a marker replace,
-    RE2 having no lookbehind), with the score formula mirrored op-for-op;
-    ordering is (score ASC, term ASC), lower = better."""
+    2020) over the kgx corpus — see yake_tail."""
+    return f"""
+        WITH {_corpus_cte()},
+        {yake_tail('kgx_docs', "d.doc_id || '_0'")}
+    """
+
+
+def yake_tail(docs_rel: str, chunk_id_expr: str) -> str:
+    """YAKE replay tail over any (doc_id, s) text relation: every per-term
+    feature — casing, median global position, frequency vs mean+std,
+    distinct window-2 neighbors, sentence dispersion — is recomputed in
+    SQL over the text (sentence split mirrors the lookbehind regex via a
+    marker replace, RE2 having no lookbehind), with the score formula
+    mirrored op-for-op; ordering is (score ASC, term ASC), lower =
+    better. Shared by the kgx corpus (single-sentence docs) and the
+    flagship chunk stream (multi-sentence chunks exercise the dispersion
+    and cross-sentence-window features the kgx corpus cannot)."""
     from .stages.enrich import STOPWORDS
 
     stop_in = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
     return f"""
-        WITH {_corpus_cte()},
         sraw AS (
           SELECT doc_id,
                  string_split(regexp_replace(s, '([.!?])\\s+',
                                              '\\1@@SPLIT@@', 'g'),
                               '@@SPLIT@@') AS parts
-          FROM kgx_docs),
+          FROM {docs_rel}),
         sents AS (
           SELECT doc_id,
                  row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS si,
@@ -801,9 +811,9 @@ def kgx_yake_sql() -> str:
                       array_to_string(list(term ORDER BY score ASC, term ASC),
                                       '|') AS kws
                FROM topk GROUP BY doc_id)
-        SELECT d.doc_id || '_0' AS chunk_id,
+        SELECT {chunk_id_expr} AS chunk_id,
                coalesce(k.kws, '') AS keywords
-        FROM kgx_docs d LEFT JOIN kw k USING (doc_id)
+        FROM {docs_rel} d LEFT JOIN kw k USING (doc_id)
     """
 
 

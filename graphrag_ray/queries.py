@@ -2511,13 +2511,29 @@ def kg_cooccur_edges(sf_dir: str):
 
 
 def kg_enriched_chunks(sf_dir: str):
-    """M4 chunk enrichment: TF-IDF keywords, extractive summary, chapter."""
+    """M4 chunk enrichment: TF-IDF keywords, extractive summary, chapter.
+    SQL-oracled by synth_oracle.kg_enriched_sql (full keyword + summary
+    replay over the chunked-corpus replay); keywords pipe-joined for a
+    stable value compare."""
     from .stages.enrich import enrich_chunks
 
     res = _kg(sf_dir)
     chunks = res.chunks.materialize()
     n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
-    return enrich_chunks(chunks, total_docs=n_docs)
+    ds = enrich_chunks(chunks, total_docs=n_docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        kws = batch.column("keywords").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "keywords": pa.array(["|".join(k) for k in kws], pa.string()),
+                "summary": batch.column("summary"),
+                "chapter": batch.column("chapter"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def kg_atomic_facts(sf_dir: str):
@@ -2622,14 +2638,26 @@ def kgx_temporal_snapshot(sf_dir: str, start_year: int = 1950,
 
 def kg_yake_keywords(sf_dir: str):
     """YAKE keyword variant over the chunk table (config/mod.rs:409-425
-    names the algorithm; scoring per Campos et al. 2020)."""
+    names the algorithm; scoring per Campos et al. 2020). SQL-oracled by
+    synth_oracle.kg_yake_sql (the shared yake_tail over the chunked-corpus
+    replay); keywords pipe-joined for a stable value compare."""
     from .stages.enrich import enrich_chunks
 
     res = _kg(sf_dir)
     chunks = res.chunks.materialize()
     n_docs = spans_dataset_from_flat_parquet(f"{sf_dir}/documents.parquet").count()
-    return enrich_chunks(chunks, total_docs=n_docs, algorithm="yake") \
-        .select_columns(["chunk_id", "keywords"])
+    ds = enrich_chunks(chunks, total_docs=n_docs, algorithm="yake")
+
+    def project(batch: pa.Table) -> pa.Table:
+        kws = batch.column("keywords").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "keywords": pa.array(["|".join(k) for k in kws], pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def kg_gleaning_extraction(sf_dir: str):

@@ -291,6 +291,149 @@ def kg_validated_facts_sql() -> str:
     """
 
 
+def kg_enriched_sql() -> str:
+    """M4 enrichment over the flagship chunk stream, fully replayed:
+
+    - TF-IDF keywords (keyword_extraction.rs:37-116): tokenize keeping
+      [alnum-_], len>2, non-stopword, non-digit; DF counted per CHUNK with
+      the broadcast's lossless df>=2 hapax drop (enrich.py:
+      min_broadcast_df — a missing term resolves to df=1, identical);
+      idf = max(0, ln(n_docs/df)); top-5 by (score DESC, term).
+    - Extractive summary (extractive_summarizer.rs:100-160): sentence
+      split on the lookbehind regex via marker replace, per-sentence
+      position/length/word-freq/proper/numeric weights mirrored
+      op-for-op, top-2 by (score DESC, index) re-ordered by index.
+    - Chapter: NULL — no heading/'Chapter N' line exists in this corpus
+      (asserted corpus-wide in tests/test_kg_oracle.py)."""
+    from .stages.enrich import STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+    WITH RECURSIVE {chunk_units_cte()},
+    toks AS (
+      SELECT chunk_id, t AS term FROM (
+        SELECT doc_id AS chunk_id,
+               unnest(list_transform(regexp_split_to_array(text, '\\s+'),
+                   w -> lower(regexp_replace(w, '[^0-9A-Za-z_-]', '',
+                                             'g')))) AS t
+        FROM texts) z
+      WHERE t <> '' AND length(t) > 2 AND t NOT IN ({stop_in})
+        AND NOT regexp_matches(t, '^[0-9]+$')),
+    dfreq AS (SELECT term, count(DISTINCT chunk_id)::BIGINT AS df
+              FROM toks GROUP BY term HAVING count(DISTINCT chunk_id) >= 2),
+    cnts AS (SELECT chunk_id, term, count(*)::BIGINT AS cnt
+             FROM toks GROUP BY 1, 2),
+    tots AS (SELECT chunk_id, count(*)::BIGINT AS total
+             FROM toks GROUP BY 1),
+    ndocs AS (SELECT count(*)::BIGINT AS n FROM documents),
+    sc AS (
+      SELECT c.chunk_id, c.term,
+             (c.cnt::DOUBLE / t.total)
+             * greatest(0.0, ln(nd.n::DOUBLE / coalesce(d.df, 1))) AS score
+      FROM cnts c
+      JOIN tots t USING (chunk_id)
+      LEFT JOIN dfreq d USING (term)
+      CROSS JOIN ndocs nd),
+    kw AS (
+      SELECT chunk_id,
+             array_to_string(list(term ORDER BY score DESC, term), '|')
+                 AS kws
+      FROM (SELECT chunk_id, term, score,
+                   row_number() OVER (PARTITION BY chunk_id
+                                      ORDER BY score DESC, term) AS rn
+            FROM sc) z
+      WHERE rn <= 5 GROUP BY chunk_id),
+    sraw AS (
+      SELECT doc_id AS chunk_id,
+             string_split(regexp_replace(trim(text), '([.!?])\\s+',
+                                         '\\1@@SPLIT@@', 'g'),
+                          '@@SPLIT@@') AS parts
+      FROM texts),
+    sents AS (
+      SELECT chunk_id,
+             row_number() OVER (PARTITION BY chunk_id ORDER BY g) - 1 AS si,
+             parts[g] AS s
+      FROM sraw, unnest(generate_series(1, array_length(parts))) t(g)
+      WHERE trim(parts[g]) <> ''),
+    nsent AS (SELECT chunk_id, count(*)::BIGINT AS n FROM sents GROUP BY 1),
+    sw AS (
+      SELECT chunk_id, si, w,
+             lower(regexp_replace(w, '^[.,!?;:]+|[.,!?;:]+$', '', 'g'))
+                 AS lw,
+             substr(w, 1, 1) BETWEEN 'A' AND 'Z' AS proper,
+             regexp_matches(w, '[0-9]') AS hasdig
+      FROM (SELECT chunk_id, si,
+                   unnest(list_filter(regexp_split_to_array(s, '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM sents) z),
+    freq AS (
+      SELECT chunk_id, lw, count(*)::BIGINT AS f
+      FROM sw WHERE lw <> '' AND lw NOT IN ({stop_in})
+      GROUP BY 1, 2),
+    sstat AS (
+      SELECT w.chunk_id, w.si,
+             count(*)::BIGINT AS wc,
+             sum(CASE WHEN w.lw NOT IN ({stop_in})
+                      THEN coalesce(fr.f, 0) ELSE 0 END)::DOUBLE AS wf,
+             sum(CASE WHEN w.proper THEN 1 ELSE 0 END)::DOUBLE AS nproper,
+             max(CASE WHEN w.hasdig THEN 1 ELSE 0 END) AS hasdig
+      FROM sw w LEFT JOIN freq fr ON fr.chunk_id = w.chunk_id
+                                 AND fr.lw = w.lw
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT st.chunk_id, st.si, se.s,
+             (CASE WHEN st.si = 0 THEN 2.0
+                   WHEN st.si = ns.n - 1 THEN 1.5
+                   ELSE 1.0 - (st.si::DOUBLE / ns.n) * 0.5 END) * 0.3
+             + (CASE WHEN st.wc < 5 THEN 0.3
+                     WHEN st.wc > 40 THEN 0.5
+                     WHEN st.wc BETWEEN 10 AND 25 THEN 1.0
+                     ELSE 0.7 END) * 0.2
+             + least(1.0, st.wf / greatest(1, st.wc) / 3.0) * 0.3
+             + (st.nproper / greatest(1, st.wc)) * 0.1
+             + (CASE WHEN st.hasdig = 1 THEN 1.0 ELSE 0.0 END) * 0.1
+                 AS score,
+             ns.n
+      FROM sstat st
+      JOIN sents se ON se.chunk_id = st.chunk_id AND se.si = st.si
+      JOIN nsent ns ON ns.chunk_id = st.chunk_id),
+    summ AS (
+      SELECT chunk_id,
+             CASE WHEN any_value(n) <= 2
+                  THEN string_agg(s, ' ' ORDER BY si)
+                  ELSE (SELECT string_agg(z.s, ' ' ORDER BY z.si)
+                        FROM (SELECT s2.s, s2.si,
+                                     row_number() OVER (
+                                         ORDER BY s2.score DESC, s2.si)
+                                         AS rn
+                              FROM scored s2
+                              WHERE s2.chunk_id = scored.chunk_id) z
+                        WHERE z.rn <= 2) END AS summary
+      FROM scored GROUP BY chunk_id)
+    SELECT t.doc_id AS chunk_id,
+           coalesce(k.kws, '') AS keywords,
+           coalesce(sm.summary, '') AS summary,
+           NULL::VARCHAR AS chapter
+    FROM texts t
+    LEFT JOIN kw k ON k.chunk_id = t.doc_id
+    LEFT JOIN summ sm ON sm.chunk_id = t.doc_id
+    """
+
+
+def kg_yake_sql() -> str:
+    """YAKE keywords over the flagship chunk stream: the shared replay
+    tail (kgx.yake_tail) over the replayed chunk text — multi-sentence
+    chunks exercise the dispersion / cross-sentence-window features the
+    single-sentence kgx corpus cannot."""
+    from .kgx import yake_tail
+
+    return f"""
+        WITH RECURSIVE {chunk_units_cte()},
+        ydocs AS (SELECT doc_id, text AS s FROM texts),
+        {yake_tail('ydocs', 'd.doc_id')}
+    """
+
+
 def media_features_sql() -> str:
     """Replay of the media span structure: docs with doc_id%10==0 emit one
     image span after sentence s for s%3==1; span_index = has_base + (s+1)

@@ -102,6 +102,23 @@ def test_fact_regex_re2_form_equals_python(docs_con):
     assert got == sorted(want)
 
 
+def test_no_chapter_headings_in_corpus():
+    """kg_enriched_sql emits chapter = NULL; sound only if detect_chapter
+    never fires on any chunk of the full corpus (no markdown heading or
+    'Chapter N' line exists in base text or pool sentences)."""
+    import pyarrow.parquet as pq
+
+    from graphrag_ray.stages.enrich import detect_chapter
+
+    base = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    for r in base:
+        text = doc_text_from_spans(synth_spans_for_doc(r["doc_id"],
+                                                       r["text"], 1))
+        for _i, _s, _e, content in chunk_doc(text, "legacy", 512, 100, 50):
+            assert detect_chapter(content) is None
+
+
 def test_kg_walk_cap_exceeds_diameter(docs_con):
     """kg_centrality_sql shares syn's BFS cap; sound only if every
     eccentricity of the kg graph is strictly below it (independent Python
