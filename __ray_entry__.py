@@ -973,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _synkg_sql.kg_pagerank_sql(),
         "kg_leiden": _synkg_sql.kg_leiden_sql(),
         "kg_leiden_l1": _synkg_sql.kg_leiden_l1_sql(),
+        "kg_communities": _synkg_sql.kg_communities_sql(),
+        "kg_community_summaries": _synkg_sql.kg_community_summaries_sql(),
         "kg_atomic_facts": _syn_sql.kg_atomic_facts_sql(),
         "kg_validated_facts": _syn_sql.kg_validated_facts_sql(),
         "kg_yake_keywords": _syn_sql.kg_yake_sql(),

@@ -1626,6 +1626,131 @@ def syn_leiden_l2_sql() -> str:
           AND (SELECT nc FROM l2gate) < (SELECT nn FROM l2gate)
     """
 
+def _hier_leiden_ctes(nodes_rel: str, edges_rel: str) -> str:
+    """The full hierarchical-Leiden label chain (levels 0..2 with the
+    detect_communities coarsening gates) as shared CTEs: lab0/lab1/lab2
+    carry the RAW integer community labels the Python stage assigns
+    (label replay, not just partition equality), l1gate/l2gate the
+    strict-coarsening conditions."""
+    return f"""
+        {_leiden_replay(nodes_rel, edges_rel, sfx='_l0', as_cte='lp0')},
+        {_leiden_label_cte('_l0', 'lab0')},
+        l1gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab0),
+        l1nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab0),
+        l1edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM {edges_rel} e
+            JOIN lab0 la ON la.canonical_id = e.src
+            JOIN lab0 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l1nodes', 'l1edges', sfx='_l1', as_cte='lp1')},
+        {_leiden_label_cte('_l1', 'lab1')},
+        l2gate AS (
+            SELECT count(DISTINCT label) AS nc, count(*) AS nn FROM lab1),
+        l2nodes AS MATERIALIZED (
+            SELECT DISTINCT 'c' || label AS canonical_id FROM lab1),
+        l2edges AS MATERIALIZED (
+            SELECT 'c' || la.label AS src, 'c' || lb.label AS dst
+            FROM l1edges e
+            JOIN lab1 la ON la.canonical_id = e.src
+            JOIN lab1 lb ON lb.canonical_id = e.dst
+            WHERE la.label <> lb.label),
+        {_leiden_replay('l2nodes', 'l2edges', sfx='_l2', as_cte='lp2')},
+        {_leiden_label_cte('_l2', 'lab2')},
+        memb AS (
+            SELECT 0 AS level, l0.label::BIGINT AS community_id,
+                   l0.canonical_id AS entity_id
+            FROM lab0 l0
+            UNION ALL
+            SELECT 1, l1.label::BIGINT, l0.canonical_id
+            FROM lab0 l0
+            JOIN lab1 l1 ON l1.canonical_id = 'c' || l0.label
+            WHERE (SELECT nc FROM l1gate) > 1
+              AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+            UNION ALL
+            SELECT 2, l2.label::BIGINT, l0.canonical_id
+            FROM lab0 l0
+            JOIN lab1 l1 ON l1.canonical_id = 'c' || l0.label
+            JOIN lab2 l2 ON l2.canonical_id = 'c' || l1.label
+            WHERE (SELECT nc FROM l1gate) > 1
+              AND (SELECT nc FROM l1gate) < (SELECT nn FROM l1gate)
+              AND (SELECT nc FROM l2gate) > 1
+              AND (SELECT nc FROM l2gate) < (SELECT nn FROM l2gate))
+    """
+
+
+_COMMUNITIES_FINAL = """
+        SELECT level, community_id, entity_id FROM memb
+    """
+
+
+def _community_summaries_final(nodes_rel: str, max_length: int = 2000
+                               ) -> str:
+    """The A9 summarizer's exact string format over every level's RAW
+    label partition (stages/community._summaries): header lines, per-type
+    '- TYPE: first5-in-member-order[ and N more]' sorted by type, members
+    sorted by entity id, >max_length truncated to max_length-3 + '...'."""
+    return f""",
+        membm AS (
+            SELECT m.level, m.community_id, m.entity_id,
+                   c.canonical_name AS name, c.entity_type
+            FROM memb m JOIN {nodes_rel} c
+              ON c.canonical_id = m.entity_id),
+        tline AS (
+            SELECT level, community_id, entity_type,
+                   '- ' || entity_type || ': '
+                   || array_to_string(
+                          (list(name ORDER BY entity_id))[1:5], ', ')
+                   || CASE WHEN count(*) > 5
+                           THEN ' and ' || (count(*) - 5) || ' more'
+                           ELSE '' END AS line
+            FROM membm GROUP BY 1, 2, 3),
+        body AS (
+            SELECT level, community_id,
+                   array_to_string(list(line ORDER BY entity_type), chr(10))
+                       AS tlines
+            FROM tline GROUP BY 1, 2),
+        head AS (
+            SELECT level, community_id, count(*)::BIGINT AS entity_count
+            FROM membm GROUP BY 1, 2),
+        fullsum AS (
+            SELECT h.level, h.community_id, h.entity_count,
+                   'Community ' || h.community_id || ' (Level ' || h.level
+                   || ')' || chr(10) || 'Contains ' || h.entity_count
+                   || ' entities:' || chr(10) || b.tlines AS summary
+            FROM head h JOIN body b USING (level, community_id))
+        SELECT level, community_id,
+               CASE WHEN length(summary) > {max_length}
+                    THEN substr(summary, 1, {max_length - 3}) || '...'
+                    ELSE summary END AS summary,
+               entity_count
+        FROM fullsum
+    """
+
+
+def kg_communities_sql() -> str:
+    """detect_communities VERBATIM over the chunked flagship graph: every
+    hierarchical level's (level, community_id, entity_id) rows with the
+    stage's RAW integer labels (label replay, coarsening gates included)."""
+    return f"""
+        {_kg_full_cte()},
+        {_hier_leiden_ctes('canonf', 'edge_agg')}
+        {_COMMUNITIES_FINAL}
+    """
+
+
+def kg_community_summaries_sql() -> str:
+    """A9 extractive community summaries over the chunked flagship graph —
+    format-exact at every hierarchical level."""
+    return f"""
+        {_kg_full_cte()},
+        {_hier_leiden_ctes('canonf', 'edge_agg')}
+        {_community_summaries_final('canonf')}
+    """
+
+
 # ---------------------------------------------------------------------------
 # triangle / k-core twins (round-4 additions, shared across both corpora)
 
