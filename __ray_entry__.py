@@ -975,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_leiden_l1": _synkg_sql.kg_leiden_l1_sql(),
         "kg_communities": _synkg_sql.kg_communities_sql(),
         "kg_community_summaries": _synkg_sql.kg_community_summaries_sql(),
+        "kg_gleaning_extraction": _synkg_sql.kg_gleaning_sql(),
         "kg_atomic_facts": _syn_sql.kg_atomic_facts_sql(),
         "kg_validated_facts": _syn_sql.kg_validated_facts_sql(),
         "kg_yake_keywords": _syn_sql.kg_yake_sql(),

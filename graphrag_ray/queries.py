@@ -2661,8 +2661,14 @@ def kg_yake_keywords(sf_dir: str):
 
 
 def kg_gleaning_extraction(sf_dir: str):
-    """A2 gleaning extractor (deterministic MockLLM) over the chunk table —
-    emits the same tagged extraction schema as the pattern path."""
+    """A2 gleaning extractor (deterministic MockLLM at its default
+    min_confidence 0.5 — the only surface exercising extraction PHASE 4
+    and the sub-0.7 ORG tail) over the chunk table, aggregated
+    batch-invariantly: one entity row per (doc, name, type) plus the
+    globally distinct edge triple set. SQL-oracled by
+    syn_oracle_kg.kg_gleaning_sql."""
+    from ray.data.aggregate import Count
+
     from .stages.llm_extract import GleaningExtractor
 
     res = _kg(sf_dir)
@@ -2671,8 +2677,69 @@ def kg_gleaning_extraction(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return out.select_columns(["row_kind", "doc_id", "entity_id", "name",
-                               "entity_type", "src_id", "dst_id", "rel_type"])
+
+    def ent_project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("row_kind"), "entity"))
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["entity"] * n, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "entity_id": batch.column("entity_id"),
+                "name": batch.column("name"),
+                "entity_type": batch.column("entity_type"),
+                "src_id": pa.array([None] * n, pa.string()),
+                "dst_id": pa.array([None] * n, pa.string()),
+                "rel_type": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    def edge_project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "row_kind": pa.array(["edge"] * n, pa.string()),
+                "doc_id": pa.array([None] * n, pa.string()),
+                "entity_id": pa.array([None] * n, pa.string()),
+                "name": pa.array([None] * n, pa.string()),
+                "entity_type": pa.array([None] * n, pa.string()),
+                "src_id": batch.column("src_id"),
+                "dst_id": batch.column("dst_id"),
+                "rel_type": batch.column("rel_type"),
+            }
+        )
+
+    ents = (
+        out.map_batches(ent_project, batch_format="pyarrow")
+        .groupby(["doc_id", "name", "entity_type", "entity_id"])
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "row_kind": pa.array(["entity"] * t.num_rows, pa.string()),
+                    "doc_id": t.column("doc_id"),
+                    "entity_id": t.column("entity_id"),
+                    "name": t.column("name"),
+                    "entity_type": t.column("entity_type"),
+                    "src_id": pa.array([None] * t.num_rows, pa.string()),
+                    "dst_id": pa.array([None] * t.num_rows, pa.string()),
+                    "rel_type": pa.array([None] * t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edges = (
+        out.filter(lambda r: r["row_kind"] == "edge")
+        .groupby(["src_id", "dst_id", "rel_type"])
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+        .map_batches(edge_project, batch_format="pyarrow")
+    )
+    return ents.union(edges)
 
 
 def kg_validated_facts(sf_dir: str):

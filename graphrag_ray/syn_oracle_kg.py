@@ -548,8 +548,9 @@ def _canon_cte(src: str = "ents_m") -> str:
     """
 
 
-def _edges_cte() -> str:
-    """Per-chunk ordered pair stream → canonical rewrite → directed agg."""
+def _kwflags_cte() -> str:
+    """Per-unit relation-type table (entity/mod.rs:812-879: the keyword
+    hits depend only on the chunk text, scanned once)."""
     return """
     kwflags AS MATERIALIZED (
         SELECT doc_id,
@@ -573,7 +574,30 @@ def _edges_cte() -> str:
                          OR strpos(text, 'partner') > 0 THEN 'COLLEAGUE_OF'
                     ELSE 'KNOWS' END AS pp
         FROM texts
-    ),
+    )
+    """
+
+
+def _pair_type_case(a: str, b: str) -> str:
+    """Relation-type CASE for an entity-type pair, reading kwflags ``k``."""
+    return f"""CASE
+         WHEN ({a}, {b}) IN (('PERSON', 'ORGANIZATION'),
+                             ('ORGANIZATION', 'PERSON'))
+           THEN k.po
+         WHEN ({a}, {b}) IN (('PERSON', 'LOCATION'),
+                             ('LOCATION', 'PERSON'))
+           THEN k.pl
+         WHEN ({a}, {b}) IN (('ORGANIZATION', 'LOCATION'),
+                             ('LOCATION', 'ORGANIZATION'))
+           THEN k.ol
+         WHEN {a} = 'PERSON' AND {b} = 'PERSON' THEN k.pp
+         ELSE 'RELATED_TO' END"""
+
+
+def _edges_cte() -> str:
+    """Per-chunk ordered pair stream → canonical rewrite → directed agg."""
+    return f"""
+    {_kwflags_cte().strip().strip(',')},
     eids AS MATERIALIZED (
         SELECT doc_id, etype,
                etype || '_' || regexp_replace(lower(name),
@@ -583,18 +607,7 @@ def _edges_cte() -> str:
     ),
     pairs_raw AS (
         SELECT e1.doc_id, e1.eid AS src_e, e2.eid AS dst_e,
-               CASE
-                 WHEN (e1.etype, e2.etype) IN (('PERSON', 'ORGANIZATION'),
-                                               ('ORGANIZATION', 'PERSON'))
-                   THEN k.po
-                 WHEN (e1.etype, e2.etype) IN (('PERSON', 'LOCATION'),
-                                               ('LOCATION', 'PERSON'))
-                   THEN k.pl
-                 WHEN (e1.etype, e2.etype) IN (('ORGANIZATION', 'LOCATION'),
-                                               ('LOCATION', 'ORGANIZATION'))
-                   THEN k.ol
-                 WHEN e1.etype = 'PERSON' AND e2.etype = 'PERSON' THEN k.pp
-                 ELSE 'RELATED_TO' END AS rel_type
+               {_pair_type_case('e1.etype', 'e2.etype')} AS rel_type
         FROM eids e1
         JOIN eids e2 ON e2.doc_id = e1.doc_id AND e2.ord > e1.ord
         JOIN kwflags k ON k.doc_id = e1.doc_id
@@ -726,6 +739,90 @@ def kg_triples_sql() -> str:
         SELECT src_name AS subj, rel_type AS pred, dst_name AS obj,
                0.5 AS confidence, n_occurrences
         FROM edge_agg
+    """
+
+
+def kg_gleaning_sql() -> str:
+    """A1/A2 gleaning (MockLLM at its DEFAULT min_confidence 0.5) over the
+    flagship chunk stream — the only oracle exercising extraction's
+    PHASE 4 (leftover single capitalized person words, conf 0.6) and the
+    sub-0.7 ORG tail, both filtered out of the 0.7 chains everywhere else.
+
+    Replay: the threshold-independent event CTEs gain `p4` (unconsumed
+    cap∧person-word∧len≥2∧non-NPW tokens; consumed = phase-2 marks ∪
+    phase-3 taken pairs; ord slots between phase 3 and the ORG range so
+    first-seen entity order is preserved), re-filtered at 0.5. The mock's
+    name-keyed JSON round trip makes GleaningExtractor re-key edge
+    endpoints by NAME — the LAST entity (max ord) with that name wins,
+    silently retyping cross-type collisions (n2i). Output is the
+    batch-invariant aggregation the query surface emits: one entity row
+    per (doc, name, type), globally distinct edge triples."""
+    from .functions.extraction import NON_PERSON_WORDS
+
+    npw = _in('w.lc', sorted(NON_PERSON_WORDS))
+    return f"""
+        {_kg_full_cte()},
+        consumed AS (
+            SELECT doc_id, m FROM p2marks
+            UNION SELECT doc_id, i FROM p3
+            UNION SELECT doc_id, i + 1 FROM p3
+        ),
+        p4 AS (
+            SELECT w.doc_id, w.i, w.c AS name
+            FROM wattr w
+            WHERE w.cap AND w.pw AND length(w.c) >= 2
+              AND NOT {npw}
+              AND NOT EXISTS (SELECT 1 FROM consumed cn
+                              WHERE cn.doc_id = w.doc_id AND cn.m = w.i)
+        ),
+        events05 AS (
+            SELECT doc_id, name, etype, conf, ord FROM events
+            UNION ALL
+            SELECT doc_id, name, 'PERSON', 0.6, 1500000 + i FROM p4
+        ),
+        ents05 AS (
+            SELECT doc_id, name, etype, max(conf) AS conf, min(ord) AS ord
+            FROM events05 WHERE conf >= 0.5
+            GROUP BY 1, 2, 3
+        ),
+        gl_ents AS (
+            SELECT DISTINCT t.parent AS doc_id, e.name, e.etype,
+                   e.etype || '_' || regexp_replace(lower(e.name),
+                                                    '[^a-z0-9_]+', '', 'g')
+                       AS eid
+            FROM ents05 e JOIN texts t USING (doc_id)
+        ),
+        n2i AS (
+            SELECT doc_id, name,
+                   etype || '_' || regexp_replace(lower(name),
+                                                  '[^a-z0-9_]+', '', 'g')
+                       AS nid
+            FROM (SELECT doc_id, name, etype,
+                         row_number() OVER (PARTITION BY doc_id, name
+                                            ORDER BY ord DESC) AS rn
+                  FROM ents05) z WHERE rn = 1
+        ),
+        gl_pairs AS (
+            SELECT e1.doc_id, e1.name AS name1, e2.name AS name2,
+                   {_pair_type_case('e1.etype', 'e2.etype')} AS rel_type
+            FROM ents05 e1
+            JOIN ents05 e2 ON e2.doc_id = e1.doc_id AND e2.ord > e1.ord
+            JOIN kwflags k ON k.doc_id = e1.doc_id
+        ),
+        gl_edges AS (
+            SELECT DISTINCT n1.nid AS src_id, n2.nid AS dst_id, p.rel_type
+            FROM gl_pairs p
+            JOIN n2i n1 ON n1.doc_id = p.doc_id AND n1.name = p.name1
+            JOIN n2i n2 ON n2.doc_id = p.doc_id AND n2.name = p.name2
+        )
+        SELECT 'entity' AS row_kind, doc_id, eid AS entity_id, name,
+               etype AS entity_type,
+               NULL::VARCHAR AS src_id, NULL::VARCHAR AS dst_id,
+               NULL::VARCHAR AS rel_type
+        FROM gl_ents
+        UNION ALL
+        SELECT 'edge', NULL, NULL, NULL, NULL, src_id, dst_id, rel_type
+        FROM gl_edges
     """
 
 
