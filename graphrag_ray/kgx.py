@@ -769,17 +769,34 @@ def yake_tail(docs_rel: str, chunk_id_expr: str) -> str:
             ON n.doc_id = o.doc_id AND n.si = o.si
            AND n.ti BETWEEN o.ti - 2 AND o.ti + 2 AND n.ti <> o.ti
           GROUP BY 1, 2),
-        dstat AS (
+        dmean AS (
           SELECT doc_id,
-                 avg(f) FILTER (WHERE keep) AS mean_tf,
-                 sqrt(coalesce(var_pop(f) FILTER (WHERE keep), 0.0))
-                     AS std_tf,
+                 sum(f) FILTER (WHERE keep)::DOUBLE
+                     / count(*) FILTER (WHERE keep) AS mean_tf,
                  max(f) AS max_tf
           FROM (SELECT doc_id, f,
                        lw NOT IN ({stop_in}) AND length(lw) > 2 AS keep
                 FROM tfs) z GROUP BY doc_id),
-        nsents AS (SELECT doc_id, count(DISTINCT si)::BIGINT AS n_sent
-                   FROM occ GROUP BY doc_id),
+        dstat AS (
+          -- std replayed as Python's literal two-pass formula, terms
+          -- accumulated in FIRST-OCCURRENCE order (dict order of the
+          -- Python tf map): var_pop's different accumulation diverges in
+          -- the last ulp, which can flip near-tie keyword rankings
+          SELECT t.doc_id, any_value(m.mean_tf) AS mean_tf,
+                 sqrt(coalesce(list_sum(
+                     list((t.f::DOUBLE - m.mean_tf)
+                          * (t.f::DOUBLE - m.mean_tf)
+                          ORDER BY t.firstpos)), 0.0)
+                      / count(*)) AS std_tf,
+                 any_value(m.max_tf) AS max_tf
+          FROM (SELECT doc_id, lw, f, min(gpos) AS firstpos
+                FROM tfs JOIN occ USING (doc_id, lw)
+                WHERE lw NOT IN ({stop_in}) AND length(lw) > 2
+                GROUP BY doc_id, lw, f) t
+          JOIN dmean m USING (doc_id)
+          GROUP BY t.doc_id),
+        nsents AS (SELECT doc_id, count(*)::BIGINT AS n_sent
+                   FROM sents GROUP BY doc_id),
         sc AS (
           SELECT t.doc_id, t.lw AS term,
                  ((1.0 + (nb.nleft::DOUBLE / t.f + nb.nright::DOUBLE / t.f)
