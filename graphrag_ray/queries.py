@@ -2905,8 +2905,15 @@ def events_asof(sf_dir: str):
 
     left = ds.map_batches(only("purchase"), batch_format="pyarrow")
     right = ds.map_batches(only("click"), batch_format="pyarrow")
+    # size buckets from the RAW parquet row count (metadata-only): letting
+    # asof_join count the filtered sides would execute both filter
+    # pipelines once extra just for the bucket count; the total-event
+    # upper bound only makes buckets slightly smaller, never hotter
+    from .stages.events import NUM_BUCKETS, ROWS_PER_BUCKET
+    nb = max(NUM_BUCKETS, int(ds.count()) // ROWS_PER_BUCKET + 1)
     out = asof_join(left, right, on="ts", by="user_id",
-                    left_cols=("event_id",), right_cols=("event_id",))
+                    left_cols=("event_id",), right_cols=("event_id",),
+                    num_buckets=nb)
     return out.select_columns(
         ["event_id", "user_id", "ts", "r_event_id", "r_ts", "gap"])
 

@@ -266,6 +266,9 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     """
     tiecol = right_cols[0]
     if num_buckets is None:
+        # counting TRANSFORMED datasets executes their pipelines once just
+        # for the bucket count — callers passing non-trivial inputs should
+        # supply num_buckets from a metadata-cheap upper bound instead
         num_buckets = max(NUM_BUCKETS,
                           (int(left_ds.count()) + int(right_ds.count()))
                           // ROWS_PER_BUCKET + 1)
