@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": q.events_user_cms,
         "events_user_hll": q.events_user_hll,
         "latest_order_per_customer": q.latest_order_per_customer,
+        "late_shipment_priority_counts": q.late_shipment_priority_counts,
+        "top_segment_order_revenue": q.top_segment_order_revenue,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
         "events_funnel": q.events_funnel,    # SQL-oracled (staged-min twin)
         "events_value_quantiles": q.events_value_quantiles,  # SQL-oracled
@@ -810,6 +812,32 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey::BIGINT AS o_orderkey,
                    odate_us::BIGINT AS odate_us, price_cents
             FROM r WHERE rn = 1
+        """,
+        "late_shipment_priority_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "top_segment_order_revenue": """
+            SELECT l.l_orderkey::BIGINT AS o_orderkey,
+                   sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0)
+                                     AS BIGINT)))::BIGINT AS revenue_e4,
+                   epoch_us(o.o_orderdate)::BIGINT AS odate_us,
+                   o.o_orderpriority
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND l.l_shipdate > DATE '1995-03-15'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_e4 DESC, o_orderkey
+            LIMIT 10
         """,
         "ship_latency_histogram": """
             SELECT CAST(floor((epoch_us(l_shipdate) - epoch_us(o_orderdate))

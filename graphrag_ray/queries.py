@@ -4484,6 +4484,179 @@ def latest_order_per_customer(sf_dir: str):
             .groupby("o_custkey").map_groups(final, batch_format="pyarrow"))
 
 
+def late_shipment_priority_counts(sf_dir: str, grace_days: int = 60):
+    """Distributed EXISTS semi-join (J-family, TPC-H Q4 shape): count
+    orders per priority that had at least one lineitem shipped more than
+    ``grace_days`` after the order date. The EXISTS is pre-aggregated —
+    a per-batch max-shipdate combiner collapses lineitem to ≤1 row per
+    orderkey BEFORE any exchange (shuffle ∝ |orderkeys|, not |lineitems|),
+    a keyed groupby finishes the max, and ONE bucketed hash join lands the
+    per-order predicate against orders. All comparisons are integer
+    microseconds, so the SQL twin is exact."""
+    from ray.data.aggregate import Max
+
+    from .stages.joins import bucketed_hash_join
+
+    grace_us = grace_days * 86_400_000_000
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy()
+        ship = (batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        order = np.lexsort((-ship, okey))
+        okey_s, ship_s = okey[order], ship[order]
+        first = np.ones(len(okey_s), dtype=bool)
+        first[1:] = okey_s[1:] != okey_s[:-1]
+        return pa.Table.from_pydict(
+            {"l_orderkey": pa.array(okey_s[first], pa.int64()),
+             "max_ship_us": pa.array(ship_s[first], pa.int64())})
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        odate = (batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        return pa.Table.from_pydict(
+            {"o_orderkey": batch.column("o_orderkey"),
+             "odate_us": pa.array(odate, pa.int64()),
+             "o_orderpriority": batch.column("o_orderpriority")})
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    per_order = (li.map_batches(ship_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("max_ship_us", alias_name="max_ship_us")))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_proj, batch_format="pyarrow")
+    joined = bucketed_hash_join(per_order, orders, "l_orderkey", "o_orderkey",
+                                ["max_ship_us"], ["odate_us", "o_orderpriority"])
+
+    def late_counts(batch: pa.Table) -> pa.Table:
+        ship = batch.column("max_ship_us").to_numpy()
+        odate = batch.column("odate_us").to_numpy()
+        late = ship > odate + grace_us
+        if not late.any():
+            return pa.Table.from_pydict(
+                {"o_orderpriority": pa.array([], pa.string()),
+                 "n_late_orders": pa.array([], pa.int64())})
+        prio = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                          dtype=object)[late]
+        uniq, counts = np.unique(prio.astype(str), return_counts=True)
+        return pa.Table.from_pydict(
+            {"o_orderpriority": pa.array(uniq.tolist(), pa.string()),
+             "n_late_orders": pa.array(counts.astype(np.int64), pa.int64())})
+
+    return (joined.map_batches(late_counts, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_late_orders", alias_name="n_late_orders")))
+
+
+def top_segment_order_revenue(sf_dir: str, segment: str = "BUILDING",
+                              cutoff: str = "1995-03-15", k: int = 10):
+    """Multi-way join chain (TPC-H Q3 shape): top-k open-order revenue
+    for one market segment — customer ⋈ orders ⋈ lineitem as TWO chained
+    bucketed hash joins (no broadcast side; each join is one
+    groupby(bucket) exchange), a per-batch integer-e4 revenue combiner,
+    a keyed groupby per orderkey, then per-block partial top-k so only
+    ≤k rows per block reach the driver. Revenue is integer-scaled
+    (cents × (100-disc100)) — exact under any summation order. Ties
+    break to the smallest orderkey."""
+    import pyarrow.compute as _pc
+
+    from .stages.joins import bucketed_hash_join
+
+    cut = np.datetime64(cutoff)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(_pc.equal(b.column("c_mktsegment"), segment))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        odate = (batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]"))
+        keep = odate < cut
+        batch = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"o_orderkey": batch.column("o_orderkey"),
+             "o_custkey": batch.column("o_custkey"),
+             "odate_us": pa.array(
+                 odate[keep].astype(np.int64), pa.int64()),
+             "o_orderpriority": batch.column("o_orderpriority")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_proj, batch_format="pyarrow")
+
+    # join 1: orders ⋈ segment customers on custkey (semi via N:1 inner)
+    seg_orders = bucketed_hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "odate_us", "o_orderpriority"], [])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = (batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]"))
+        keep = ship > cut
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "revenue_e4": pa.array([], pa.int64())})
+        okey = batch.column("l_orderkey").to_numpy()[keep]
+        ext_c = np.rint(
+            batch.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        d100 = np.rint(
+            batch.column("l_discount").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        rev = ext_c * (100 - d100)
+        uniq, inv = np.unique(okey, return_inverse=True)
+        return pa.Table.from_pydict(
+            {"l_orderkey": pa.array(uniq, pa.int64()),
+             "revenue_e4": pa.array(
+                 np.bincount(inv, rev, len(uniq)).astype(np.int64),
+                 pa.int64())})
+
+    li = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow"))
+
+    # join 2: per-orderkey revenue partials ⋈ qualifying orders on orderkey
+    joined = bucketed_hash_join(
+        li, seg_orders, "l_orderkey", "o_orderkey",
+        ["revenue_e4"], ["odate_us", "o_orderpriority"])
+
+    # per-orderkey final merge: sum the revenue partials; odate/priority
+    # are constant within the group (N:1 join), take the first
+    def order_merge(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": g.column("l_orderkey").slice(0, 1),
+             "revenue_e4": pa.array(
+                 [int(g.column("revenue_e4").to_numpy().sum())], pa.int64()),
+             "odate_us": g.column("odate_us").slice(0, 1),
+             "o_orderpriority": g.column("o_orderpriority").slice(0, 1)})
+
+    merged = joined.groupby("l_orderkey").map_groups(
+        order_merge, batch_format="pyarrow")
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        rev = batch.column("revenue_e4").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        sel = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(np.sort(sel)))
+
+    partials = merged.map_batches(topk_partial, batch_format="pyarrow")
+    df = partials.to_pandas()
+    df = df.sort_values(["revenue_e4", "o_orderkey"],
+                        ascending=[False, True], kind="mergesort").head(k)
+    return df.reset_index(drop=True)
+
+
 def events_user_cms(sf_dir: str, k: int = 20):
     """Count-Min heavy hitters: per-user event counts estimated through a
     distributed 4×256 md5-hashed Count-Min sketch (per-batch partial
