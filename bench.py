@@ -107,9 +107,16 @@ def run_bench() -> dict:
     )
 
     # warm-up (untimed): spawn workers, import the library in them, warm the
-    # page cache — a small slice through the REAL pipeline stages
-    warm_docs = read_spans_documents(corpus).limit(64)
-    build_kg(warm_docs.materialize(), cfg)
+    # page cache — a small slice through the REAL pipeline stages. The
+    # extract UDF has a ~1.7 s one-time per-process cost (first-call regex
+    # and allocator warmup, measured via cProfile cold-vs-steady), so the
+    # warmup fans out one small batch per CPU to touch EVERY worker
+    # process, not just the two a single 64-doc slice reaches.
+    from dataclasses import replace
+
+    warm_cfg = replace(cfg, extract_batch_size=8)
+    warm_docs = read_spans_documents(corpus).limit(8 * num_cpus)
+    build_kg(warm_docs.materialize().repartition(num_cpus), warm_cfg)
 
     timings: dict[str, float] = {}
 
