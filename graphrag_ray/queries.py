@@ -271,11 +271,16 @@ def top_terms(sf_dir: str, k: int = 20):
 
 
 def dedup_exact(sf_dir: str):
+    """Exact dedup: per-batch fp combiner → native keyed aggregate (per-fp
+    groups — no coarse bucket, per-task memory O(1) at any corpus size)."""
+    from ray.data.aggregate import Min
+
     return (
         _docs(sf_dir)
         .map_batches(dedup.exact_dedup_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(dedup.exact_dedup_merge, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"),
+                   Sum("n_docs", alias_name="n_docs"))
         .select_columns(["fp", "keep_doc_id", "n_docs"])
     )
 
@@ -340,7 +345,12 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     from functools import partial
 
     docs = _docs(sf_dir)
-    bands = docs.map_batches(dedup.minhash_band_rows, batch_format="pyarrow")
+    # bucket count derived from input size (parquet-metadata count): per-
+    # bucket band rows stay ~constant as the corpus grows — no fixed B
+    nb = max(64, int(docs.count()) // 64 + 1)
+    bands = docs.map_batches(
+        partial(dedup.minhash_band_rows, num_buckets=nb),
+        batch_format="pyarrow")
     tagged = bands.groupby("bucket").map_groups(
         partial(dedup.candidate_pairs_from_bands, cap=DEDUP_GROUP_CAP),
         batch_format="pyarrow",
@@ -418,8 +428,13 @@ def dedup_ngram_pairs(sf_dir: str, threshold: float = 0.5):
     Doc sizes ride on the posting rows, so nothing is broadcast."""
     from functools import partial
 
-    rows = _docs(sf_dir).map_batches(dedup.ngram_shingle_rows,
-                                     batch_format="pyarrow")
+    docs = _docs(sf_dir)
+    # input-derived shingle-bucket count: per-bucket posting rows stay
+    # ~constant as the corpus grows — no fixed B on the exchange
+    nb = max(64, int(docs.count()) // 64 + 1)
+    rows = docs.map_batches(
+        partial(dedup.ngram_shingle_rows, num_buckets=nb),
+        batch_format="pyarrow")
     tagged = rows.groupby("bucket").map_groups(
         partial(dedup.ngram_pairs_from_bucket, cap=DEDUP_GROUP_CAP),
         batch_format="pyarrow",
@@ -3041,15 +3056,18 @@ def customer_order_counts(sf_dir: str):
 
 def customer_order_join(sf_dir: str):
     """Large×large bucketed hash join (no broadcast side): orders ⋈
-    customer on custkey, co-located by one groupby(bucket) exchange."""
-    from .stages.joins import bucketed_hash_join
+    customer on custkey, co-located by one groupby(bucket) exchange;
+    bucket count derived from the parquet footers (no fixed B)."""
+    from .stages.joins import bucketed_hash_join, derived_join_buckets
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                       columns=["c_custkey", "c_name"])
     return bucketed_hash_join(orders, customers, "o_custkey", "c_custkey",
-                              ["o_orderkey"], ["c_name"])
+                              ["o_orderkey"], ["c_name"],
+                              num_buckets=derived_join_buckets(
+                                  sf_dir, "orders", "customer"))
 
 
 def doc_length_histogram(sf_dir: str):
@@ -4323,14 +4341,16 @@ def ship_latency_histogram(sf_dir: str):
     shape at 100-TB scale (all-integer contract)."""
     from ray.data.aggregate import Sum
 
-    from .stages.joins import bucketed_hash_join
+    from .stages.joins import bucketed_hash_join, derived_join_buckets
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_shipdate"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderdate"])
     joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey",
-                                ["l_shipdate"], ["o_orderdate"])
+                                ["l_shipdate"], ["o_orderdate"],
+                                num_buckets=derived_join_buckets(
+                                    sf_dir, "lineitem", "orders"))
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -4398,10 +4418,15 @@ def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
     co-locates them, and the per-bucket task keeps left rows whose key
     is absent from the right side (vectorized pc.index_in null-mask) —
     the scale shape for EXCEPT/NOT-EXISTS at 100 TB. The right side is
-    filtered BEFORE the exchange, so only qualifying keys shuffle."""
+    filtered BEFORE the exchange, so only qualifying keys shuffle; the
+    bucket count is DERIVED FROM THE INPUT SIZE (metadata-cheap parquet
+    count, one bucket per ~8k left keys) so per-bucket memory stays
+    constant as the corpus grows — no fixed B on the path."""
     import pyarrow.compute as _pc
 
-    num_buckets = 32
+    num_buckets = max(32, int(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"]).count()) // 8192 + 1)
 
     def tag(side: int, key_col: str, name_col: str | None):
         def fn(batch: pa.Table) -> pa.Table:
@@ -4495,7 +4520,7 @@ def late_shipment_priority_counts(sf_dir: str, grace_days: int = 60):
     microseconds, so the SQL twin is exact."""
     from ray.data.aggregate import Max
 
-    from .stages.joins import bucketed_hash_join
+    from .stages.joins import bucketed_hash_join, derived_join_buckets
 
     grace_us = grace_days * 86_400_000_000
 
@@ -4529,7 +4554,11 @@ def late_shipment_priority_counts(sf_dir: str, grace_days: int = 60):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(orders_proj, batch_format="pyarrow")
     joined = bucketed_hash_join(per_order, orders, "l_orderkey", "o_orderkey",
-                                ["max_ship_us"], ["odate_us", "o_orderpriority"])
+                                ["max_ship_us"], ["odate_us", "o_orderpriority"],
+                                # per_order holds ≤1 row per orderkey, so
+                                # both join sides are bounded by |orders|
+                                num_buckets=derived_join_buckets(
+                                    sf_dir, "orders", "orders"))
 
     def late_counts(batch: pa.Table) -> pa.Table:
         ship = batch.column("max_ship_us").to_numpy()
@@ -4563,7 +4592,7 @@ def top_segment_order_revenue(sf_dir: str, segment: str = "BUILDING",
     break to the smallest orderkey."""
     import pyarrow.compute as _pc
 
-    from .stages.joins import bucketed_hash_join
+    from .stages.joins import bucketed_hash_join, derived_join_buckets
 
     cut = np.datetime64(cutoff)
 
@@ -4594,7 +4623,8 @@ def top_segment_order_revenue(sf_dir: str, segment: str = "BUILDING",
     # join 1: orders ⋈ segment customers on custkey (semi via N:1 inner)
     seg_orders = bucketed_hash_join(
         orders, cust, "o_custkey", "c_custkey",
-        ["o_orderkey", "odate_us", "o_orderpriority"], [])
+        ["o_orderkey", "odate_us", "o_orderpriority"], [],
+        num_buckets=derived_join_buckets(sf_dir, "orders", "customer"))
 
     def li_partial(batch: pa.Table) -> pa.Table:
         ship = (batch.column("l_shipdate").to_numpy(zero_copy_only=False)
@@ -4627,7 +4657,8 @@ def top_segment_order_revenue(sf_dir: str, segment: str = "BUILDING",
     # join 2: per-orderkey revenue partials ⋈ qualifying orders on orderkey
     joined = bucketed_hash_join(
         li, seg_orders, "l_orderkey", "o_orderkey",
-        ["revenue_e4"], ["odate_us", "o_orderpriority"])
+        ["revenue_e4"], ["odate_us", "o_orderpriority"],
+        num_buckets=derived_join_buckets(sf_dir, "lineitem", "orders"))
 
     # per-orderkey final merge: sum the revenue partials; odate/priority
     # are constant within the group (N:1 join), take the first

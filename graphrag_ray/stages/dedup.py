@@ -38,7 +38,10 @@ def _md5_64(s: str) -> int:
 
 
 def exact_dedup_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: fp(normalized text) → (min doc_id, count)."""
+    """Per-batch combiner: fp(normalized text) → (min doc_id, count).
+    Finalized by a NATIVE keyed aggregate (groupby(fp).Min/Sum) — per-key
+    groups, no coarse bucket, so per-task memory is O(1) at any corpus
+    size."""
     texts = batch.column("text").to_pylist()
     doc_ids = batch.column("doc_id").to_pylist()
     acc: dict[str, list] = {}
@@ -50,30 +53,6 @@ def exact_dedup_partial(batch: pa.Table) -> pa.Table:
         else:
             slot[0] = min(slot[0], doc_id)
             slot[1] += 1
-    return pa.Table.from_pydict(
-        {
-            "bucket": pa.array([zlib.crc32(fp.encode()) % 64 for fp in acc], pa.int32()),
-            "fp": pa.array(list(acc.keys()), pa.string()),
-            "keep_doc_id": pa.array([v[0] for v in acc.values()], pa.int64()),
-            "n_docs": pa.array([v[1] for v in acc.values()], pa.int64()),
-        }
-    )
-
-
-def exact_dedup_merge(batch: pa.Table) -> pa.Table:
-    """(bucket) group → final row per fingerprint."""
-    acc: dict[str, list] = {}
-    for fp, keep, n in zip(
-        batch.column("fp").to_pylist(),
-        batch.column("keep_doc_id").to_pylist(),
-        batch.column("n_docs").to_pylist(),
-    ):
-        slot = acc.get(fp)
-        if slot is None:
-            acc[fp] = [keep, n]
-        else:
-            slot[0] = min(slot[0], keep)
-            slot[1] += n
     return pa.Table.from_pydict(
         {
             "fp": pa.array(list(acc.keys()), pa.string()),
@@ -113,8 +92,13 @@ def minhash_signature(sh: set[int]) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """doc → N_BANDS rows (band_id, band_hash, doc_id): the LSH explode."""
+def minhash_band_rows(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+    """doc → N_BANDS rows (band_id, band_hash, doc_id): the LSH explode.
+
+    ``bucket`` is a coarse co-location key over band hashes (a band
+    hash's rows always share a bucket, so pair emission per (band, hash)
+    cell is unaffected by B). Callers derive ``num_buckets`` from the
+    input size so per-bucket rows stay constant as the corpus grows."""
     texts = batch.column("text").to_pylist()
     doc_ids = batch.column("doc_id").to_pylist()
     out_band, out_hash, out_doc = [], [], []
@@ -132,7 +116,8 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
             "band_hash": pa.array(out_hash, pa.string()),
             "doc_id": pa.array(out_doc, pa.int64()),
             "bucket": pa.array(
-                [zlib.crc32(h.encode()) % 64 for h in out_hash], pa.int32()
+                [zlib.crc32(h.encode()) % num_buckets for h in out_hash],
+                pa.int32()
             ),
         }
     )

@@ -60,6 +60,24 @@ def bucketed_count_join(large_ds, key: str, small_table: pa.Table,
     return broadcast_join(agg, small_table, key, small_key)
 
 
+ROWS_PER_JOIN_BUCKET = 262_144
+
+
+def derived_join_buckets(sf_dir: str, *tables: str, floor: int = 32,
+                         rows_per_bucket: int = ROWS_PER_JOIN_BUCKET) -> int:
+    """Metadata-cheap bucket count for ``bucketed_hash_join``: sums the
+    parquet FOOTER row counts of the join inputs (no scan, no pipeline
+    execution) and allots one bucket per ~``rows_per_bucket`` combined
+    rows, so per-bucket memory stays constant as the corpus grows — the
+    same no-fixed-B rule the event/passage exchanges follow. Row counts
+    are pre-filter upper bounds, which only ever over-provisions buckets."""
+    import pyarrow.parquet as pq
+
+    n = sum(pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+            for t in tables)
+    return max(floor, int(n) // rows_per_bucket + 1)
+
+
 def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
                        left_cols: list[str], right_cols: list[str],
                        num_buckets: int = 32):
@@ -72,7 +90,9 @@ def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
     Semantics: N:1 — each left row joins its first matching right row
     (dimension-table contract; duplicate right keys keep the first). At
     cluster scale this is the shape to reach for when neither side fits a
-    broadcast; per-bucket memory = |left|/B + |right|/B."""
+    broadcast; per-bucket memory = |left|/B + |right|/B, so callers with
+    corpus-proportional inputs must pass ``num_buckets`` derived from the
+    input size (``derived_join_buckets``) rather than the floor default."""
     import pyarrow.compute as pc
 
     all_cols = list(left_cols) + list(right_cols)

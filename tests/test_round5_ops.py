@@ -323,3 +323,111 @@ def test_doc_length_quantiles_empty_corpus(ray_session, tmp_path):
     out = q.doc_length_quantiles(str(tmp_path))
     assert out.num_rows == 0
     assert out.column_names == ["q", "value"]
+
+
+# ------------------------------------------- no-fixed-B join/dedup (r5)
+
+
+def test_derived_join_buckets_from_parquet_footers(tmp_path):
+    """Bucket count reads parquet FOOTERS only and scales with row count."""
+    from graphrag_ray.stages.joins import derived_join_buckets
+
+    small = pa.table({"k": pa.array(range(100), pa.int64())})
+    big = pa.table({"k": pa.array(range(5000), pa.int64())})
+    pq.write_table(small, str(tmp_path / "a.parquet"))
+    pq.write_table(big, str(tmp_path / "b.parquet"))
+    d = str(tmp_path)
+    assert derived_join_buckets(d, "a") == 32  # floor
+    assert derived_join_buckets(d, "a", "b", rows_per_bucket=1000) == 32
+    assert derived_join_buckets(d, "a", "b", floor=1,
+                                rows_per_bucket=1000) == 6
+    # monotone in the input: more tables -> never fewer buckets
+    assert (derived_join_buckets(d, "a", "b", floor=1, rows_per_bucket=50)
+            >= derived_join_buckets(d, "b", floor=1, rows_per_bucket=50))
+
+
+def test_dedup_exact_native_aggregate(ray_session, tmp_path):
+    """groupby(fp).Min/Sum finalize equals the brute-force expectation:
+    keep = min doc_id per normalized text, n_docs = multiplicity."""
+    from graphrag_ray import queries as q
+
+    texts = ["Same Doc  body", "same doc body", "unique one",
+             "same doc body", "Unique  TWO"]
+    tbl = pa.table({
+        "doc_id": pa.array([10, 3, 7, 5, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q.dedup_exact(str(tmp_path)).to_pandas()
+    assert out.columns.tolist() == ["fp", "keep_doc_id", "n_docs"]
+    dup = out[out["n_docs"] == 3]
+    assert len(dup) == 1 and dup["keep_doc_id"].iloc[0] == 3
+    singles = out[out["n_docs"] == 1]
+    assert sorted(singles["keep_doc_id"]) == [2, 7]
+
+
+def test_minhash_pair_set_invariant_to_bucket_count():
+    """The LSH bucket is a pure co-location knob: the candidate pair SET
+    from per-bucket expansion is identical for any B (a band hash's rows
+    always share a bucket)."""
+    from functools import partial as _partial
+
+    from graphrag_ray.stages import dedup
+
+    base = " ".join(_WORDS * 3)
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([base, base + " x", base + " y",
+                          "other words entirely here now",
+                          "other words entirely here now",
+                          " ".join(reversed(_WORDS))], pa.string()),
+    })
+
+    def pair_set(nb):
+        rows = dedup.minhash_band_rows(docs, num_buckets=nb).to_pandas()
+        pairs = set()
+        for _, grp in rows.groupby("bucket"):
+            out = dedup.candidate_pairs_from_bands(
+                pa.Table.from_pandas(grp, preserve_index=False))
+            for a, b, kind in zip(out.column("doc_a").to_pylist(),
+                                  out.column("doc_b").to_pylist(),
+                                  out.column("kind").to_pylist()):
+                if kind == "pair":
+                    pairs.add((a, b))
+        return pairs
+
+    sets = [pair_set(nb) for nb in (1, 7, 64, 997)]
+    assert sets[0] and all(s == sets[0] for s in sets[1:])
+
+
+def test_ngram_pair_partials_invariant_to_bucket_count():
+    """Summed per-pair intersection partials are identical for any shingle
+    bucket count (a shingle's postings always share a bucket)."""
+    from collections import defaultdict
+
+    from graphrag_ray.stages import dedup
+
+    base = " ".join(_WORDS * 2)
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([base, base + " tail", "totally different words "
+                          "with no overlap at all", base], pa.string()),
+    })
+
+    def summed(nb):
+        rows = dedup.ngram_shingle_rows(docs, num_buckets=nb).to_pandas()
+        acc = defaultdict(int)
+        sizes = {}
+        for _, grp in rows.groupby("bucket"):
+            out = dedup.ngram_pairs_from_bucket(
+                pa.Table.from_pandas(grp, preserve_index=False)).to_pandas()
+            out = out[out["kind"] == "pair"]
+            for r in out.itertuples():
+                acc[(r.doc_a, r.doc_b)] += r.inter
+                sizes[(r.doc_a, r.doc_b)] = (r.n_a, r.n_b)
+        return dict(acc), sizes
+
+    a1, s1 = summed(1)
+    a2, s2 = summed(64)
+    a3, s3 = summed(509)
+    assert a1 and a1 == a2 == a3 and s1 == s2 == s3
