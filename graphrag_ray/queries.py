@@ -1167,8 +1167,12 @@ def syn_cooccur(sf_dir: str):
     """G8 co-occurrence edges over the syn extraction stream
     (driver-oracled twin of kg_cooccur_edges)."""
     from .stages import graph_analytics as ga
+    from .stages.joins import derived_join_buckets
 
-    ds = ga.doc_cooccurrence_edges(_syn(sf_dir).extraction)
+    ds = ga.doc_cooccurrence_edges(
+        _syn(sf_dir).extraction,
+        num_buckets=derived_join_buckets(sf_dir, "documents",
+                                         floor=64, rows_per_bucket=512))
 
     def project(batch: pa.Table) -> pa.Table:
         conf = batch.column("confidence").to_numpy(zero_copy_only=False)
@@ -1649,8 +1653,12 @@ def kgx_cooccur(sf_dir: str):
     """G8 co-occurrence edges over the kgx corpus (driver-oracled twin of
     kg_cooccur_edges)."""
     from .stages import graph_analytics as ga
+    from .stages.joins import derived_join_buckets
 
-    ds = ga.doc_cooccurrence_edges(_kgx(sf_dir).extraction)
+    ds = ga.doc_cooccurrence_edges(
+        _kgx(sf_dir).extraction,
+        num_buckets=derived_join_buckets(sf_dir, "documents",
+                                         floor=64, rows_per_bucket=512))
 
     def project(batch: pa.Table) -> pa.Table:
         conf = batch.column("confidence").to_numpy(zero_copy_only=False)
@@ -2502,9 +2510,14 @@ def kg_relationship_hierarchy(sf_dir: str):
 
 def kg_cooccur_edges(sf_dir: str):
     from .stages import graph_analytics as ga
+    from .stages.joins import derived_join_buckets
 
     res = _kg(sf_dir)
-    ds = ga.doc_cooccurrence_edges(res.extraction)
+    # one co-location bucket per ~512 docs (footer-count derived, no fixed B)
+    ds = ga.doc_cooccurrence_edges(
+        res.extraction,
+        num_buckets=derived_join_buckets(sf_dir, "documents",
+                                         floor=64, rows_per_bucket=512))
 
     def project(batch: pa.Table) -> pa.Table:
         conf = batch.column("confidence").to_numpy(zero_copy_only=False)

@@ -244,7 +244,10 @@ def doc_cooccurrence_edges(extraction_ds, max_pairs_per_doc: int = 2000,
 
     A doc's entity rows may straddle block boundaries, so rows are first
     co-located by hash(doc_id) bucket (ONE small shuffle of entity rows),
-    then pairs are formed per complete doc inside the group and summed."""
+    then pairs are formed per complete doc inside the group and summed.
+    ``num_buckets`` is a floor — callers with corpus-proportional inputs
+    derive it from the doc count (joins.derived_join_buckets) so
+    per-bucket rows stay constant as the corpus grows."""
     import zlib
 
     import pyarrow as pa
