@@ -431,3 +431,27 @@ def test_ngram_pair_partials_invariant_to_bucket_count():
     a2, s2 = summed(64)
     a3, s3 = summed(509)
     assert a1 and a1 == a2 == a3 and s1 == s2 == s3
+
+
+def test_cooccur_edges_invariant_to_bucket_count(ray_session):
+    """doc_cooccurrence_edges' bucket is a pure co-location knob: a doc's
+    entity rows always land in one bucket, so the summed edge table is
+    identical for any B (callers derive B from the doc footer count)."""
+    from graphrag_ray.stages import graph_analytics as ga
+
+    rows = []
+    for d in range(9):
+        for e in range(2 + d % 3):
+            rows.append((f"doc{d}", f"ent{(d + e) % 5}"))
+    ds = ray.data.from_arrow(pa.table({
+        "row_kind": pa.array(["entity"] * len(rows), pa.string()),
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "entity_id": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+    def edge_map(nb):
+        out = ga.doc_cooccurrence_edges(ds, num_buckets=nb).to_pandas()
+        return {(r.src, r.dst): r.n_docs for r in out.itertuples()}
+
+    maps = [edge_map(nb) for nb in (1, 3, 64)]
+    assert maps[0] and all(m == maps[0] for m in maps[1:])
