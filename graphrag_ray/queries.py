@@ -4198,12 +4198,16 @@ def lang_sample(sf_dir: str):
 def source_cap(sf_dir: str, cap: int = 10):
     """Per-source (per-domain) document cap: within each source keep the
     cap docs ranked by a deterministic md5 draw — unbiased per-source
-    thinning for source-mix control."""
+    thinning for source-mix control. A per-batch local top-cap combiner
+    runs before the groupby so a hot domain ships ≤ cap rows per block
+    into the exchange (provably result-identical: min-k semilattice)."""
     from .stages import curation
 
     ds = _docs(sf_dir, ("doc_id", "source"))
-    return ds.groupby("source").map_groups(
-        curation.make_source_cap_fn(cap), batch_format="pandas")
+    return (ds.map_batches(curation.make_source_cap_thin_fn(cap),
+                           batch_format="pandas")
+            .groupby("source").map_groups(
+                curation.make_source_cap_fn(cap), batch_format="pandas"))
 
 
 def doc_length_quantiles(sf_dir: str):

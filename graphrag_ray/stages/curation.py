@@ -397,9 +397,10 @@ def make_source_cap_fn(cap: int):
     each source keep the ``cap`` docs ranked by md5('cap:' || doc_id) —
     a deterministic uniform draw, so the kept subset is an unbiased
     per-source sample rather than an ingestion-order artifact. Runs as
-    groupby(source).map_groups; at 100 TB the group is per-domain-sized
-    and a hot domain would pre-thin with a per-batch local top-cap
-    combiner (same trick as the retrieval partial top-k)."""
+    groupby(source).map_groups AFTER the per-batch
+    ``source_cap_local_thin`` combiner, which bounds what a hot domain
+    ships into the exchange (min-k by rank is a semilattice, so local
+    top-cap per batch provably preserves the global top-cap set)."""
     import hashlib
 
     def source_cap(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -414,3 +415,27 @@ def make_source_cap_fn(cap: int):
         return out[["doc_id", "source"]]
 
     return source_cap
+
+
+def make_source_cap_thin_fn(cap: int):
+    """Per-batch combiner for the per-source cap: keep only each source's
+    ``cap`` smallest-rank docs WITHIN the batch, so the groupby(source)
+    exchange receives at most cap rows per (block, source) — a hot domain
+    with millions of rows ships cap × n_blocks rows instead of all of
+    them. Rank is the same md5('cap:' || doc_id) draw the finalizer uses;
+    dropping any row outside a batch-local top-cap can never change the
+    global top-cap (min-k is associative/commutative)."""
+    import hashlib
+
+    def thin(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df[["doc_id", "source"]]
+        rk = df["doc_id"].map(
+            lambda d: hashlib.md5(f"cap:{d}".encode()).hexdigest())
+        out = (df.assign(_rk=rk)
+               .sort_values(["_rk", "doc_id"], kind="mergesort")
+               .groupby("source", sort=False)
+               .head(cap))
+        return out[["doc_id", "source"]]
+
+    return thin

@@ -455,3 +455,29 @@ def test_cooccur_edges_invariant_to_bucket_count(ray_session):
 
     maps = [edge_map(nb) for nb in (1, 3, 64)]
     assert maps[0] and all(m == maps[0] for m in maps[1:])
+
+
+def test_source_cap_local_thin_invariance():
+    """The per-batch top-cap combiner never changes the final per-source
+    kept set, including when a hot source's rows straddle many batches."""
+    from graphrag_ray.stages import curation
+
+    rows = [(d, "hot") for d in range(200)] + \
+           [(1000 + d, f"s{d % 7}") for d in range(70)]
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "source": [r[1] for r in rows]})
+    cap = 5
+    final = curation.make_source_cap_fn(cap)
+    thin = curation.make_source_cap_thin_fn(cap)
+
+    def kept(frames):
+        parts = pd.concat(frames, ignore_index=True)
+        out = pd.concat([final(g) for _, g in parts.groupby("source")],
+                        ignore_index=True)
+        return set(map(tuple, out[["doc_id", "source"]].itertuples(index=False)))
+
+    direct = kept([df])
+    # shatter into 13 batches, thin each, then finalize
+    batches = [thin(df.iloc[i::13]) for i in range(13)]
+    assert all(len(b[b["source"] == "hot"]) <= cap for b in batches)
+    assert kept(batches) == direct
