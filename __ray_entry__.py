@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_sample": q.lang_sample,
         "doc_filter_verdict": q.doc_filter_verdict,
         "source_cap": q.source_cap,                  # SQL-oracled (row_number twin)
+        "doc_shard_assignment": q.doc_shard_assignment,  # SQL-oracled (derived shard count + row_number twin)
         "doc_length_quantiles": q.doc_length_quantiles,  # SQL-oracled (quantile_disc)
         "split_leakage": q.split_leakage,
         # --- stream-shaped event operators (SQL-oracled)
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_sample": _cur_sql.lang_sample_sql(),
         "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
         "source_cap": _cur_sql.source_cap_sql(),
+        "doc_shard_assignment": _cur_sql.shard_assignment_sql(),
         "doc_length_quantiles": _cur_sql.doc_length_quantiles_sql(),
         "split_leakage": _cur_sql.split_leakage_sql(f"""
             WITH sigs AS ({_SIMHASH_SQL})

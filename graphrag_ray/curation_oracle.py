@@ -246,6 +246,25 @@ def source_cap_sql(cap: int = 10) -> str:
     """
 
 
+def shard_assignment_sql() -> str:
+    """Training-shard twin: same derived shard count (count(*) based),
+    same salted md5 shard draw and within-shard order, row_number pos."""
+    return """
+        WITH n AS (
+          SELECT greatest(4, count(*) // 1024 + 1) AS ns FROM documents),
+        r AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5('shard:v1:' || doc_id), 1, 8))::BIGINT
+                  % (SELECT ns FROM n)) AS shard,
+                 md5('order:v1:' || doc_id) AS oh
+          FROM documents)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY oh, doc_id)::BIGINT AS pos
+        FROM r
+    """
+
+
 def doc_length_quantiles_sql() -> str:
     """Discrete length-quantile twin: integer nearest-rank
     (k = (n*qpct + 99) // 100 — same contract as the Ray side; avoids

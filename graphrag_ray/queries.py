@@ -4210,6 +4210,27 @@ def source_cap(sf_dir: str, cap: int = 10):
                 curation.make_source_cap_fn(cap), batch_format="pandas"))
 
 
+def doc_shard_assignment(sf_dir: str):
+    """Deterministic global shuffle into fixed-size training shards:
+    shard = salted md5 draw, pos = within-shard shuffle order. The shard
+    COUNT is derived from the doc footer count (shard size stays
+    ~SHARD_DOCS at any corpus scale, so the per-group finalize is
+    constant-memory); the SQL twin computes the same count from
+    count(*). This is the 'shuffle the corpus for training' step — the
+    output is directly writable as one parquet file per shard."""
+    from .stages import curation
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_shards = curation.derived_shard_count(n_docs)
+    return (
+        _docs(sf_dir, ("doc_id",))
+        .map_batches(curation.make_shard_partial_fn(n_shards),
+                     batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(curation.shard_positions, batch_format="pyarrow")
+    )
+
+
 def doc_length_quantiles(sf_dir: str):
     """Exact discrete length quantiles via a value-count combiner: the
     exchange carries distinct lengths only (quantile_disc twin)."""

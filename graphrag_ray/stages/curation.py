@@ -439,3 +439,65 @@ def make_source_cap_thin_fn(cap: int):
         return out[["doc_id", "source"]]
 
     return thin
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard assignment (global shuffle → fixed-size
+# shards, the "shuffle the corpus for training" step)
+
+SHARD_DOCS = 1024  # target docs per shard; shard COUNT grows with corpus
+
+
+def derived_shard_count(n_docs: int, floor: int = 4,
+                        shard_docs: int = SHARD_DOCS) -> int:
+    """Shard count from the corpus size: shard count grows with the
+    corpus while per-shard size stays ~``shard_docs`` — the exchange's
+    per-group memory is constant at any scale (the SQL twin computes the
+    same formula from count(*))."""
+    return max(floor, int(n_docs) // shard_docs + 1)
+
+
+def make_shard_partial_fn(n_shards: int):
+    """Per-batch: (doc_id, shard, order hash). shard is a uniform md5
+    draw; the order hash gives the within-shard shuffle order — both
+    salted so they are independent of each other and of the train/valid
+    split and sample draws."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        shards, ohs = [], []
+        for d in ids:
+            shards.append(
+                int(hashlib.md5(f"shard:v1:{d}".encode()).hexdigest()[:8], 16)
+                % n_shards)
+            ohs.append(hashlib.md5(f"order:v1:{d}".encode()).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+                "shard": pa.array(shards, pa.int64()),
+                "oh": pa.array(ohs, pa.string()),
+            }
+        )
+
+    return partial
+
+
+_SHARD_SCHEMA_COLS = ("doc_id", "shard", "pos")
+
+
+def shard_positions(group: pa.Table) -> pa.Table:
+    """Per-shard finalize: 1-based position in (order hash, doc_id) order
+    — the within-shard training order. Group size ≈ SHARD_DOCS docs by
+    construction, constant at any corpus size."""
+    import numpy as np
+
+    ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    ohs = np.asarray(group.column("oh").to_pylist(), dtype=object)
+    order = np.lexsort((ids, ohs))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "shard": group.column("shard").take(pa.array(order)),
+            "pos": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
+        }
+    )

@@ -481,3 +481,30 @@ def test_source_cap_local_thin_invariance():
     batches = [thin(df.iloc[i::13]) for i in range(13)]
     assert all(len(b[b["source"] == "hot"]) <= cap for b in batches)
     assert kept(batches) == direct
+
+
+def test_shard_assignment_shape_and_determinism(ray_session, tmp_path):
+    """Shard count derives from the corpus, positions are a 1..n_shard
+    permutation, and the assignment is invariant to input partitioning."""
+    from graphrag_ray import queries as q
+    from graphrag_ray.stages.curation import derived_shard_count
+
+    n = 300
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q.doc_shard_assignment(str(tmp_path)).to_pandas()
+    assert len(out) == n
+    ns = derived_shard_count(n)
+    assert ns == 4 and set(out["shard"]) <= set(range(ns))
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # scale the formula: 10x docs -> ~10x shards at the same shard size
+    assert derived_shard_count(1_000_000) == 977
+    # determinism: assignment is a pure function of doc_id
+    out2 = q.doc_shard_assignment(str(tmp_path)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
