@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_verdict": q.doc_filter_verdict,
         "source_cap": q.source_cap,                  # SQL-oracled (row_number twin)
         "doc_shard_assignment": q.doc_shard_assignment,  # SQL-oracled (derived shard count + row_number twin)
+        "shard_packing": q.shard_packing,            # SQL-oracled (windowed running-sum twin)
         "doc_length_quantiles": q.doc_length_quantiles,  # SQL-oracled (quantile_disc)
         "split_leakage": q.split_leakage,
         # --- stream-shaped event operators (SQL-oracled)
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
         "source_cap": _cur_sql.source_cap_sql(),
         "doc_shard_assignment": _cur_sql.shard_assignment_sql(),
+        "shard_packing": _cur_sql.shard_packing_sql(),
         "doc_length_quantiles": _cur_sql.doc_length_quantiles_sql(),
         "split_leakage": _cur_sql.split_leakage_sql(f"""
             WITH sigs AS ({_SIMHASH_SQL})

@@ -265,6 +265,38 @@ def shard_assignment_sql() -> str:
     """
 
 
+def shard_packing_sql(seqlen: int = 4096) -> str:
+    """Packing twin: the shard-assignment CTE plus a windowed running
+    token sum; seq_idx = tokens-before // seqlen (integer division on
+    BIGINTs on both sides)."""
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH ns AS (
+          SELECT greatest(4, count(*) // 1024 + 1) AS n FROM documents),
+        r AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5('shard:v1:' || doc_id), 1, 8))::BIGINT
+                  % (SELECT n FROM ns)) AS shard,
+                 md5('order:v1:' || doc_id) AS oh,
+                 coalesce(array_length({toks}), 0)::BIGINT AS n_tokens
+          FROM documents),
+        p AS (
+          SELECT doc_id, shard, oh, n_tokens,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY oh, doc_id)::BIGINT AS pos
+          FROM r),
+        c AS (
+          SELECT doc_id, shard, pos, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cum_before
+          FROM p)
+        SELECT doc_id, shard, pos, n_tokens, cum_before,
+               (cum_before // {seqlen})::BIGINT AS seq_idx
+        FROM c
+    """
+
+
 def doc_length_quantiles_sql() -> str:
     """Discrete length-quantile twin: integer nearest-rank
     (k = (n*qpct + 99) // 100 — same contract as the Ray side; avoids

@@ -4231,6 +4231,26 @@ def doc_shard_assignment(sf_dir: str):
     )
 
 
+def shard_packing(sf_dir: str, seqlen: int = 4096):
+    """Concat-then-chop sequence packing over the training-shard order
+    (the 'concatenate the shuffled corpus and cut every seqlen tokens'
+    step): per doc, the tokens that precede it in its shard stream and
+    the training sequence it starts in. Same derived shard count and
+    constant-size per-shard finalize as doc_shard_assignment."""
+    from .stages import curation
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_shards = curation.derived_shard_count(n_docs)
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(curation.make_shard_pack_partial_fn(n_shards),
+                     batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(curation.make_shard_pack_fn(seqlen),
+                    batch_format="pyarrow")
+    )
+
+
 def doc_length_quantiles(sf_dir: str):
     """Exact discrete length quantiles via a value-count combiner: the
     exchange carries distinct lengths only (quantile_disc twin)."""

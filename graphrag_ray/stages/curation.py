@@ -501,3 +501,60 @@ def shard_positions(group: pa.Table) -> pa.Table:
             "pos": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
         }
     )
+
+
+def make_shard_pack_partial_fn(n_shards: int):
+    """Per-batch partial for sequence packing: (doc_id, shard, oh,
+    n_tokens) — the shard/order draws of ``make_shard_partial_fn`` plus
+    the whitespace token count the packer accumulates."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        shards, ohs, ntok = [], [], []
+        for d, t in zip(ids, texts):
+            shards.append(
+                int(hashlib.md5(f"shard:v1:{d}".encode()).hexdigest()[:8], 16)
+                % n_shards)
+            ohs.append(hashlib.md5(f"order:v1:{d}".encode()).hexdigest())
+            ntok.append(len((t or "").split()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+                "shard": pa.array(shards, pa.int64()),
+                "oh": pa.array(ohs, pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    return partial
+
+
+def make_shard_pack_fn(seqlen: int):
+    """Per-shard finalize for concat-then-chop packing (the GPT-style
+    'concatenate the shuffled corpus and cut every ``seqlen`` tokens'
+    step): docs in within-shard shuffle order, cum_before = tokens
+    before this doc in the shard stream, seq_idx = the training
+    sequence the doc STARTS in (cum_before // seqlen). Group size is
+    ~SHARD_DOCS docs by construction — constant at any corpus scale."""
+    import numpy as np
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        ohs = np.asarray(group.column("oh").to_pylist(), dtype=object)
+        ntok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, ohs))
+        ntok = ntok[order]
+        cum_before = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "shard": group.column("shard").take(pa.array(order)),
+                "pos": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "cum_before": pa.array(cum_before, pa.int64()),
+                "seq_idx": pa.array(cum_before // seqlen, pa.int64()),
+            }
+        )
+
+    return pack

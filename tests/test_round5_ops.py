@@ -508,3 +508,32 @@ def test_shard_assignment_shape_and_determinism(ray_session, tmp_path):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shard_packing_contract(ray_session, tmp_path):
+    """cum_before is the running token sum in (shard, pos) order and
+    seq_idx chops it every seqlen tokens; packing is consistent with
+    doc_shard_assignment's order."""
+    from graphrag_ray import queries as q
+
+    n = 120
+    texts = [" ".join(["w"] * (5 + (d * 7) % 23)) for d in range(n)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (q.shard_packing(str(tmp_path), seqlen=64)
+           .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True))
+    assert len(out) == n
+    for _, grp in out.groupby("shard"):
+        cum = 0
+        for r in grp.itertuples():
+            assert r.cum_before == cum
+            assert r.seq_idx == cum // 64
+            cum += r.n_tokens
+    # same shard/pos as the assignment surface
+    asg = (q.doc_shard_assignment(str(tmp_path))
+           .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True))
+    assert (out[["doc_id", "shard", "pos"]].values ==
+            asg[["doc_id", "shard", "pos"]].values).all()
