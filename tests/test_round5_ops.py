@@ -537,3 +537,53 @@ def test_shard_packing_contract(ray_session, tmp_path):
            .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True))
     assert (out[["doc_id", "shard", "pos"]].values ==
             asg[["doc_id", "shard", "pos"]].values).all()
+
+
+def test_shard_pack_property_invariants():
+    """Property test (no Ray): for arbitrary doc_id sets and token
+    counts, the per-shard finalize emits a 1..k pos permutation, a
+    consistent running sum, and is invariant to input row order and to
+    batch shattering of the partial stage."""
+    from hypothesis import given, settings, strategies as st
+
+    from graphrag_ray.stages import curation
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sets(st.integers(min_value=0, max_value=2**40),
+                   min_size=1, max_size=80).flatmap(
+               lambda ids: st.tuples(
+                   st.just(sorted(ids)),
+                   st.lists(st.integers(min_value=0, max_value=50),
+                            min_size=len(ids), max_size=len(ids)))))
+    def check(case):
+        ids, ntoks = case
+        texts = [" ".join(["t"] * k) for k in ntoks]
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        ns = curation.derived_shard_count(len(ids))
+        part = curation.make_shard_pack_partial_fn(ns)
+        pack = curation.make_shard_pack_fn(16)
+
+        def run(table, n_batches):
+            import pandas as _pd
+            rows = [part(table.slice(i, 1) if n_batches else table)
+                    for i in (range(table.num_rows) if n_batches else [0])]
+            allrows = pa.concat_tables(rows)
+            df = allrows.to_pandas()
+            outs = [pack(pa.Table.from_pandas(g, preserve_index=False))
+                    for _, g in df.groupby("shard")]
+            out = pa.concat_tables(outs).to_pandas()
+            return out.sort_values("doc_id").reset_index(drop=True)
+
+        whole = run(tbl, 0)
+        shattered = run(tbl, 1)
+        assert whole.equals(shattered)
+        for _, grp in whole.groupby("shard"):
+            g = grp.sort_values("pos")
+            assert list(g["pos"]) == list(range(1, len(g) + 1))
+            cum = 0
+            for r in g.itertuples():
+                assert r.cum_before == cum and r.seq_idx == cum // 16
+                cum += r.n_tokens
+
+    check()
