@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_ngram_pairs": q.dedup_ngram_pairs,
         "doc_lm_score": q.doc_lm_score,              # SQL-oracled (bigram LM replay)
+        "lm_quality_buckets": q.lm_quality_buckets,  # SQL-oracled (CCNet tercile twin)
         "top_bigrams": q.top_bigrams,                # SQL-oracled
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
@@ -642,6 +643,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_bigrams,
                    round(sum(x) / count(*), 4) AS avg_logprob
             FROM contrib GROUP BY 1
+        """,
+        "lm_quality_buckets": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS w,
+                         generate_subscripts(t, 1) AS pos FROM toks),
+            bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                   FROM w a JOIN w b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+            vv AS (SELECT count(DISTINCT w) AS v FROM w),
+            contrib AS (
+              SELECT bg.doc_id, ln(cb.cb + 1) - ln(cu.cu + vv.v) AS x
+              FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+              CROSS JOIN vv),
+            scores AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     CAST(round(round(sum(x) / count(*), 4) * 10000, 0)
+                          AS BIGINT) AS score_e4
+              FROM contrib GROUP BY 1),
+            rk AS (SELECT score_e4,
+                          row_number() OVER (ORDER BY score_e4) AS rn,
+                          count(*) OVER () AS n
+                   FROM scores),
+            b AS (SELECT max(CASE WHEN rn = (n + 2) // 3
+                                  THEN score_e4 END) AS v1,
+                         max(CASE WHEN rn = (2 * n + 2) // 3
+                                  THEN score_e4 END) AS v2
+                  FROM rk)
+            SELECT s.doc_id, s.score_e4,
+                   CASE WHEN s.score_e4 <= b.v1 THEN 'tail'
+                        WHEN s.score_e4 <= b.v2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scores s CROSS JOIN b
         """,
         "dup_passages": f"""{PASSAGE_CTE},
             s AS (SELECT phash, count(DISTINCT doc_id) AS n_docs,

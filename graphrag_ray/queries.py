@@ -395,6 +395,59 @@ def doc_lm_score(sf_dir: str):
     return lm_score.lm_bigram_doc_scores(_docs(sf_dir))
 
 
+def lm_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail bucketing: every scored doc labeled
+    by which LM-score tercile it falls in (head = best third). Terciles
+    are EXACT nearest-rank over the e4-integer score via a value-count
+    combiner (the exchange carries distinct scores only, same shape as
+    doc_length_quantiles); the two boundary ints are broadcast into a
+    stateless label pass. The per-doc score table (doc_id + int — ≪
+    corpus) is materialized once so the LM pipeline runs once."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .stages import lm_score
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        avg = batch.column("avg_logprob").to_numpy(zero_copy_only=False)
+        e4 = (np.sign(avg) * np.floor(np.abs(avg) * 1e4 + 0.5)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "score_e4": pa.array(e4, pa.int64()),
+        })
+
+    scored = (lm_score.lm_bigram_doc_scores(_docs(sf_dir))
+              .map_batches(to_e4, batch_format="pyarrow")
+              .materialize())
+
+    def vc(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column("score_e4").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.Table.from_pydict({
+            "score_e4": pa.array(vals.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    counts = (scored.map_batches(vc, batch_format="pyarrow")
+              .groupby("score_e4").aggregate(_Sum("cnt", alias_name="cnt")))
+    df = counts.to_pandas().sort_values("score_e4").reset_index(drop=True)
+    n = int(df["cnt"].sum()) if len(df) else 0
+    if n == 0:
+        return pa.schema([("doc_id", pa.int64()), ("score_e4", pa.int64()),
+                          ("bucket", pa.string())]).empty_table()
+    cum = df["cnt"].cumsum()
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    v1 = int(df.loc[cum >= k1, "score_e4"].iloc[0])
+    v2 = int(df.loc[cum >= k2, "score_e4"].iloc[0])
+
+    def label(batch: pa.Table) -> pa.Table:
+        s = batch.column("score_e4").to_numpy(zero_copy_only=False)
+        lab = np.where(s <= v1, "tail", np.where(s <= v2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(lab, pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
 def top_bigrams(sf_dir: str, k: int = 20):
     """Corpus top-k bigrams (the LM head): combiner → groupby sum →
     partial top-k → tiny driver merge."""

@@ -587,3 +587,30 @@ def test_shard_pack_property_invariants():
                 cum += r.n_tokens
 
     check()
+
+
+def test_lm_quality_buckets_terciles(ray_session, tmp_path):
+    """Bucket sizes follow the nearest-rank tercile contract and head
+    holds the best-scored docs."""
+    from graphrag_ray import queries as q
+
+    # 9 docs with clearly separated LM quality: repeated common bigrams
+    # score high, unique-word soup scores low
+    texts = (["common phrase common phrase common phrase"] * 3
+             + ["common phrase mixed words here common phrase"] * 3
+             + [f"unique{i} soup{i} words{i} nothing{i} shared{i}"
+                for i in range(3)])
+    tbl = pa.table({
+        "doc_id": pa.array(range(9), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q.lm_quality_buckets(str(tmp_path)).to_pandas()
+    assert len(out) == 9
+    sizes = out["bucket"].value_counts()
+    assert sizes.get("tail", 0) == 3
+    # head scores strictly dominate tail scores
+    assert (out.loc[out["bucket"] == "head", "score_e4"].min()
+            > out.loc[out["bucket"] == "tail", "score_e4"].max())
+    # the unique-soup docs are the tail
+    assert set(out.loc[out["bucket"] == "tail", "doc_id"]) == {6, 7, 8}
