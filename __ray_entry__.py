@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q.source_stats,
         "lang_sample": q.lang_sample,
         "doc_filter_verdict": q.doc_filter_verdict,
+        "gopher_quality": q.gopher_quality,          # SQL-oracled (integer-exact line rules)
         "source_cap": q.source_cap,                  # SQL-oracled (row_number twin)
         "doc_shard_assignment": q.doc_shard_assignment,  # SQL-oracled (derived shard count + row_number twin)
         "shard_packing": q.shard_packing,            # SQL-oracled (windowed running-sum twin)
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": _cur_sql.source_stats_sql(),
         "lang_sample": _cur_sql.lang_sample_sql(),
         "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
+        "gopher_quality": _cur_sql.gopher_quality_sql(),
         "source_cap": _cur_sql.source_cap_sql(),
         "doc_shard_assignment": _cur_sql.shard_assignment_sql(),
         "shard_packing": _cur_sql.shard_packing_sql(),

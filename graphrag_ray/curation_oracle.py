@@ -311,3 +311,56 @@ def doc_length_quantiles_sql() -> str:
         SELECT qs.qpct / 100.0 AS q, r.v::BIGINT AS value
         FROM r JOIN qs ON r.rn = (r.n * qs.qpct + 99) // 100
     """
+
+
+def gopher_quality_sql() -> str:
+    """Gopher line-structure quality twin (stages/text_analysis.gopher_stats):
+    every signal is an integer count and every threshold is integer
+    cross-multiplied, so this replay is bit-exact."""
+    from .stages.text_analysis import GOPHER_STOPWORDS
+
+    stop_in = "(" + ",".join(f"'{w}'" for w in sorted(GOPHER_STOPWORDS)) + ")"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKS} AS t,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 coalesce(array_length(t), 0) AS n_words,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                     AS sum_word_len,
+                 coalesce(array_length(list_filter(t,
+                     x -> regexp_matches(x, '[A-Za-z]'))), 0) AS n_alpha_words,
+                 coalesce(array_length(list_filter(t,
+                     x -> lower(x) IN {stop_in})), 0) AS n_stop_words,
+                 coalesce(array_length(regexp_extract_all(text, '#')), 0)
+                   + coalesce(array_length(regexp_extract_all(text, '\\.\\.\\.')), 0)
+                     AS n_symbols,
+                 array_length(lines) AS n_lines,
+                 coalesce(array_length(list_filter(lines,
+                     l -> regexp_matches(l, '^[ \t]*[-*•]'))), 0)
+                     AS n_bullet_lines,
+                 coalesce(array_length(list_filter(lines,
+                     l -> regexp_matches(l, '\\.\\.\\.[ \t]*$'))), 0)
+                     AS n_ellipsis_lines
+          FROM base)
+        SELECT doc_id,
+               n_words::BIGINT AS n_words,
+               sum_word_len::BIGINT AS sum_word_len,
+               n_alpha_words::BIGINT AS n_alpha_words,
+               n_stop_words::BIGINT AS n_stop_words,
+               n_symbols::BIGINT AS n_symbols,
+               n_lines::BIGINT AS n_lines,
+               n_bullet_lines::BIGINT AS n_bullet_lines,
+               n_ellipsis_lines::BIGINT AS n_ellipsis_lines,
+               (n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 10 * n_symbols < n_words
+                AND 10 * n_bullet_lines < 9 * n_lines
+                AND 10 * n_ellipsis_lines < 3 * n_lines
+                AND 5 * n_alpha_words > 4 * n_words
+                AND n_stop_words >= 2) AS keep
+        FROM c
+    """

@@ -4332,6 +4332,19 @@ def doc_filter_verdict(sf_dir: str):
         curation.filter_verdict, batch_format="pyarrow")
 
 
+def gopher_quality(sf_dir: str):
+    """Gopher line-structure quality rules (Rae et al. 2112.11446 §A1.1):
+    per-doc integer signals (bullet/ellipsis line counts, alpha-word and
+    symbol counts, the paper's 8-stopword presence) and the keep verdict
+    under the published thresholds — all integer cross-multiplied, so the
+    DuckDB twin is bit-exact. Complements doc_filter_verdict (token-level
+    C4 rules) with the line-shape rule family."""
+    from .stages import text_analysis
+
+    return _docs(sf_dir).map_batches(
+        text_analysis.gopher_stats, batch_format="pyarrow")
+
+
 def split_leakage(sf_dir: str):
     """Cross-split contamination: SimHash near-dup pairs whose two docs
     land in different train/valid/test hash-split buckets. Split is a

@@ -324,3 +324,66 @@ def sample_filter(batch: pa.Table, *, rate_pct: int = 10) -> pa.Table:
         for d in ids
     ]
     return batch.filter(pa.array(keep, pa.bool_()))
+
+
+# ---------------------------------------------------------------------------
+# Gopher line-structure quality rules (Rae et al., arXiv:2112.11446 §A1.1)
+
+# Gopher's "must contain >=2 of these" stopword list (distinct from the
+# corpus-stats STOPWORDS above — the paper's own eight words).
+GOPHER_STOPWORDS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+_GOPHER_BULLET = re.compile(r"^[ \t]*[-*•]")
+_GOPHER_ELL_LINE = re.compile(r"\.\.\.[ \t]*$")
+_GOPHER_ELL_SEQ = re.compile(r"\.\.\.")
+_GOPHER_ALPHA = re.compile(r"[A-Za-z]")
+
+
+def gopher_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher quality signals and keep verdict.
+
+    All signals are INTEGER counts and every threshold is applied by
+    integer cross-multiplication (e.g. frac_bullet_lines < 0.9 becomes
+    10*n_bullet_lines < 9*n_lines), so the DuckDB twin is bit-exact with
+    no float-rounding contract at all. Rules (the published thresholds):
+    50 <= words <= 100_000; mean word length in [3, 10]; symbol-to-word
+    ratio ('#' chars + '...' sequences) < 0.1; < 90% of lines start with
+    a bullet; < 30% of lines end with an ellipsis; > 80% of words contain
+    an alphabetic character; >= 2 of the eight Gopher stopwords."""
+    texts = batch.column("text").to_pylist()
+    cols: dict[str, list] = {k: [] for k in (
+        "n_words", "sum_word_len", "n_alpha_words", "n_stop_words",
+        "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines")}
+    keeps = []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        n = len(toks)
+        sum_len = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if _GOPHER_ALPHA.search(w))
+        n_stop = sum(1 for w in toks if w.lower() in GOPHER_STOPWORDS)
+        n_sym = t.count("#") + len(_GOPHER_ELL_SEQ.findall(t))
+        lines = t.split("\n")
+        n_lines = len(lines)
+        n_bullet = sum(1 for l in lines if _GOPHER_BULLET.match(l))
+        n_ell = sum(1 for l in lines if _GOPHER_ELL_LINE.search(l))
+        keep = (50 <= n <= 100_000
+                and 3 * n <= sum_len <= 10 * n
+                and 10 * n_sym < n
+                and 10 * n_bullet < 9 * n_lines
+                and 10 * n_ell < 3 * n_lines
+                and 5 * n_alpha > 4 * n
+                and n_stop >= 2)
+        for k, v in (("n_words", n), ("sum_word_len", sum_len),
+                     ("n_alpha_words", n_alpha), ("n_stop_words", n_stop),
+                     ("n_symbols", n_sym), ("n_lines", n_lines),
+                     ("n_bullet_lines", n_bullet),
+                     ("n_ellipsis_lines", n_ell)):
+            cols[k].append(v)
+        keeps.append(keep)
+    out = {"doc_id": batch.column("doc_id")}
+    for k, v in cols.items():
+        out[k] = pa.array(v, pa.int64())
+    out["keep"] = pa.array(keeps, pa.bool_())
+    return pa.Table.from_pydict(out)

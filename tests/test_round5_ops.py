@@ -614,3 +614,55 @@ def test_lm_quality_buckets_terciles(ray_session, tmp_path):
             > out.loc[out["bucket"] == "tail", "score_e4"].max())
     # the unique-soup docs are the tail
     assert set(out.loc[out["bucket"] == "tail", "doc_id"]) == {6, 7, 8}
+
+
+# ------------------------------------------------------ gopher quality r5
+
+def test_gopher_stats_matches_sql_twin_on_adversarial_corpus(ray_session):
+    """Line-shape rules (bullets, ellipsis line-ends, '#'/'...' symbols,
+    alpha-word fraction) never fire on the synthetic driver corpus, so the
+    SQL-twin equivalence is pinned here on a corpus built to cross every
+    threshold from both sides — including exact-boundary docs."""
+    import duckdb
+
+    from graphrag_ray.curation_oracle import gopher_quality_sql
+    from graphrag_ray.stages.text_analysis import gopher_stats
+
+    good = " ".join(["the have with that"] * 15)  # 60 words, stopword-rich
+    texts = [
+        good,                                     # passes every rule
+        "short doc",                              # < 50 words
+        " ".join(["the"] * 50),                   # boundary: exactly 50 words
+        good + " ####### " + "#" * 20,            # symbol ratio >= 0.1
+        "\n".join(["- bullet line"] * 9 + ["plain"]),   # 90% bullets
+        "\n".join(["- b"] * 8 + ["x", "y"]),      # 80% bullets: line rule ok
+        "\n".join([good, "trailing dots ...", "more ...\t", "end"]),
+        " ".join(["12345"] * 60),                 # alpha fraction 0
+        good + " " + " ".join(["9"] * 20),        # alpha fraction 0.75
+        "• unicode bullet\n\t* tab-indented star\n ... leading ellipsis",
+        "",                                       # empty doc
+        "ab " * 60,                               # mean word len 2 (< 3)
+        " ".join(["abcdefghijklmnop"] * 60),      # mean word len 16 (> 10)
+        good.upper(),                             # stopwords match lowercased
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = gopher_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(gopher_quality_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()],
+                                  check_dtype=False)
+
+    keep = dict(zip(got["doc_id"], got["keep"]))
+    assert keep[0] and keep[2] and keep[13]
+    assert not any(keep[i] for i in (1, 3, 4, 5, 7, 8, 10, 11, 12))
+    # doc 5 dies on word count, NOT on its 80%-bullet lines (rule passes)
+    row5 = got[got["doc_id"] == 5].iloc[0]
+    assert 10 * row5["n_bullet_lines"] < 9 * row5["n_lines"]
+    # the ellipsis-line and bullet signals actually fired somewhere
+    assert got["n_ellipsis_lines"].sum() >= 2
+    assert got["n_bullet_lines"].sum() >= 18
+    assert got["n_symbols"].max() >= 20
