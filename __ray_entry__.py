@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.doc_repetition,
         "doc_decontam": q.doc_decontam,
         "source_stats": q.source_stats,
+        "source_mix_weights": q.source_mix_weights,  # SQL-oracled (temperature mixing)
         "lang_sample": q.lang_sample,
         "doc_filter_verdict": q.doc_filter_verdict,
         "gopher_quality": q.gopher_quality,          # SQL-oracled (integer-exact line rules)
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _cur_sql.doc_repetition_sql(),
         "doc_decontam": _cur_sql.doc_decontam_sql(),
         "source_stats": _cur_sql.source_stats_sql(),
+        "source_mix_weights": _cur_sql.source_mix_weights_sql(),
         "lang_sample": _cur_sql.lang_sample_sql(),
         "doc_filter_verdict": _cur_sql.doc_filter_verdict_sql(),
         "gopher_quality": _cur_sql.gopher_quality_sql(),

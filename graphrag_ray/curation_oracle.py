@@ -364,3 +364,19 @@ def gopher_quality_sql() -> str:
                 AND n_stop_words >= 2) AS keep
         FROM c
     """
+
+
+def source_mix_weights_sql(alpha: float = 0.3) -> str:
+    """Temperature-mixing twin (queries.source_mix_weights). The pow/sum
+    arithmetic is float, but both sides round the final weight to 6
+    digits and the denominator is a sum over a handful of sources, so
+    order-of-summation noise (~1 ulp) cannot reach the 6th decimal."""
+    return f"""
+        WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+                   FROM documents GROUP BY source),
+        t AS (SELECT sum(n_docs)::DOUBLE AS total FROM c),
+        s AS (SELECT source, n_docs, pow(n_docs / total, {alpha}) AS sc
+              FROM c, t),
+        z AS (SELECT sum(sc) AS den FROM s)
+        SELECT source, n_docs, round(sc / den, 6) AS weight FROM s, z
+    """

@@ -4237,6 +4237,37 @@ def source_stats(sf_dir: str):
         curation.source_rollup, batch_format="pyarrow")
 
 
+def source_mix_weights(sf_dir: str, alpha: float = 0.3):
+    """Temperature-scaled source sampling weights — the multinomial
+    temperature scheme of XLM-R (arXiv:1911.02116 §3.1) / mT5 with
+    alpha=0.3: w_s = p_s^alpha / sum_t p_t^alpha, p_s = n_s / N. The
+    distributed part is the per-source count (in-batch combiner → keyed
+    groupby); the finalize runs on the tiny one-row-per-source table in
+    a defined source-sorted order so the float sum is reproducible."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (pd.Series(batch.column("source").to_pylist())
+             .value_counts(sort=False))
+        return pa.table({"source": pa.array(g.index.astype(str)),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    counts = (_docs(sf_dir, ("source",))
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n", alias_name="n_docs")))
+    df = counts.to_pandas().sort_values("source").reset_index(drop=True)
+    n = df["n_docs"].to_numpy(np.float64)
+    s = np.power(n / n.sum(), alpha)
+    w = s / s.sum()
+    return pa.table({
+        "source": pa.array(df["source"].astype(str)),
+        "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+        "weight": pa.array(np.floor(w * 1e6 + 0.5) / 1e6, pa.float64()),
+    })
+
+
 def lang_sample(sf_dir: str):
     """Stratified deterministic sampling: 5 docs per lang in md5(doc_id)
     hash order — per-batch partial top-k, tiny final merge per lang."""

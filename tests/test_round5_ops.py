@@ -666,3 +666,29 @@ def test_gopher_stats_matches_sql_twin_on_adversarial_corpus(ray_session):
     assert got["n_ellipsis_lines"].sum() >= 2
     assert got["n_bullet_lines"].sum() >= 18
     assert got["n_symbols"].max() >= 20
+
+
+# ------------------------------------------------- source mixing r5
+
+def test_source_mix_weights_flattens_skew(ray_session, tmp_path):
+    """alpha=0.3 temperature mixing: uniform counts stay uniform; a
+    skewed corpus is flattened (rare source's weight > its raw share,
+    dominant source's weight < its raw share); weights sum to ~1."""
+    from graphrag_ray.queries import source_mix_weights
+
+    docs = pa.table({
+        "doc_id": pa.array(range(110), pa.int64()),
+        "text": pa.array(["x"] * 110, pa.string()),
+        "lang": pa.array(["en"] * 110, pa.string()),
+        "source": pa.array(["big"] * 100 + ["rare"] * 10, pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = source_mix_weights(str(tmp_path)).to_pandas().set_index("source")
+    assert abs(out["weight"].sum() - 1.0) < 1e-5
+    assert out.loc["rare", "weight"] > 10 / 110   # boosted above raw share
+    assert out.loc["big", "weight"] < 100 / 110   # damped below raw share
+    # alpha=1 degenerates to raw proportions
+    raw = source_mix_weights(str(tmp_path), alpha=1.0).to_pandas()
+    got = dict(zip(raw["source"], raw["weight"]))
+    assert abs(got["big"] - round(100 / 110, 6)) < 1e-6
+    assert abs(got["rare"] - round(10 / 110, 6)) < 1e-6
