@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
         "dedup_semantic_keep": q.dedup_semantic_keep,
         "dedup_ngram_keep": q.dedup_ngram_keep,      # SQL-oracled (min-label closure)
+        "dedup_minhash_keep": q.dedup_minhash_keep,  # SQL-oracled (same closure, LSH pair source)
         "curation_pipeline": q.curation_pipeline,    # SQL-oracled (composed twin)
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
@@ -322,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": q.events_user_cms,
         "events_user_hll": q.events_user_hll,
         "latest_order_per_customer": q.latest_order_per_customer,
+        "top_orders_per_customer": q.top_orders_per_customer,  # SQL-oracled (row_number<=k twin)
         "late_shipment_priority_counts": q.late_shipment_priority_counts,
         "top_segment_order_revenue": q.top_segment_order_revenue,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
@@ -842,6 +844,19 @@ def oracle_sql() -> dict[str, str]:
                    est::BIGINT AS cms_estimate
             FROM est
         """,
+        "top_orders_per_customer": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS price_cents,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rn
+              FROM orders)
+            SELECT o_custkey::BIGINT AS o_custkey, rn::BIGINT AS rn,
+                   o_orderkey::BIGINT AS o_orderkey, price_cents
+            FROM r WHERE rn <= 3
+        """,
         "latest_order_per_customer": """
             WITH r AS (
               SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
@@ -1203,6 +1218,10 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+    # the LSH-sourced keep table shares the exact-Jaccard closure contract
+    # (pair-set equality at this threshold is the dedup_minhash_pairs
+    # oracle's own guarantee), so the SQL twin is identical
+    oracles["dedup_minhash_keep"] = oracles["dedup_ngram_keep"]
     oracles["curation_pipeline"] = f"""
         WITH v AS ({oracles["doc_filter_verdict"]}),
              k AS ({oracles["dedup_ngram_keep"]}),

@@ -617,6 +617,43 @@ def dedup_ngram_keep(sf_dir: str, threshold: float = 0.5):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+def dedup_minhash_keep(sf_dir: str, threshold: float = 0.5):
+    """MinHash-LSH dedup to cluster representatives — the scale path a
+    100-TB run uses (banded LSH candidates + exact verify, vs the
+    inverted-shingle-index pair source of dedup_ngram_keep): the verified
+    pair stream feeds the same distributed hash-to-min label propagation;
+    keep_id = min doc_id reachable through the near-dup graph. Oracled by
+    the identical recursive min-label closure over exact all-pairs
+    Jaccard (LSH recall is ~1 at these similarities, see
+    dedup_minhash_pairs)."""
+    import pyarrow.compute as pc
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": batch.column("doc_a"),
+                         "vec_b": batch.column("doc_b")})
+
+    pairs = dedup_minhash_pairs(sf_dir, threshold).map_batches(
+        to_nodes, batch_format="pyarrow").materialize()
+    labels = dedup.semantic_components_labels(pairs)
+    lbl_blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    lbl = (pa.concat_tables(lbl_blocks, promote_options="default")
+           if lbl_blocks else
+           pa.table({"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}))
+    lbl_ref = ray.put(lbl)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lbl_ref)
+        did = batch.column("doc_id").cast(pa.int64())
+        idx = pc.index_in(did, lt.column("node"))
+        keep = pc.coalesce(pc.take(lt.column("label"), idx), did)
+        return pa.table({"doc_id": did, "keep_id": keep.cast(pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 def curation_pipeline(sf_dir: str):
     """END-TO-END curation composition — the pipeline a training-data user
     actually runs: quality filter (first-failing-rule verdict) ∧ text
@@ -4623,6 +4660,50 @@ def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
 
     return (left.union(right).groupby("bucket")
             .map_groups(anti, batch_format="pyarrow"))
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Distributed top-N-per-group with ranks (the row_number() <= N
+    window pattern): each customer's k priciest orders, rank attached.
+    Per-batch partial top-k collapses every batch to <= k rows per key
+    BEFORE the exchange (min-k semilattice, result-identical), then the
+    keyed groupby finishes with the final sort+rank — shuffle volume is
+    O(k * |keys|), never O(rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        price = batch.column("o_totalprice").to_numpy()
+        order = np.lexsort((okey, -price, cust))
+        cust_s = cust[order]
+        # position within each customer's run (runs are contiguous)
+        starts = np.ones(len(cust_s), dtype=bool)
+        starts[1:] = cust_s[1:] != cust_s[:-1]
+        pos = np.arange(len(cust_s)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(cust_s)), 0))
+        sel = order[pos < k]
+        return pa.Table.from_pydict(
+            {"o_custkey": pa.array(cust[sel], pa.int64()),
+             "o_orderkey": pa.array(okey[sel], pa.int64()),
+             "o_totalprice": pa.array(price[sel], pa.float64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        okey = group.column("o_orderkey").to_numpy()
+        price = group.column("o_totalprice").to_numpy()
+        best = np.lexsort((okey, -price))[:k]
+        return pa.Table.from_pydict(
+            {"o_custkey": group.column("o_custkey").take(best),
+             "rn": pa.array(np.arange(1, len(best) + 1), pa.int64()),
+             "o_orderkey": pa.array(okey[best], pa.int64()),
+             "price_cents": pa.array(
+                 np.rint(price[best] * 100).astype(np.int64), pa.int64())})
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(final, batch_format="pyarrow"))
 
 
 def latest_order_per_customer(sf_dir: str):

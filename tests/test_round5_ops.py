@@ -692,3 +692,52 @@ def test_source_mix_weights_flattens_skew(ray_session, tmp_path):
     got = dict(zip(raw["source"], raw["weight"]))
     assert abs(got["big"] - round(100 / 110, 6)) < 1e-6
     assert abs(got["rare"] - round(10 / 110, 6)) < 1e-6
+
+
+# ------------------------------------------- top-N-per-group window r5
+
+def test_top_orders_partial_topk_is_batching_invariant(ray_session, tmp_path):
+    """The per-batch top-k combiner is a min-k semilattice: the final
+    result is identical whether the orders arrive as one block or many,
+    and equals the brute-force window computed in pandas."""
+    from graphrag_ray.queries import top_orders_per_customer
+
+    rng = np.random.default_rng(7)
+    n = 300
+    tbl = pa.table({
+        "o_custkey": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "o_orderkey": pa.array(rng.permutation(n), pa.int64()),
+        "o_totalprice": pa.array(
+            np.rint(rng.uniform(10, 1000, n) * 100) / 100, pa.float64()),
+    })
+    df = tbl.to_pandas()
+    df["rnk"] = (df.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True])
+                 .groupby("o_custkey").cumcount() + 1)
+    exp = (df[df["rnk"] <= 3]
+           .assign(price_cents=lambda x:
+                   np.rint(x["o_totalprice"] * 100).astype(np.int64))
+           .rename(columns={"rnk": "rn"})
+           [["o_custkey", "rn", "o_orderkey", "price_cents"]]
+           .sort_values(["o_custkey", "rn"]).reset_index(drop=True))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "orders.parquet")
+    got = (top_orders_per_customer(str(sf)).to_pandas()
+           .sort_values(["o_custkey", "rn"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # batching invariance: many small input files force many small
+    # batches through the combiner; result must not change
+    whole = got
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    (sf2 / "orders.parquet").mkdir()
+    for i in range(0, n, 20):
+        pq.write_table(tbl.slice(i, 20),
+                       sf2 / "orders.parquet" / f"part_{i:04d}.parquet")
+    sliced = top_orders_per_customer(str(sf2)).to_pandas()
+    key = ["o_custkey", "rn"]
+    pd.testing.assert_frame_equal(
+        whole.sort_values(key).reset_index(drop=True),
+        sliced.sort_values(key).reset_index(drop=True))
