@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": q.events_user_hll,
         "latest_order_per_customer": q.latest_order_per_customer,
         "top_orders_per_customer": q.top_orders_per_customer,  # SQL-oracled (row_number<=k twin)
+        "part_type_supplier_counts": q.part_type_supplier_counts,  # SQL-oracled (Q16-shape count-distinct)
         "late_shipment_priority_counts": q.late_shipment_priority_counts,
         "top_segment_order_revenue": q.top_segment_order_revenue,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
@@ -843,6 +844,11 @@ def oracle_sql() -> dict[str, str]:
                    exact_count::BIGINT AS exact_count,
                    est::BIGINT AS cms_estimate
             FROM est
+        """,
+        "part_type_supplier_counts": """
+            SELECT p_type, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
         """,
         "top_orders_per_customer": """
             WITH r AS (

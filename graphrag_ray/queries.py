@@ -4662,6 +4662,51 @@ def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
             .map_groups(anti, batch_format="pyarrow"))
 
 
+def part_type_supplier_counts(sf_dir: str):
+    """Distributed COUNT(DISTINCT) after a dimension join (the TPC-H
+    Q16 shape): distinct suppliers shipping each part type. The part
+    table is the classic broadcast dimension — partkey→type ships once
+    via ray.put and each lineitem batch maps locally (no shuffle join);
+    the distinct then runs as the standard two-phase exchange: batch-
+    local dedup → groupby(type, supp) → per-type count. Both exchanges
+    are keyed by natural keys, per-group size bounded by |suppliers|."""
+    import pandas as pd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    type_codes = part.column("p_type").dictionary_encode().combine_chunks()
+    keys = part.column("p_partkey").to_numpy()
+    codes = type_codes.indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)  # sorted ONCE here, not per batch
+    lookup_ref = ray.put((keys[order], codes[order],
+                          type_codes.dictionary.to_pylist()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys, codes, names = ray.get(lookup_ref)
+        pos = np.searchsorted(keys, batch.column("l_partkey").to_numpy())
+        g = (pd.DataFrame({"tc": codes[pos],
+                           "l_suppkey": batch.column("l_suppkey").to_numpy()})
+             .drop_duplicates())
+        return pa.table({
+            "p_type": pa.array([names[c] for c in g["tc"]], pa.string()),
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64())})
+
+    distinct = (ray.data.read_parquet(
+                    f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_suppkey"])
+                .map_batches(attach, batch_format="pyarrow")
+                .groupby(["p_type", "l_suppkey"]).count())
+
+    def per_type_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.Series(batch.column("p_type").to_pylist())
+             .value_counts(sort=False))
+        return pa.table({"p_type": pa.array(g.index.astype(str)),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    return (distinct.map_batches(per_type_partial, batch_format="pyarrow")
+            .groupby("p_type").aggregate(Sum("n", alias_name="n_suppliers")))
+
+
 def top_orders_per_customer(sf_dir: str, k: int = 3):
     """Distributed top-N-per-group with ranks (the row_number() <= N
     window pattern): each customer's k priciest orders, rank attached.
