@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": q.latest_order_per_customer,
         "top_orders_per_customer": q.top_orders_per_customer,  # SQL-oracled (row_number<=k twin)
         "part_type_supplier_counts": q.part_type_supplier_counts,  # SQL-oracled (Q16-shape count-distinct)
+        "orders_rollup": q.orders_rollup,    # SQL-oracled (GROUP BY ROLLUP twin)
         "late_shipment_priority_counts": q.late_shipment_priority_counts,
         "top_segment_order_revenue": q.top_segment_order_revenue,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
@@ -844,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
                    exact_count::BIGINT AS exact_count,
                    est::BIGINT AS cms_estimate
             FROM est
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "part_type_supplier_counts": """
             SELECT p_type, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers

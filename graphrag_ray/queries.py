@@ -4662,6 +4662,50 @@ def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
             .map_groups(anti, batch_format="pyarrow"))
 
 
+def orders_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP twin): order counts and
+    exact cent-sums by (status, priority), by status, and the grand
+    total, with 'ALL' filling the rolled-up level. The corpus is scanned
+    ONCE: a per-batch combiner feeds the finest-level keyed groupby, and
+    the two coarser levels are re-aggregated from that tiny base table
+    (|statuses| x |priorities| rows) — never from a second scan."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({
+                "o_orderstatus": batch.column("o_orderstatus").to_pylist(),
+                "o_orderpriority": batch.column("o_orderpriority").to_pylist(),
+                "n_orders": 1, "sum_cents": cents})
+             .groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+             .agg(n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+    df = base.to_pandas()  # tiny by construction
+    lvl1 = (df.groupby("o_orderstatus", as_index=False)
+            [["n_orders", "sum_cents"]].sum())
+    lvl1["o_orderpriority"] = "ALL"
+    lvl0 = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+                         "n_orders": [df["n_orders"].sum()],
+                         "sum_cents": [df["sum_cents"].sum()]})
+    out = pd.concat([df, lvl1, lvl0], ignore_index=True)
+    return pa.table({
+        "o_orderstatus": pa.array(out["o_orderstatus"].astype(str)),
+        "o_orderpriority": pa.array(out["o_orderpriority"].astype(str)),
+        "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+        "sum_cents": pa.array(out["sum_cents"].to_numpy(np.int64)),
+    })
+
+
 def part_type_supplier_counts(sf_dir: str):
     """Distributed COUNT(DISTINCT) after a dimension join (the TPC-H
     Q16 shape): distinct suppliers shipping each part type. The part
