@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_histogram": q.ship_latency_histogram,
         "customers_without_orders": q.customers_without_orders,
         "events_user_cms": q.events_user_cms,
+        "events_top_users": q.events_top_users,  # SQL-oracled (grouped top-k twin)
         "events_user_hll": q.events_user_hll,
         "latest_order_per_customer": q.latest_order_per_customer,
         "top_orders_per_customer": q.top_orders_per_customer,  # SQL-oracled (row_number<=k twin)
@@ -845,6 +846,17 @@ def oracle_sql() -> dict[str, str]:
                    exact_count::BIGINT AS exact_count,
                    est::BIGINT AS cms_estimate
             FROM est
+        """,
+        "events_top_users": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY event_type, user_id),
+            r AS (SELECT event_type, user_id, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, user_id) AS rn
+                  FROM c)
+            SELECT event_type, rn::BIGINT AS rn, user_id::BIGINT AS user_id,
+                   n::BIGINT AS n
+            FROM r WHERE rn <= 5
         """,
         "orders_rollup": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

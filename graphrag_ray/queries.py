@@ -5013,6 +5013,51 @@ def top_segment_order_revenue(sf_dir: str, segment: str = "BUILDING",
     return df.reset_index(drop=True)
 
 
+def events_top_users(sf_dir: str, k: int = 5):
+    """EXACT grouped top-k by count (the exact counterpart to the
+    events_user_cms sketch): each event type's k most active users with
+    their counts. Shape: per-batch (type, user) count combiner → keyed
+    groupby sum (per-group size bounded by |users|, key-partitioned) →
+    per-block partial top-k per type → tiny per-type final merge. Ties
+    break on user_id ascending (the row_number twin's order)."""
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "event_type": batch.column("event_type").to_pylist(),
+                "user_id": batch.column("user_id").to_numpy()})
+             .groupby(["event_type", "user_id"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                    columns=["event_type", "user_id"])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(["event_type", "user_id"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # a block can hold many types: keep k rows per TYPE, not per block
+        df = (batch.to_pandas()
+              .sort_values(["n", "user_id"], ascending=[False, True],
+                           kind="mergesort")
+              .groupby("event_type", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = (df.sort_values(["n", "user_id"], ascending=[False, True],
+                             kind="mergesort").head(k))
+        return pa.table({
+            "event_type": pa.array(df["event_type"].astype(str)),
+            "rn": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64))})
+
+    return (counts.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
 def events_user_cms(sf_dir: str, k: int = 20):
     """Count-Min heavy hitters: per-user event counts estimated through a
     distributed 4×256 md5-hashed Count-Min sketch (per-batch partial
