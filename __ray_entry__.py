@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q.top_bigrams,                # SQL-oracled
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
+        "doc_novel_window_counts": q.doc_novel_window_counts,  # SQL-oracled (first-occurrence twin)
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_mutual_knn": q.embedding_mutual_knn,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
@@ -706,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_dup_windows
             FROM f JOIN d USING (phash) GROUP BY 1
+        """,
+        "doc_novel_window_counts": f"""{PASSAGE_CTE},
+            fo AS (SELECT phash, doc_id,
+                          row_number() OVER (PARTITION BY phash
+                                             ORDER BY doc_id, pos0) AS rn
+                   FROM f)
+            SELECT doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_novel_windows
+            FROM fo WHERE rn = 1 GROUP BY 1
         """,
         "events_retention": """
             WITH e AS (SELECT user_id,

@@ -473,6 +473,15 @@ def doc_dup_passage_counts(sf_dir: str):
     return passages.doc_dup_passage_counts(_docs(sf_dir))
 
 
+def doc_novel_window_counts(sf_dir: str):
+    """Per-doc NOVEL-window counts (corpus-novelty curve — the dual of
+    doc_dup_passage_counts): windows whose fingerprint first appears, in
+    global (doc_id, pos) order, in this doc. Same one bucket exchange."""
+    from .stages import passages
+
+    return passages.doc_novel_window_counts(_docs(sf_dir))
+
+
 def dedup_ngram_pairs(sf_dir: str, threshold: float = 0.5):
     """EXACT n-gram Jaccard near-dup via a distributed inverted shingle
     index (no LSH recall risk): shingle posting rows → groupby(shingle

@@ -169,3 +169,40 @@ def doc_dup_passage_counts(docs_ds, width: int = WIDTH,
         doc_dup_counts_in_bucket, batch_format="pandas")
     return partial.groupby("doc_id").aggregate(
         Sum("n_dup_windows", alias_name="n_dup_windows"))
+
+
+def novel_counts_in_bucket(df: pd.DataFrame) -> pa.Table:
+    """Per bucket: PARTIAL per-doc counts of windows that are the GLOBAL
+    first occurrence of their fingerprint (novelty — the dual of
+    doc_dup_counts_in_bucket; a phash's rows all share a bucket, so the
+    within-bucket first is the global first). First = min (doc_id, pos).
+    Docs whose every window first appeared elsewhere emit nothing."""
+    if df.empty:
+        return _DOC_SCHEMA_NOVEL.empty_table()
+    first = (df.sort_values(["phash", "doc_id", "pos"], kind="mergesort")
+             .drop_duplicates("phash", keep="first"))
+    out = (first.groupby("doc_id", sort=False).size()
+           .rename("n_novel_windows").reset_index())
+    return pa.Table.from_pandas(out[[f.name for f in _DOC_SCHEMA_NOVEL]],
+                                schema=_DOC_SCHEMA_NOVEL,
+                                preserve_index=False)
+
+
+_DOC_SCHEMA_NOVEL = pa.schema([("doc_id", pa.int64()),
+                               ("n_novel_windows", pa.int64())])
+
+
+def doc_novel_window_counts(docs_ds, width: int = WIDTH,
+                            num_buckets: int | None = None):
+    """Per-doc novel-window counts (the corpus-novelty curve input):
+    (doc_id, n_novel_windows) for docs contributing >= 1 first-seen
+    window. Same single bucket exchange as dup_passages."""
+    from ray.data.aggregate import Sum
+
+    b = num_buckets or derived_buckets(docs_ds)
+    rows = docs_ds.map_batches(
+        lambda t: passage_rows(t, width, b), batch_format="pyarrow")
+    partial = rows.groupby("bucket").map_groups(
+        novel_counts_in_bucket, batch_format="pandas")
+    return partial.groupby("doc_id").aggregate(
+        Sum("n_novel_windows", alias_name="n_novel_windows"))

@@ -741,3 +741,32 @@ def test_top_orders_partial_topk_is_batching_invariant(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         whole.sort_values(key).reset_index(drop=True),
         sliced.sort_values(key).reset_index(drop=True))
+
+
+# --------------------------------------------------- novelty counts r5
+
+def test_novel_window_counts_invariants(ray_session):
+    """Sum of per-doc novel windows == corpus distinct fingerprints, the
+    result is bucket-count invariant, and a doc that is a pure copy of an
+    earlier doc contributes zero novel windows."""
+    from graphrag_ray.stages import passages
+
+    base = " ".join(_WORDS[:10])          # 10 tokens -> 3 windows at W=8
+    fresh = "one two three four five six seven eight nine ten eleven"
+    ds = _docs_ds([base, base, fresh])    # doc 1 is a verbatim copy
+    outs = []
+    for b in (1, 5, None):
+        out = (passages.doc_novel_window_counts(ds, num_buckets=b)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    got = dict(zip(outs[0]["doc_id"], outs[0]["n_novel_windows"]))
+    assert 1 not in got                   # the copy: zero novel windows
+    assert got[0] == 3 and got[2] == 4
+    rows = passages.passage_rows(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([base, base, fresh], pa.string())}),
+        passages.WIDTH, 1)
+    n_distinct = len(set(rows.column("phash").to_pylist()))
+    assert outs[0]["n_novel_windows"].sum() == n_distinct
