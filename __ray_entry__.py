@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": q.dup_passages,              # SQL-oracled (windowed md5 twin)
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "doc_novel_window_counts": q.doc_novel_window_counts,  # SQL-oracled (first-occurrence twin)
+        "doc_passage_scrub": q.doc_passage_scrub,  # SQL-oracled (coverage string_agg twin)
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_mutual_knn": q.embedding_mutual_knn,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
@@ -716,6 +717,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_novel_windows
             FROM fo WHERE rn = 1 GROUP BY 1
+        """,
+        "doc_passage_scrub": f"""{PASSAGE_CTE},
+            d AS (SELECT phash FROM f GROUP BY phash
+                  HAVING count(DISTINCT doc_id) >= 2),
+            occ AS (SELECT f.doc_id, f.pos0 FROM f JOIN d USING (phash)),
+            cov AS (SELECT DISTINCT occ.doc_id, occ.pos0 + i.i AS tpos
+                    FROM occ CROSS JOIN
+                         (SELECT unnest(generate_series(0, 7)) AS i) i),
+            kept AS (SELECT w.doc_id, w.w, w.pos - 1 AS tpos
+                     FROM w LEFT JOIN cov
+                       ON cov.doc_id = w.doc_id AND cov.tpos = w.pos - 1
+                     WHERE cov.tpos IS NULL),
+            nt AS (SELECT doc_id, count(*) AS n_tokens FROM w GROUP BY doc_id)
+            SELECT nt.doc_id::BIGINT AS doc_id,
+                   coalesce(string_agg(kept.w, ' ' ORDER BY kept.tpos), '')
+                       AS clean_text,
+                   count(kept.w)::BIGINT AS n_tokens_kept,
+                   (nt.n_tokens - count(kept.w))::BIGINT AS n_tokens_removed
+            FROM nt LEFT JOIN kept USING (doc_id)
+            GROUP BY nt.doc_id, nt.n_tokens
         """,
         "events_retention": """
             WITH e AS (SELECT user_id,

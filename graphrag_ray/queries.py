@@ -482,6 +482,17 @@ def doc_novel_window_counts(sf_dir: str):
     return passages.doc_novel_window_counts(_docs(sf_dir))
 
 
+def doc_passage_scrub(sf_dir: str):
+    """Substring-level dedup REMOVAL (Lee et al.'s action): tokens
+    covered by cross-doc duplicated 8-token windows are excised and the
+    doc re-joined — (doc_id, clean_text, n_tokens_kept,
+    n_tokens_removed). Window rows → bucket exchange → doc_id-keyed
+    join + per-doc scrub."""
+    from .stages import passages
+
+    return passages.doc_passage_scrub(_docs(sf_dir, ("doc_id", "text")))
+
+
 def dedup_ngram_pairs(sf_dir: str, threshold: float = 0.5):
     """EXACT n-gram Jaccard near-dup via a distributed inverted shingle
     index (no LSH recall risk): shingle posting rows → groupby(shingle

@@ -206,3 +206,81 @@ def doc_novel_window_counts(docs_ds, width: int = WIDTH,
         novel_counts_in_bucket, batch_format="pandas")
     return partial.groupby("doc_id").aggregate(
         Sum("n_novel_windows", alias_name="n_novel_windows"))
+
+
+_OCC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+
+def dup_occurrence_rows(df: pd.DataFrame) -> pa.Table:
+    """Per bucket: every (doc_id, pos) occurrence of a fingerprint seen
+    in >= 2 distinct docs — the coverage set substring scrubbing blanks
+    out. A phash's rows all share a bucket, so the within-bucket
+    distinct-doc count is the global one."""
+    if df.empty:
+        return _OCC_SCHEMA.empty_table()
+    nd = df.groupby("phash")["doc_id"].nunique()
+    occ = df[df["phash"].map(nd).ge(2)]
+    if occ.empty:
+        return _OCC_SCHEMA.empty_table()
+    return pa.Table.from_pandas(occ[["doc_id", "pos"]].reset_index(drop=True),
+                                schema=_OCC_SCHEMA, preserve_index=False)
+
+
+_SCRUB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("clean_text", pa.string()),
+    ("n_tokens_kept", pa.int64()), ("n_tokens_removed", pa.int64())])
+
+
+def make_scrub_fn(width: int = WIDTH):
+    """Per-batch scrubber over docs ALREADY joined with their dup-window
+    start positions (``pos`` column, null for clean docs): drop every
+    token covered by any duplicated window occurrence in this doc and
+    re-join the remainder with single spaces (the SQL twin's
+    string_agg ORDER BY token position). Docs with zero tokens emit
+    nothing (inner-over-tokens semantics, matching the twin)."""
+
+    def scrub(df: pd.DataFrame) -> pa.Table:
+        ids, cleans, kept_n, rem_n = [], [], [], []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            toks = (g["text"].iloc[0] or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            mask = np.zeros(n, dtype=bool)
+            for p in g["pos"].dropna().astype(np.int64).to_numpy():
+                mask[p:p + width] = True
+            kept = [t for t, m in zip(toks, mask) if not m]
+            ids.append(int(doc_id))
+            cleans.append(" ".join(kept))
+            kept_n.append(len(kept))
+            rem_n.append(n - len(kept))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string()),
+            "n_tokens_kept": pa.array(kept_n, pa.int64()),
+            "n_tokens_removed": pa.array(rem_n, pa.int64()),
+        }).cast(_SCRUB_SCHEMA)
+
+    return scrub
+
+
+def doc_passage_scrub(docs_ds, width: int = WIDTH,
+                      num_buckets: int | None = None,
+                      join_partitions: int | None = None):
+    """Substring-level dedup REMOVAL (the Lee et al. 2107.06499 action,
+    not just the signal): every token covered by a cross-doc duplicated
+    window is excised and the doc re-joined. Pipeline: window rows →
+    bucket exchange (dup occurrences only come back out) → hash-shuffle
+    join with the docs on doc_id → per-doc vectorized scrub. The join is
+    keyed by doc_id with a partition count derived from the corpus, so
+    per-partition memory is constant at scale; the dup-occurrence side
+    is a small fraction of the window volume by construction."""
+    b = num_buckets or derived_buckets(docs_ds)
+    rows = docs_ds.map_batches(
+        lambda t: passage_rows(t, width, b), batch_format="pyarrow")
+    occ = rows.groupby("bucket").map_groups(
+        dup_occurrence_rows, batch_format="pandas")
+    p = join_partitions or max(8, b // 8)
+    joined = docs_ds.join(occ, "left_outer", int(p), on=("doc_id",))
+    return joined.groupby("doc_id").map_groups(
+        make_scrub_fn(width), batch_format="pandas")

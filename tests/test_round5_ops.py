@@ -770,3 +770,30 @@ def test_novel_window_counts_invariants(ray_session):
         passages.WIDTH, 1)
     n_distinct = len(set(rows.column("phash").to_pylist()))
     assert outs[0]["n_novel_windows"].sum() == n_distinct
+
+
+def test_passage_scrub_removes_covered_tokens_only(ray_session):
+    """Verbatim-copied docs scrub to empty; a doc sharing only its head
+    8 tokens loses exactly those; short docs (< 8 tokens) and unique
+    docs pass through untouched."""
+    from graphrag_ray.stages import passages
+
+    shared = " ".join(_WORDS[:8])          # exactly one window wide
+    texts = [shared,                        # doc 0: fully covered
+             shared,                        # doc 1: verbatim copy
+             shared + " unique tail here",  # doc 2: head covered only
+             "tiny doc",                    # doc 3: < 8 tokens, no windows
+             "totally different words " + " ".join(reversed(_WORDS[:8]))]
+    ds = _docs_ds(texts)
+    out = (passages.doc_passage_scrub(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "clean_text"] == "" and out.loc[0, "n_tokens_removed"] == 8
+    assert out.loc[1, "clean_text"] == ""
+    # doc 2: windows start at 0..3, all containing the shared head plus
+    # tail tokens — only windows present in ANOTHER doc count, i.e. the
+    # pos-0 window alone, covering tokens 0..7
+    assert out.loc[2, "clean_text"] == "unique tail here"
+    assert out.loc[2, "n_tokens_kept"] == 3
+    assert out.loc[3, "clean_text"] == "tiny doc"
+    assert out.loc[3, "n_tokens_removed"] == 0
+    assert out.loc[4, "n_tokens_removed"] == 0
