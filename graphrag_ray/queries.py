@@ -4726,40 +4726,71 @@ def orders_rollup(sf_dir: str):
     })
 
 
-def part_type_supplier_counts(sf_dir: str):
+def part_type_supplier_counts(sf_dir: str,
+                              broadcast_limit: int = 5_000_000):
     """Distributed COUNT(DISTINCT) after a dimension join (the TPC-H
-    Q16 shape): distinct suppliers shipping each part type. The part
-    table is the classic broadcast dimension — partkey→type ships once
-    via ray.put and each lineitem batch maps locally (no shuffle join);
-    the distinct then runs as the standard two-phase exchange: batch-
-    local dedup → groupby(type, supp) → per-type count. Both exchanges
-    are keyed by natural keys, per-group size bounded by |suppliers|."""
+    Q16 shape): distinct suppliers shipping each part type. ADAPTIVE
+    join strategy (the lm_score broadcast_limit pattern): below the
+    threshold the partkey→type dimension ships once via ray.put (sorted
+    driver-side so batches binary-search with no per-batch sort) and
+    each lineitem batch maps locally — no shuffle join; above it — a
+    100-TB part table is NOT broadcastable — the dimension flows
+    through a partkey-keyed Dataset.join with a partition count derived
+    from the fact side. Either way the distinct then runs as the
+    standard two-phase exchange: batch-local dedup → groupby(type,
+    supp) → per-type count; per-group size is bounded by |suppliers|."""
     import pandas as pd
 
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type"])
-    type_codes = part.column("p_type").dictionary_encode().combine_chunks()
-    keys = part.column("p_partkey").to_numpy()
-    codes = type_codes.indices.to_numpy(zero_copy_only=False)
-    order = np.argsort(keys)  # sorted ONCE here, not per batch
-    lookup_ref = ray.put((keys[order], codes[order],
-                          type_codes.dictionary.to_pylist()))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        keys, codes, names = ray.get(lookup_ref)
-        pos = np.searchsorted(keys, batch.column("l_partkey").to_numpy())
-        g = (pd.DataFrame({"tc": codes[pos],
-                           "l_suppkey": batch.column("l_suppkey").to_numpy()})
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "p_type": batch.column("p_type").to_pylist(),
+                "l_suppkey": batch.column("l_suppkey").to_numpy()})
              .drop_duplicates())
-        return pa.table({
-            "p_type": pa.array([names[c] for c in g["tc"]], pa.string()),
-            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64())})
+        return pa.Table.from_pandas(g[["p_type", "l_suppkey"]],
+                                    preserve_index=False)
 
-    distinct = (ray.data.read_parquet(
-                    f"{sf_dir}/lineitem.parquet",
-                    columns=["l_partkey", "l_suppkey"])
-                .map_batches(attach, batch_format="pyarrow")
-                .groupby(["p_type", "l_suppkey"]).count())
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_part > broadcast_limit:
+        fact = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                      columns=["l_partkey", "l_suppkey"])
+                .map_batches(
+                    lambda t: t.rename_columns(["p_partkey", "l_suppkey"]),
+                    batch_format="pyarrow"))
+        dim = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                    columns=["p_partkey", "p_type"])
+        n_fact = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+        joined = fact.join(dim, "inner",
+                           max(16, n_fact // 2_000_000 + 1),
+                           on=("p_partkey",))
+        pairs = joined.map_batches(local_distinct, batch_format="pyarrow")
+    else:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        type_codes = (part.column("p_type").dictionary_encode()
+                      .combine_chunks())
+        keys = part.column("p_partkey").to_numpy()
+        codes = type_codes.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)  # sorted ONCE here, not per batch
+        lookup_ref = ray.put((keys[order], codes[order],
+                              type_codes.dictionary.to_pylist()))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys, codes, names = ray.get(lookup_ref)
+            pos = np.searchsorted(keys, batch.column("l_partkey").to_numpy())
+            g = (pd.DataFrame({"tc": codes[pos],
+                               "l_suppkey": batch.column(
+                                   "l_suppkey").to_numpy()})
+                 .drop_duplicates())
+            return pa.table({
+                "p_type": pa.array([names[c] for c in g["tc"]], pa.string()),
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64())})
+
+        pairs = (ray.data.read_parquet(
+                     f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_suppkey"])
+                 .map_batches(attach, batch_format="pyarrow"))
+
+    distinct = pairs.groupby(["p_type", "l_suppkey"]).count()
 
     def per_type_partial(batch: pa.Table) -> pa.Table:
         g = (pd.Series(batch.column("p_type").to_pylist())

@@ -797,3 +797,17 @@ def test_passage_scrub_removes_covered_tokens_only(ray_session):
     assert out.loc[3, "clean_text"] == "tiny doc"
     assert out.loc[3, "n_tokens_removed"] == 0
     assert out.loc[4, "n_tokens_removed"] == 0
+
+
+def test_part_type_counts_join_path_equals_broadcast(ray_session):
+    """Forcing broadcast_limit=0 exercises the Dataset.join scale path
+    for the dimension; both strategies must agree exactly."""
+    from graphrag_ray.queries import part_type_supplier_counts
+
+    sf = "/root/testdata/sf0.001"
+    a = (part_type_supplier_counts(sf).to_pandas()
+         .sort_values("p_type").reset_index(drop=True))
+    b = (part_type_supplier_counts(sf, broadcast_limit=0).to_pandas()
+         .sort_values("p_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_suppliers"] > 0).all() and len(a) > 0
