@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_passage_counts": q.doc_dup_passage_counts,  # SQL-oracled
         "doc_novel_window_counts": q.doc_novel_window_counts,  # SQL-oracled (first-occurrence twin)
         "doc_passage_scrub": q.doc_passage_scrub,  # SQL-oracled (coverage string_agg twin)
+        "doc_winnow_fingerprints": q.doc_winnow_fingerprints,  # SQL-oracled (windowed-min twin)
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_mutual_knn": q.embedding_mutual_knn,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
@@ -717,6 +718,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    count(*)::BIGINT AS n_novel_windows
             FROM fo WHERE rn = 1 GROUP BY 1
+        """,
+        "doc_winnow_fingerprints": f"""{PASSAGE_CTE},
+            wm AS (SELECT doc_id, pos0 AS i,
+                          min(phash) OVER win AS mh,
+                          count(*) OVER win AS cnt
+                   FROM f WINDOW win AS (PARTITION BY doc_id ORDER BY pos0
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+            sel AS (SELECT wm.doc_id, max(f2.pos0) AS pos
+                    FROM wm JOIN f f2
+                      ON f2.doc_id = wm.doc_id
+                     AND f2.pos0 BETWEEN wm.i AND wm.i + 3
+                     AND f2.phash = wm.mh
+                    WHERE wm.cnt = 4
+                    GROUP BY wm.doc_id, wm.i)
+            SELECT DISTINCT s.doc_id::BIGINT AS doc_id,
+                   s.pos::BIGINT AS pos, f3.phash
+            FROM sel s JOIN f f3
+              ON f3.doc_id = s.doc_id AND f3.pos0 = s.pos
         """,
         "doc_passage_scrub": f"""{PASSAGE_CTE},
             d AS (SELECT phash FROM f GROUP BY phash

@@ -482,6 +482,17 @@ def doc_novel_window_counts(sf_dir: str):
     return passages.doc_novel_window_counts(_docs(sf_dir))
 
 
+def doc_winnow_fingerprints(sf_dir: str):
+    """Robust winnowing fingerprint selection (Schleimer et al., the
+    MOSS algorithm): rightmost-minimal k-gram hash per sliding winnow
+    window — a ~1/w-density doc sketch with a match-coverage guarantee.
+    Stateless vectorized map_batches; no exchange at all."""
+    from .stages import passages
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        passages.winnow_rows, batch_format="pyarrow")
+
+
 def doc_passage_scrub(sf_dir: str):
     """Substring-level dedup REMOVAL (Lee et al.'s action): tokens
     covered by cross-doc duplicated 8-token windows are excised and the

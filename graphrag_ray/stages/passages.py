@@ -284,3 +284,62 @@ def doc_passage_scrub(docs_ds, width: int = WIDTH,
     joined = docs_ds.join(occ, "left_outer", int(p), on=("doc_id",))
     return joined.groupby("doc_id").map_groups(
         make_scrub_fn(width), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# robust winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+# the MOSS local fingerprinting algorithm) over the same W-token window
+# hashes passage_rows emits
+
+WINNOW = 4
+
+_WINNOW_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("phash", pa.string())])
+
+
+def winnow_rows(batch: pa.Table, width: int = WIDTH,
+                w: int = WINNOW) -> pa.Table:
+    """Per-doc winnowing selection: in every window of ``w`` consecutive
+    W-token k-gram hashes pick the MINIMUM hash, rightmost occurrence on
+    ties (the robust-winnowing rule, which guarantees at most one new
+    selection per window step). Emits the distinct selected
+    (doc_id, pos, phash) rows — a doc's fingerprint sketch, ~1/w the
+    k-gram volume with a match-coverage guarantee for matches of length
+    >= W + w - 1 tokens. Docs with fewer than ``w`` k-grams emit
+    nothing (no full winnow window), matching the SQL twin.
+
+    Vectorized: the hex hashes compare lexicographically (= numerically
+    for fixed-width hex), the rolling min is a log2(w) minimum-ladder
+    over shifted slices, and the rightmost-tie argmin is a reverse
+    np.where ladder — no Python loop over windows."""
+    rows = passage_rows(batch, width, 1)
+    if rows.num_rows == 0:
+        return _WINNOW_SCHEMA.empty_table()
+    doc = rows.column("doc_id").to_numpy()
+    pos = rows.column("pos").to_numpy()
+    h = np.asarray(rows.column("phash").to_pylist(), dtype=object)
+    out_d, out_p, out_h = [], [], []
+    # per-doc segments are contiguous (passage_rows emits docs in order)
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    ends = np.r_[starts[1:], len(doc)]
+    for s, e in zip(starts, ends):
+        hs = h[s:e]
+        n = len(hs) - w + 1
+        if n <= 0:
+            continue
+        m = hs[:n].copy()
+        for off in range(1, w):        # w-1 elementwise mins, not n*w
+            np.minimum(m, hs[off:off + n], out=m)
+        sel = np.full(n, -1, dtype=np.int64)
+        for off in range(w - 1, -1, -1):   # rightmost tie wins
+            cand = hs[off:off + n] == m
+            sel = np.where((sel < 0) & cand, np.arange(n) + off, sel)
+        uniq = np.unique(sel)
+        out_d.extend([int(doc[s])] * len(uniq))
+        out_p.extend((pos[s:e][uniq]).tolist())
+        out_h.extend(hs[uniq].tolist())
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "pos": pa.array(out_p, pa.int64()),
+        "phash": pa.array(out_h, pa.string()),
+    })

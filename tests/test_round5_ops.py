@@ -811,3 +811,43 @@ def test_part_type_counts_join_path_equals_broadcast(ray_session):
          .sort_values("p_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_suppliers"] > 0).all() and len(a) > 0
+
+
+# ----------------------------------------------------- winnowing r5
+
+def test_winnowing_coverage_guarantee_and_density(ray_session):
+    """Schleimer's theorem: two docs sharing a run of >= W + w - 1
+    tokens (= 11 here) share at least one selected fingerprint; docs
+    with < w k-grams select nothing; selection density is well below 1
+    on random text; a brute-force per-window argmin agrees exactly."""
+    from graphrag_ray.stages.passages import winnow_rows, WIDTH, WINNOW
+
+    rng = np.random.default_rng(21)
+    shared = " ".join(rng.choice(_WORDS, 11))         # W + w - 1 tokens
+    texts = [("head junk " * 3) + shared + " tail one two",
+             shared + " totally different ending words",
+             " ".join(_WORDS[:9]),                    # 2 k-grams < w: none
+             " ".join(rng.choice(_WORDS, 120))]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = winnow_rows(batch).to_pandas()
+
+    fp = {d: set(g["phash"]) for d, g in out.groupby("doc_id")}
+    assert fp[0] & fp[1]                  # coverage guarantee
+    assert 2 not in fp                    # too short: no full window
+    n_kgrams = 120 - WIDTH + 1
+    assert len(out[out["doc_id"] == 3]) < n_kgrams / 2  # sparse sketch
+
+    # brute force replay on doc 3
+    toks = texts[3].split()
+    hs = [hashlib.md5(" ".join(toks[i:i + WIDTH]).encode()).hexdigest()
+          for i in range(n_kgrams)]
+    sel = set()
+    for i in range(n_kgrams - WINNOW + 1):
+        win = hs[i:i + WINNOW]
+        m = min(win)
+        sel.add(i + max(j for j, x in enumerate(win) if x == m))
+    exp = {(p, hs[p]) for p in sel}
+    got = {(r.pos, r.phash) for r in
+           out[out["doc_id"] == 3].itertuples()}
+    assert got == exp
