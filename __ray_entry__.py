@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novel_window_counts": q.doc_novel_window_counts,  # SQL-oracled (first-occurrence twin)
         "doc_passage_scrub": q.doc_passage_scrub,  # SQL-oracled (coverage string_agg twin)
         "doc_winnow_fingerprints": q.doc_winnow_fingerprints,  # SQL-oracled (windowed-min twin)
+        "winnow_dup_pairs": q.winnow_dup_pairs,  # SQL-oracled (shared-fingerprint join twin)
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_mutual_knn": q.embedding_mutual_knn,
         "embedding_near_dup_bucketed": q.embedding_near_dup_bucketed,
@@ -1300,6 +1301,18 @@ def oracle_sql() -> dict[str, str]:
     # (pair-set equality at this threshold is the dedup_minhash_pairs
     # oracle's own guarantee), so the SQL twin is identical
     oracles["dedup_minhash_keep"] = oracles["dedup_ngram_keep"]
+    oracles["winnow_dup_pairs"] = f"""
+        WITH win AS ({oracles["doc_winnow_fingerprints"]}),
+        du AS (SELECT DISTINCT doc_id, phash FROM win),
+        df AS (SELECT phash, count(*) AS c FROM du GROUP BY phash),
+        keep AS (SELECT phash FROM df WHERE c BETWEEN 2 AND 10),
+        p AS (SELECT a.doc_id AS da, b.doc_id AS db
+              FROM du a JOIN du b USING (phash) JOIN keep USING (phash)
+              WHERE a.doc_id < b.doc_id)
+        SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+               count(*)::BIGINT AS n_shared
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    """
     oracles["curation_pipeline"] = f"""
         WITH v AS ({oracles["doc_filter_verdict"]}),
              k AS ({oracles["dedup_ngram_keep"]}),

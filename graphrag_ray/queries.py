@@ -493,6 +493,48 @@ def doc_winnow_fingerprints(sf_dir: str):
         passages.winnow_rows, batch_format="pyarrow")
 
 
+def winnow_dup_pairs(sf_dir: str, max_df: int = 10, min_shared: int = 2):
+    """MOSS-style near-dup pairs over winnowing fingerprints: doc pairs
+    sharing >= min_shared selected fingerprints. Fingerprints appearing
+    in > max_df docs are EXCLUDED as boilerplate (the published MOSS
+    common-code-elimination step) — which also bounds every
+    per-fingerprint pair fan-out at max_df^2, so no hot group exists at
+    any corpus size. Shape: winnow → per-doc distinct → groupby(phash)
+    pair emit (bounded) → groupby(pair) count."""
+    import pandas as pd
+
+    from .stages import passages
+
+    fp = (_docs(sf_dir, ("doc_id", "text"))
+          .map_batches(passages.winnow_rows, batch_format="pyarrow")
+          .map_batches(lambda t: pa.Table.from_pandas(
+              t.to_pandas()[["doc_id", "phash"]].drop_duplicates(),
+              preserve_index=False), batch_format="pyarrow")
+          .groupby(["doc_id", "phash"]).count())
+
+    def pairs_in_group(df: pd.DataFrame) -> pa.Table:
+        docs = np.sort(df["doc_id"].unique())
+        if len(docs) < 2 or len(docs) > max_df:  # boilerplate cut
+            return pa.schema([("doc_a", pa.int64()),
+                              ("doc_b", pa.int64())]).empty_table()
+        a, b = np.triu_indices(len(docs), k=1)
+        return pa.table({"doc_a": pa.array(docs[a], pa.int64()),
+                         "doc_b": pa.array(docs[b], pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.rename_columns(["doc_a", "doc_b", "n_shared"])
+        t = t.set_column(2, "n_shared",
+                         t.column("n_shared").cast(pa.int64()))
+        return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
+
+    return (fp.groupby("phash")
+            .map_groups(pairs_in_group, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).count()
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
 def doc_passage_scrub(sf_dir: str):
     """Substring-level dedup REMOVAL (Lee et al.'s action): tokens
     covered by cross-doc duplicated 8-token windows are excised and the

@@ -851,3 +851,32 @@ def test_winnowing_coverage_guarantee_and_density(ray_session):
     got = {(r.pos, r.phash) for r in
            out[out["doc_id"] == 3].itertuples()}
     assert got == exp
+
+
+def test_winnow_pairs_boilerplate_cut_bounds_hot_fingerprints(ray_session,
+                                                              tmp_path):
+    """A fingerprint present in > max_df docs (universal boilerplate) is
+    excluded, so it creates NO pairs — the MOSS common-code-elimination
+    step that also bounds every per-fingerprint fan-out; genuinely
+    similar doc pairs below the cut still pair up."""
+    from graphrag_ray.queries import winnow_dup_pairs
+
+    rng = np.random.default_rng(33)
+    boiler = " ".join(rng.choice(_WORDS, 15))     # hot: in all 30 docs
+    pairtxt = " ".join(rng.choice(_WORDS, 40))
+    texts = [boiler + " " + " ".join(rng.choice(_WORDS, 30))
+             for _ in range(30)]
+    texts += [pairtxt + " ending alpha", pairtxt + " ending beta"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)), 
+        "source": pa.array(["s"] * len(texts)),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = winnow_dup_pairs(str(tmp_path), max_df=10).to_pandas()
+    # the 30 boilerplate docs share ONLY >max_df fingerprints: no pair
+    # among them may survive; the engineered pair (30, 31) must
+    assert ((out["doc_a"] == 30) & (out["doc_b"] == 31)).any()
+    boiler_pairs = out[(out["doc_a"] < 30) & (out["doc_b"] < 30)]
+    assert len(boiler_pairs) == 0
