@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q.top_orders_per_customer,  # SQL-oracled (row_number<=k twin)
         "part_type_supplier_counts": q.part_type_supplier_counts,  # SQL-oracled (Q16-shape count-distinct)
         "orders_rollup": q.orders_rollup,    # SQL-oracled (GROUP BY ROLLUP twin)
+        "large_order_customers": q.large_order_customers,  # SQL-oracled (Q18-shape HAVING + join back)
         "late_shipment_priority_counts": q.late_shipment_priority_counts,
         "top_segment_order_revenue": q.top_segment_order_revenue,
         "events_user_running": q.events_user_running,  # SQL-oracled (window twin)
@@ -908,6 +909,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, rn::BIGINT AS rn, user_id::BIGINT AS user_id,
                    n::BIGINT AS n
             FROM r WHERE rn <= 5
+        """,
+        "large_order_customers": """
+            WITH t AS (SELECT l_orderkey, sum(l_quantity) AS q
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(l_quantity) > 250)
+            SELECT t.l_orderkey::BIGINT AS o_orderkey,
+                   t.q::BIGINT AS total_qty,
+                   o.o_custkey::BIGINT AS o_custkey
+            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
         """,
         "orders_rollup": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -4735,6 +4735,44 @@ def customers_without_orders(sf_dir: str, price_floor: float = 400000.0):
             .map_groups(anti, batch_format="pyarrow"))
 
 
+def large_order_customers(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape — HAVING over a corpus-wide aggregation, joined
+    back to the fact table: orders whose total lineitem quantity
+    exceeds min_qty (~p99), with their customer. The aggregate is the
+    standard combiner → keyed groupby; the filtered survivors (a ~1%
+    slice, still corpus-proportional at 100 TB) flow through an
+    orderkey-keyed Dataset.join with a derived partition count — never
+    a driver collect or broadcast of a fact-sized side."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "o_orderkey": batch.column("l_orderkey").to_numpy(),
+                "q": batch.column("l_quantity").to_numpy()})
+             .groupby("o_orderkey", sort=False)["q"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                    columns=["l_orderkey", "l_quantity"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("o_orderkey").aggregate(Sum("q", alias_name="q")))
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = batch.column("q").to_numpy()
+        keep = q > min_qty
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch.column("o_orderkey").to_numpy()[keep], pa.int64()),
+            "total_qty": pa.array(np.rint(q[keep]).astype(np.int64))})
+
+    big = totals.map_batches(having, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    p = max(8, n_orders // 2_000_000 + 1)
+    return big.join(orders, "inner", int(p), on=("o_orderkey",))
+
+
 def orders_rollup(sf_dir: str):
     """Multi-level aggregate (GROUP BY ROLLUP twin): order counts and
     exact cent-sums by (status, priority), by status, and the grand
