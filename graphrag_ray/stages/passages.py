@@ -278,8 +278,21 @@ def doc_passage_scrub(docs_ds, width: int = WIDTH,
     b = num_buckets or derived_buckets(docs_ds)
     rows = docs_ds.map_batches(
         lambda t: passage_rows(t, width, b), batch_format="pyarrow")
+    # materialized: consumed by count() AND the join (object-store
+    # resident, spillable — the minhash `tagged` pattern)
     occ = rows.groupby("bucket").map_groups(
-        dup_occurrence_rows, batch_format="pandas")
+        dup_occurrence_rows, batch_format="pandas").materialize()
+    if occ.count() == 0:
+        # nothing duplicated anywhere: an empty map_groups output has no
+        # schema for the join to key on — pass every doc through
+        def passthrough(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = batch.to_pandas()
+            df["pos"] = pd.NA
+            return make_scrub_fn(width)(df)
+
+        return docs_ds.map_batches(passthrough, batch_format="pyarrow")
     p = join_partitions or max(8, b // 8)
     joined = docs_ds.join(occ, "left_outer", int(p), on=("doc_id",))
     return joined.groupby("doc_id").map_groups(

@@ -798,6 +798,14 @@ def test_passage_scrub_removes_covered_tokens_only(ray_session):
     assert out.loc[3, "n_tokens_removed"] == 0
     assert out.loc[4, "n_tokens_removed"] == 0
 
+    # all-unique corpus: the dup-occurrence side is EMPTY (no schema for
+    # the join) — the passthrough path must keep every doc intact
+    clean = (passages.doc_passage_scrub(
+                 _docs_ds(["one two three four five six seven eight nine",
+                           "a b"])).to_pandas().set_index("doc_id"))
+    assert (clean["n_tokens_removed"] == 0).all() and len(clean) == 2
+    assert clean.loc[0, "n_tokens_kept"] == 9
+
 
 def test_part_type_counts_join_path_equals_broadcast(ray_session):
     """Forcing broadcast_limit=0 exercises the Dataset.join scale path
