@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic_keep": q.dedup_semantic_keep,
         "dedup_ngram_keep": q.dedup_ngram_keep,      # SQL-oracled (min-label closure)
         "dedup_minhash_keep": q.dedup_minhash_keep,  # SQL-oracled (same closure, LSH pair source)
+        "dedup_simhash_keep": q.dedup_simhash_keep,  # SQL-oracled (closure over Hamming pairs)
         "curation_pipeline": q.curation_pipeline,    # SQL-oracled (composed twin)
         # --- similarity search
         "ann_topk": q.ann_topk,                  # SQL-oracled
@@ -1311,6 +1312,20 @@ def oracle_sql() -> dict[str, str]:
     # (pair-set equality at this threshold is the dedup_minhash_pairs
     # oracle's own guarantee), so the SQL twin is identical
     oracles["dedup_minhash_keep"] = oracles["dedup_ngram_keep"]
+    oracles["dedup_simhash_keep"] = f"""
+        WITH RECURSIVE sigs AS ({_SIMHASH_SQL}),
+        pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
+                  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        und AS (SELECT va AS a, vb AS b FROM pairs
+                UNION SELECT vb, va FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+        SELECT a::BIGINT AS doc_id, min(b)::BIGINT AS keep_id
+        FROM reach GROUP BY a
+    """
     oracles["winnow_dup_pairs"] = f"""
         WITH win AS ({oracles["doc_winnow_fingerprints"]}),
         du AS (SELECT DISTINCT doc_id, phash FROM win),

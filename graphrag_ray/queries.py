@@ -727,6 +727,41 @@ def dedup_minhash_keep(sf_dir: str, threshold: float = 0.5):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+def dedup_simhash_keep(sf_dir: str, max_hamming: int = 3):
+    """SimHash dedup to cluster representatives — completes the
+    keep-table family (ngram / minhash-LSH / simhash): the banded
+    Hamming pair stream (guaranteed recall by pigeonhole) feeds the
+    distributed hash-to-min label propagation; keep_id = min doc_id
+    reachable through the near-dup graph. Oracled by the recursive
+    min-label closure over exact all-pairs bit_count(xor) <= 3."""
+    import pyarrow.compute as pc
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": batch.column("doc_a").cast(pa.int64()),
+                         "vec_b": batch.column("doc_b").cast(pa.int64())})
+
+    pairs = dedup_simhash_pairs(sf_dir, max_hamming).map_batches(
+        to_nodes, batch_format="pyarrow").materialize()
+    labels = dedup.semantic_components_labels(pairs)
+    lbl_blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    lbl = (pa.concat_tables(lbl_blocks, promote_options="default")
+           if lbl_blocks else
+           pa.table({"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}))
+    lbl_ref = ray.put(lbl)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lbl_ref)
+        did = batch.column("doc_id").cast(pa.int64())
+        idx = pc.index_in(did, lt.column("node"))
+        keep = pc.coalesce(pc.take(lt.column("label"), idx), did)
+        return pa.table({"doc_id": did, "keep_id": keep.cast(pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 def curation_pipeline(sf_dir: str):
     """END-TO-END curation composition — the pipeline a training-data user
     actually runs: quality filter (first-failing-rule verdict) ∧ text
